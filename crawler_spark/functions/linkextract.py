@@ -1,0 +1,242 @@
+"""Link extraction + interleaved-span building — pure-Python core shared by
+the oracle, the fixture generator, and the Arrow-vectorized Spark UDFs.
+
+Reference semantics (the WHAT), from /root/reference:
+- href harvesting via regex over anchor tags, case-insensitive
+  (``backend/scraping/manual_link_extractor.py:62-63``).
+- skip empty / '#' / fragment-only hrefs (``:74-76``).
+- 15 case-insensitive exclusion patterns (``:24-30, 38-42``).
+- relative->absolute via urljoin for non-http(s) hrefs (``:83-84``).
+- order-preserving first-occurrence dedup on the resolved URL (``:87-89``).
+- normalization gate: invalid URLs silently dropped (``:91-94``).
+- 3-way classification: file (22-extension suffix set over the lowercased
+  *path*, ``:17-21, 44-47``), else internal (relative or same netloc,
+  ``:49-58``), else external (``:96-102``).
+- PDF text: one text unit per page, pages joined in page order
+  (``backend/scraping/pdf_scraper.py:21-24``).
+
+The interleaved-span payload (BASELINE input_hint / FIXTURES.md §6) is this
+engine's normalization of the reference's per-document output: text spans
+(markdown) interleaved with media spans (file links) in document order,
+``offset`` = char offset of the span start in the source document. The
+HTML->markdown converter here is a deterministic pure function pinned by
+FIXTURES.md (markdownify is unavailable in this environment; generator,
+oracle, and engine all share this one definition, so span equality is
+well-defined).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .urlnorm import host_of, normalize_url, resolve
+
+__all__ = [
+    "FILE_EXTENSIONS",
+    "EXCLUDE_PATTERNS",
+    "HREF_PATTERN",
+    "extract_links",
+    "classify_href",
+    "html_to_markdown",
+    "build_spans_html",
+    "build_spans_pdf",
+    "Span",
+    "ExtractedLinks",
+]
+
+# 22-extension file-link suffix set (manual_link_extractor.py:17-21).
+FILE_EXTENSIONS = frozenset(
+    {
+        ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx",
+        ".zip", ".tar", ".gz", ".rar", ".7z", ".png", ".jpg", ".jpeg",
+        ".gif", ".svg", ".bmp", ".webp", ".ico", ".csv", ".txt", ".rtf",
+    }
+)
+
+# Exclusion patterns (manual_link_extractor.py:24-30), applied case-insensitively.
+EXCLUDE_PATTERNS = [
+    r"/login", r"/signin", r"/register", r"/signup", r"/contact",
+    r"/privacy", r"/terms", r"/cookie", r"/legal", r"/disclaimer",
+    r"facebook\.com", r"twitter\.com", r"linkedin\.com", r"instagram\.com",
+    r"youtube\.com", r"github\.com/(?!.*\.(pdf|doc|docx|zip))",
+    r"mailto:", r"tel:", r"javascript:", r"#$",
+]
+_EXCLUDE_RE = [re.compile(p, re.IGNORECASE) for p in EXCLUDE_PATTERNS]
+
+# Anchor-href harvesting regex (manual_link_extractor.py:62).
+HREF_PATTERN = r'<a[^>]+href=["\']([^"\']+)["\'][^>]*>'
+_HREF_RE = re.compile(HREF_PATTERN, re.IGNORECASE)
+
+
+def _is_excluded(url: str) -> bool:
+    return any(rx.search(url) for rx in _EXCLUDE_RE)
+
+
+def _is_file_url(url: str) -> bool:
+    from urllib.parse import urlparse
+
+    path = urlparse(url.lower()).path
+    return any(path.endswith(ext) for ext in FILE_EXTENSIONS)
+
+
+def _is_internal(url: str, base_url: str) -> bool:
+    from urllib.parse import urlparse
+
+    netloc = urlparse(url).netloc
+    return (not netloc) or netloc == urlparse(base_url).netloc
+
+
+def classify_href(href: str, base_url: str) -> tuple[str | None, str | None]:
+    """One href through the reference pipeline (no dedup).
+
+    Returns (category, normalized_url) with category in
+    'file' | 'internal' | 'external', or (None, None) when the href is
+    skipped (empty / fragment-only / excluded / fails normalization).
+    Classification runs on the *resolved pre-normalization* URL; the
+    emitted value is the normalized URL — both as in the reference.
+    """
+    url = href.strip()
+    if not url or url == "#" or url.startswith("#"):
+        return None, None
+    if _is_excluded(url):
+        return None, None
+    if not url.startswith(("http://", "https://")):
+        url = resolve(base_url, url)
+    normalized = normalize_url(url)
+    if normalized is None:
+        return None, None
+    if _is_file_url(url):
+        return "file", normalized
+    if _is_internal(url, base_url):
+        return "internal", normalized
+    return "external", normalized
+
+
+@dataclass
+class ExtractedLinks:
+    internal: list[str] = field(default_factory=list)
+    external: list[str] = field(default_factory=list)
+    file: list[str] = field(default_factory=list)
+    # (offset, normalized_url) of each kept *file* link's anchor match start,
+    # in document order — feeds the media spans.
+    file_offsets: list[tuple[int, str]] = field(default_factory=list)
+
+
+def extract_links(html: str, base_url: str) -> ExtractedLinks:
+    """Reference-order link extraction with first-occurrence dedup.
+
+    Pipeline order matters for parity (manual_link_extractor.py:60-104):
+    strip -> skip empty/fragment -> skip excluded -> resolve relative ->
+    dedup on the RESOLVED url (URLs failing the later normalize gate DO
+    enter the dedup set) -> normalize (drop invalid) -> classify on the
+    resolved url -> append the normalized url.
+    """
+    out = ExtractedLinks()
+    seen: set[str] = set()
+    for m in _HREF_RE.finditer(html):
+        url = m.group(1).strip()
+        if not url or url == "#" or url.startswith("#"):
+            continue
+        if _is_excluded(url):
+            continue
+        if not url.startswith(("http://", "https://")):
+            url = resolve(base_url, url)
+        if url in seen:
+            continue
+        seen.add(url)
+        normalized = normalize_url(url)
+        if normalized is None:
+            continue
+        if _is_file_url(url):
+            out.file.append(normalized)
+            out.file_offsets.append((m.start(), normalized))
+        elif _is_internal(url, base_url):
+            out.internal.append(normalized)
+        else:
+            out.external.append(normalized)
+    return out
+
+
+# --- deterministic HTML -> markdown (pinned definition, FIXTURES.md) ---
+
+_TAG_SUBS = [
+    (re.compile(r"<\s*(script|style)[^>]*>.*?<\s*/\s*\1\s*>", re.IGNORECASE | re.DOTALL), " "),
+    (re.compile(r"<\s*h([1-6])[^>]*>", re.IGNORECASE), lambda m: "\n" + "#" * int(m.group(1)) + " "),
+    (re.compile(r"<\s*/\s*h[1-6]\s*>", re.IGNORECASE), "\n"),
+    (re.compile(r"<\s*(p|div|li|tr|br)[^>]*/?\s*>", re.IGNORECASE), "\n"),
+    (re.compile(r"<[^>]+>"), " "),
+]
+_ENTITY_SUBS = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n\s*\n+")
+
+
+def html_to_markdown(html: str) -> str:
+    """Deterministic, dependency-free HTML->markdown-ish text. Stable across
+    generator / oracle / engine; not a markdownify port."""
+    text = html
+    for rx, repl in _TAG_SUBS:
+        text = rx.sub(repl, text)
+    for ent, ch in _ENTITY_SUBS:
+        text = text.replace(ent, ch)
+    text = _WS_RE.sub(" ", text)
+    text = _NL_RE.sub("\n\n", text)
+    return text.strip()
+
+
+@dataclass(frozen=True)
+class Span:
+    kind: str  # 'text' | 'media'
+    text: str  # markdown text for 'text', '' for 'media'
+    media_ref: str  # '' for 'text', normalized file URL for 'media'
+    offset: int  # char offset of span start in the source document
+
+
+def build_spans_html(html: str, base_url: str) -> tuple[list[Span], ExtractedLinks]:
+    """Interleaved spans for an HTML document.
+
+    Media spans: one per kept unique file link, at its anchor's char offset,
+    in document order. Text spans: markdown of each inter-anchor segment,
+    offset = segment start; empty segments produce no span.
+    """
+    links = extract_links(html, base_url)
+    spans: list[Span] = []
+    cursor = 0
+    for off, media_url in links.file_offsets:
+        seg = html[cursor:off]
+        md = html_to_markdown(seg)
+        if md:
+            spans.append(Span("text", md, "", cursor))
+        spans.append(Span("media", "", media_url, off))
+        cursor = off
+    tail = html_to_markdown(html[cursor:])
+    if tail:
+        spans.append(Span("text", tail, "", cursor))
+    return spans, links
+
+
+PDF_PAGE_SEP = "\f"  # fixture encoding: page texts joined by form-feed
+
+
+def build_spans_pdf(payload_text: str) -> list[Span]:
+    """One text span per PDF page, in page order (pdf_scraper.py:21-24);
+    offset = char offset of the page start in the decoded payload."""
+    spans: list[Span] = []
+    cursor = 0
+    for page in payload_text.split(PDF_PAGE_SEP):
+        stripped = page.strip()
+        if stripped:
+            spans.append(Span("text", stripped, "", cursor))
+        cursor += len(page) + 1
+    return spans
+
+
+def pdf_markdown(payload_text: str) -> str:
+    """The reference joins page texts with '\\n' and strips
+    (pdf_scraper.py:21-24); fixture pages are joined by form-feed."""
+    return "\n".join(payload_text.split(PDF_PAGE_SEP)).strip()
+
+
+def links_host(url: str) -> str:
+    return host_of(url)

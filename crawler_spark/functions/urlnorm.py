@@ -1,0 +1,94 @@
+"""URL canonicalization — pure-Python core shared by the oracle and the
+Arrow-vectorized Spark UDFs.
+
+Reference semantics (parity mode), from /root/reference:
+- ``normalize_url`` mirrors ``backend/domain/types.py:11-24`` (NormalizedUrl):
+  reject empty, reject non-``https://`` prefix, strip ALL trailing slashes,
+  reject unless exactly one ``"://"``.
+- ``strip_fragment`` mirrors ``backend/domain/entities.py:28-34``
+  (urlparse -> drop fragment -> urlunparse).
+- ``resolve`` mirrors the ``urljoin`` usage at
+  ``backend/scraping/manual_link_extractor.py:83-84``.
+
+Extended mode (north-rule RFC 3986 canonicalizer, absent in the reference):
+``canonicalize_rfc3986`` additionally lowercases scheme+host, drops default
+ports, sorts query parameters, and normalizes percent-encoding case.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, quote, unquote, urlencode, urljoin, urlparse, urlunparse
+
+__all__ = [
+    "normalize_url",
+    "strip_fragment",
+    "resolve",
+    "canonicalize_rfc3986",
+    "url_type",
+    "host_of",
+]
+
+
+def normalize_url(url: str | None) -> str | None:
+    """Reference-parity normalization; returns None for invalid URLs."""
+    if not url:
+        return None
+    if not url.startswith("https://"):
+        return None
+    normalized = url.rstrip("/")
+    if normalized.count("://") != 1:
+        return None
+    return normalized
+
+
+def strip_fragment(url: str) -> str:
+    """Drop the fragment exactly the way the reference does (via urlparse)."""
+    p = urlparse(url)
+    return urlunparse((p.scheme, p.netloc, p.path, p.params, p.query, ""))
+
+
+def resolve(base_url: str, href: str) -> str:
+    """Relative->absolute resolution (urljoin), as the reference applies it
+    to hrefs that do not start with http:// or https://."""
+    return urljoin(base_url, href)
+
+
+def url_type(url: str) -> str:
+    """'pdf' iff the URL ends with .pdf (case-insensitive), else 'html'."""
+    return "pdf" if url.lower().endswith(".pdf") else "html"
+
+
+def host_of(url: str) -> str:
+    return urlparse(url).netloc
+
+
+_DEFAULT_PORTS = {"https": "443", "http": "80"}
+
+
+def canonicalize_rfc3986(url: str | None) -> str | None:
+    """Extended canonical form for scale mode (engine-only; superset of the
+    reference's normalization). Returns None for invalid URLs.
+
+    Steps: reference validity gate, lowercase scheme + host, drop default
+    port, collapse empty path to '', sort query params, normalize
+    percent-encoding (decode unreserved, uppercase remaining escapes),
+    drop fragment, strip trailing slashes.
+    """
+    base = normalize_url(url)
+    if base is None:
+        return None
+    p = urlparse(base)
+    scheme = p.scheme.lower()
+    host = p.hostname.lower() if p.hostname else ""
+    port = p.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    if p.username:
+        cred = p.username + (f":{p.password}" if p.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = quote(unquote(p.path), safe="/:@!$&'()*+,;=~-._")
+    query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
+    out = urlunparse((scheme, netloc, path, p.params, query, ""))
+    out = out.rstrip("/")
+    return out if out.count("://") == 1 else None

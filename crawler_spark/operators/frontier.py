@@ -1,0 +1,387 @@
+"""The micro-batched frontier drain — the reference's sequential crawl loop
+(/root/reference/backend/domain/entities.py:135-237) re-expressed as a
+BSP-style Spark job.
+
+Execution model: the reference crawls ONE source at a time with ONE URL in
+flight (Celery solo pool, backend/tasks/config.py:29). Within a source the
+loop is inherently sequential — page k+1's choice depends on page k's
+extract — so the engine parallelizes ACROSS sources/hosts: each micro-batch
+pops the head of every active source's queue, fetches and parses them all
+in one distributed stage, then advances every source's state by one step.
+Per-host crawl order is therefore byte-identical to the reference (a source
+crawls only its own host — internal links share the seed's netloc), which
+is exactly the equality the north rule asks for; cross-host interleaving is
+free parallelism.
+
+Every micro-batch is one atomic snapshot commit of
+{frontier, source_state} (full) + {url_seen, candidates, docs, crawl_log,
+page_links} (append deltas) with lineage + metrics — a killed run resumes
+exactly (test: tests/test_resume.py).
+
+Scale shape: all joins key on (source_url / url); the fetch-join broadcasts
+``web_graph`` when small and shuffles on ``url`` otherwise; the parse stage
+is a single Arrow ``mapInPandas`` pass; the per-source head-pick and the
+policy step are windows/groupBy over the (tiny) per-source state, NOT
+driver loops. The high-volume scale path (top-K per host, Bloom prefilter,
+salting) lives in ``operators/scheduler.py``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..functions.udfs import PARSED_SCHEMA, host_udf, parse_documents, strip_fragment_udf
+from ..oracle import make_policy
+from ..state import SnapshotParquetStore
+
+__all__ = ["CrawlEngine"]
+
+_DELTA_TABLES = ("url_seen", "candidates", "docs", "crawl_log", "page_links")
+
+
+def _next_link_udf(policy_name: str):
+    """Vectorized policy evaluation: (current_url, ordered candidates) ->
+    next link. The SAME pure function the oracle uses (oracle.make_policy),
+    so engine/oracle equality is by construction."""
+
+    @F.pandas_udf(T.StringType())
+    def next_link(current_url: pd.Series, candidates: pd.Series) -> pd.Series:
+        policy = make_policy(policy_name)
+        return pd.Series(
+            [
+                policy(u, list(c) if c is not None else [])
+                for u, c in zip(current_url, candidates)
+            ]
+        )
+
+    return next_link
+
+
+class CrawlEngine:
+    """Reference-parity crawl over a ``web_graph`` table (FIXTURES.md §1)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        web_graph: DataFrame,
+        state_dir: str,
+        policy: str = "lexmin",
+        broadcast_web: bool = True,
+    ):
+        self.spark = spark
+        self.web_graph = web_graph
+        self.store = SnapshotParquetStore(spark, state_dir)
+        self.policy_name = policy
+        self.broadcast_web = broadcast_web
+
+    # -- state bootstrap ------------------------------------------------------
+
+    def init_state(self, seeds: list[tuple[str, int]]) -> None:
+        """Seed the frontier. seeds = [(normalized_seed_url, max_pages)]."""
+        spark = self.spark
+        seed_df = spark.createDataFrame(
+            [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
+        )
+        frontier = (
+            seed_df.select(
+                F.col("source_url"),
+                F.col("source_url").alias("url"),
+                F.xxhash64("source_url").alias("url_hash"),
+                host_udf("source_url").alias("host"),
+                F.lit(0).alias("priority"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        source_state = seed_df.select(
+            "source_url",
+            host_udf("source_url").alias("host"),
+            "max_pages",
+            F.lit(0).alias("pages_crawled"),
+            F.lit(1).cast("long").alias("total_pages_found"),
+            F.lit(1).cast("long").alias("next_enqueue_seq"),
+        )
+        empty = {
+            name: spark.createDataFrame([], getattr(schemas, name.upper()))
+            for name in _DELTA_TABLES
+        }
+        self.store.commit(
+            batch_id=0,
+            full_tables={"frontier": frontier, "source_state": source_state},
+            delta_tables=empty,
+            metrics={"event": "init", "sources": len(seeds)},
+        )
+
+    def _read_or_empty(self, table: str) -> DataFrame:
+        df = self.store.read(table)
+        if df is None:
+            df = self.spark.createDataFrame([], getattr(schemas, table.upper()))
+        return df
+
+    # -- one micro-batch ------------------------------------------------------
+
+    def step(self, batch_id: int) -> int:
+        """Advance every active source by one pop. Returns #popped (0 = done)."""
+        spark = self.spark
+        store = self.store
+        t0 = time.monotonic()
+
+        frontier = store.read("frontier")
+        source_state = store.read("source_state")
+        url_seen = self._read_or_empty("url_seen")
+        candidates = self._read_or_empty("candidates")
+
+        active = source_state.filter(F.col("pages_crawled") < F.col("max_pages"))
+
+        # head of each active source's queue (FIFO = min enqueue seq)
+        w_head = Window.partitionBy("source_url").orderBy("seq")
+        heads = (
+            frontier.join(
+                F.broadcast(active.select("source_url", "pages_crawled")), "source_url"
+            )
+            .withColumn("rn", F.row_number().over(w_head))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("pop_seq", F.col("pages_crawled").cast("long"))
+            .persist()
+        )
+        n_popped = heads.count()
+        if n_popped == 0:
+            heads.unpersist()
+            return 0
+
+        # pop: remove heads from the frontier
+        frontier2 = frontier.join(
+            heads.select("source_url", "seq"), ["source_url", "seq"], "left_anti"
+        )
+
+        # mark processed at pop time (entities.py:158-159), incl. failures;
+        # the seen table is exact — new (source,url) pairs only.
+        seen_new = (
+            heads.select(
+                "source_url",
+                "url",
+                strip_fragment_udf("url").alias("url_nofrag"),
+                F.col("url_hash"),
+                F.col("pop_seq").alias("first_seq"),
+            )
+            .join(url_seen.select("source_url", "url"), ["source_url", "url"], "left_anti")
+        )
+        url_seen2 = url_seen.unionByName(seen_new)
+
+        # fetch (join vs web_graph — the sandbox's network) + Arrow parse
+        web = self.web_graph
+        if self.broadcast_web:
+            web = F.broadcast(web)
+        fetched = heads.select("source_url", "url", "host", F.col("pop_seq").alias("seq")).join(
+            web.select("url", "kind", "payload", "status"), "url", "left"
+        )
+        parsed = fetched.mapInPandas(parse_documents, PARSED_SCHEMA).persist()
+
+        ok = parsed.filter("ok")
+
+        # merge new internal links into per-source candidate lists
+        # (append-if-absent, order-preserving: entities.py:176-179)
+        exploded = ok.select(
+            "source_url", F.posexplode("internal_links").alias("pos", "link")
+        )
+        w_first = Window.partitionBy("source_url", "link").orderBy("pos")
+        page_new = (
+            exploded.withColumn("rn", F.row_number().over(w_first))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cand_new = page_new.join(
+            candidates.select("source_url", F.col("url").alias("link")),
+            ["source_url", "link"],
+            "left_anti",
+        )
+        prev_max = candidates.groupBy("source_url").agg(F.max("cand_seq").alias("max_seq"))
+        w_rank = Window.partitionBy("source_url").orderBy("pos")
+        cand_delta = (
+            cand_new.join(prev_max, "source_url", "left")
+            .withColumn("rank", F.row_number().over(w_rank))
+            .select(
+                "source_url",
+                F.col("link").alias("url"),
+                strip_fragment_udf("link").alias("url_nofrag"),
+                (F.coalesce(F.col("max_seq"), F.lit(-1)) + F.col("rank")).alias("cand_seq"),
+            )
+            .persist()
+        )
+        candidates2 = candidates.unionByName(cand_delta)
+
+        # filtered candidates: anti-join vs fragment-stripped seen set
+        # (entities.py:181-186; nofrag key subsumes the exact-match clause)
+        filtered = candidates2.join(
+            url_seen2.select("source_url", "url_nofrag"),
+            ["source_url", "url_nofrag"],
+            "left_anti",
+        )
+
+        cand_lists = filtered.groupBy("source_url").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cand_seq", "url"))),
+                lambda s: s.getField("url"),
+            ).alias("cand_list")
+        )
+
+        # policy: pick next link per successfully-scraped page
+        # (at most ONE enqueue per page, entities.py:196-201)
+        chosen = (
+            ok.select("source_url", "url", "seq")
+            .join(cand_lists, "source_url", "left")
+            .withColumn(
+                "next_link",
+                _next_link_udf(self.policy_name)(
+                    "url", F.coalesce("cand_list", F.array().cast("array<string>"))
+                ),
+            )
+            .select("source_url", "seq", "next_link")
+            .persist()
+        )
+
+        enqueue = (
+            chosen.filter(F.col("next_link").isNotNull())
+            .join(F.broadcast(active.select("source_url", "next_enqueue_seq")), "source_url")
+            .select(
+                "source_url",
+                F.col("next_link").alias("url"),
+                F.xxhash64("next_link").alias("url_hash"),
+                host_udf("next_link").alias("host"),
+                F.lit(0).alias("priority"),
+                F.col("next_enqueue_seq").alias("seq"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        frontier3 = frontier2.unionByName(enqueue)
+
+        # source_state advance: pages_crawled++ for every pop (failures too,
+        # entities.py:202); total_pages_found += new candidates (:176-179)
+        new_found = cand_delta.groupBy("source_url").agg(F.count("*").alias("n_new"))
+        enq_count = chosen.filter(F.col("next_link").isNotNull()).groupBy("source_url").agg(
+            F.count("*").alias("n_enq")
+        )
+        popped_sources = heads.select("source_url").distinct().withColumn("popped", F.lit(1))
+        source_state2 = (
+            source_state.join(popped_sources, "source_url", "left")
+            .join(new_found, "source_url", "left")
+            .join(enq_count, "source_url", "left")
+            .select(
+                "source_url",
+                "host",
+                "max_pages",
+                (F.col("pages_crawled") + F.coalesce(F.col("popped"), F.lit(0))).alias(
+                    "pages_crawled"
+                ),
+                (F.col("total_pages_found") + F.coalesce(F.col("n_new"), F.lit(0))).alias(
+                    "total_pages_found"
+                ),
+                (F.col("next_enqueue_seq") + F.coalesce(F.col("n_enq"), F.lit(0))).alias(
+                    "next_enqueue_seq"
+                ),
+            )
+        )
+
+        # output deltas
+        docs_delta = ok.select(
+            F.col("url").alias("doc_id"), "source_url", "seq", "host", "spans"
+        )
+        crawl_log_delta = (
+            heads.select("source_url", F.col("pop_seq").alias("seq"), "url", "host")
+            .join(parsed.select("source_url", "seq", "ok"), ["source_url", "seq"], "left")
+            .join(chosen, ["source_url", "seq"], "left")
+            .select(
+                "source_url", "seq", "url", "host",
+                F.coalesce("ok", F.lit(False)).alias("ok"),
+                "next_link",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        page_links_delta = (
+            ok.select(
+                "source_url",
+                "url",
+                "seq",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit("internal").alias("category"), F.col("internal_links").alias("links")),
+                        F.struct(F.lit("external").alias("category"), F.col("external_links").alias("links")),
+                        F.struct(F.lit("file").alias("category"), F.col("file_links").alias("links")),
+                    )
+                ).alias("z"),
+            )
+            .select(
+                "source_url",
+                "url",
+                "seq",
+                F.col("z.category").alias("category"),
+                F.posexplode("z.links").alias("pos", "link"),
+            )
+        )
+
+        n_ok = ok.count()
+        n_new_cand = cand_delta.count()
+        self.store.commit(
+            batch_id=batch_id,
+            full_tables={"frontier": frontier3, "source_state": source_state2},
+            delta_tables={
+                "url_seen": seen_new,
+                "candidates": cand_delta,
+                "docs": docs_delta,
+                "crawl_log": crawl_log_delta,
+                "page_links": page_links_delta,
+            },
+            metrics={
+                "popped": n_popped,
+                "fetched_ok": n_ok,
+                "new_candidates": n_new_cand,
+                "batch_sec": round(time.monotonic() - t0, 3),
+            },
+        )
+        for df in (heads, parsed, cand_delta, chosen):
+            df.unpersist()
+        return n_popped
+
+    # -- full run -------------------------------------------------------------
+
+    def run(self, seeds: list[tuple[str, int]] | None = None, max_batches: int = 10_000) -> int:
+        """Drain until every source is done. Resumes from HEAD if state
+        exists and ``seeds`` is None. Returns number of batches executed."""
+        head = self.store.head()
+        if head is None:
+            if seeds is None:
+                raise ValueError("no existing state and no seeds given")
+            self.init_state(seeds)
+            head = self.store.head()
+        batch_id = head.batch_id
+        batches = 0
+        while batches < max_batches:
+            batch_id += 1
+            if self.step(batch_id) == 0:
+                break
+            batches += 1
+        return batches
+
+    # -- result accessors ------------------------------------------------------
+
+    def crawl_log(self) -> DataFrame:
+        return self._read_or_empty("crawl_log")
+
+    def url_seen(self) -> DataFrame:
+        return self._read_or_empty("url_seen")
+
+    def docs(self) -> DataFrame:
+        return self._read_or_empty("docs")
+
+    def source_state(self) -> DataFrame:
+        return self.store.read("source_state")
+
+    def page_links(self) -> DataFrame:
+        return self._read_or_empty("page_links")

@@ -1,0 +1,188 @@
+"""Snapshot-committed state tables with lineage, metrics, and exact resume.
+
+The north rule asks for Iceberg state tables; this sandbox has no Iceberg
+runtime jar and no network (verified: no iceberg jar under the pyspark
+install), so the engine programs against a thin ``StateStore`` interface
+whose default impl, ``SnapshotParquetStore``, provides the Iceberg-grade
+semantics the engine needs, offline:
+
+- **atomic commit**: new snapshot dir is staged under ``_tmp_*``, the
+  manifest is written last, the dir is atomically renamed, then ``HEAD`` is
+  atomically replaced (tmp file + ``os.replace``). A crash at any point
+  leaves the previous snapshot intact and readable.
+- **snapshot lineage**: every manifest records ``snapshot_id``,
+  ``parent_id``, ``batch_id``, per-table file lists with row counts, and
+  engine metrics — time travel = read any older manifest.
+- **delta (append) tables**: append-only tables (url_seen, docs, crawl log,
+  page links, candidates) store only the batch's new files; the manifest
+  carries the full file list (parent's files + new). No O(total-state)
+  rewrite per batch — at 10^10-frontier scale this is what keeps commit
+  cost proportional to the batch, as Iceberg appends would be.
+- **exactly-once re-commit**: committing a ``batch_id`` already recorded in
+  HEAD is a no-op (maps the reference's acks_late redelivery + idempotence
+  guard, /root/reference/backend/tasks/crawl.py:7,
+  backend/service/services.py:291-292).
+
+A real-cluster deployment swaps in an Iceberg-backed impl of the same
+interface (``MERGE``/append + snapshot metadata) via ``--packages``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    return sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+__all__ = ["SnapshotParquetStore", "Manifest"]
+
+
+@dataclass
+class Manifest:
+    snapshot_id: int
+    parent_id: int | None
+    batch_id: int
+    tables: dict = field(default_factory=dict)  # name -> {mode, files, rows}
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "batch_id": self.batch_id,
+                "tables": self.tables,
+                "metrics": self.metrics,
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        return cls(d["snapshot_id"], d["parent_id"], d["batch_id"], d["tables"], d["metrics"])
+
+
+class SnapshotParquetStore:
+    """Versioned multi-table snapshots over plain parquet directories."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "HEAD")
+
+    def head(self) -> Manifest | None:
+        try:
+            with open(self._head_path()) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        with open(os.path.join(self.root, "snapshots", name, "manifest.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def manifest(self, snapshot_id: int) -> Manifest:
+        with open(os.path.join(self.root, "snapshots", f"v{snapshot_id:06d}", "manifest.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def history(self) -> list[Manifest]:
+        out = []
+        m = self.head()
+        while m is not None:
+            out.append(m)
+            m = self.manifest(m.parent_id) if m.parent_id is not None else None
+        return list(reversed(out))
+
+    # -- commit ---------------------------------------------------------------
+
+    def commit(
+        self,
+        batch_id: int,
+        full_tables: dict[str, DataFrame],
+        delta_tables: dict[str, DataFrame] | None = None,
+        metrics: dict | None = None,
+    ) -> Manifest:
+        """Atomically commit one micro-batch.
+
+        ``full_tables`` are rewritten (frontier, source_state — small or
+        bucket-pruned); ``delta_tables`` append only the batch's rows and
+        inherit the parent's files. Re-committing the HEAD batch_id is a
+        no-op returning the existing manifest.
+        """
+        head = self.head()
+        if head is not None and head.batch_id == batch_id:
+            return head
+        snap_id = (head.snapshot_id + 1) if head else 1
+        name = f"v{snap_id:06d}"
+        tmp = os.path.join(self.root, "snapshots", f"_tmp_{uuid.uuid4().hex[:8]}")
+        final = os.path.join(self.root, "snapshots", name)
+        os.makedirs(tmp)
+        tables: dict[str, dict] = {}
+        try:
+            for tname, df in full_tables.items():
+                path = os.path.join(tmp, tname)
+                df.write.mode("overwrite").parquet(path)
+                rows = _parquet_rows(path)
+                tables[tname] = {"mode": "full", "files": [os.path.join(name, tname)], "rows": rows}
+            for tname, df in (delta_tables or {}).items():
+                parent_entry = (head.tables.get(tname) if head else None) or {"files": [], "rows": 0}
+                path = os.path.join(tmp, tname)
+                df.write.mode("overwrite").parquet(path)
+                rows = _parquet_rows(path)
+                files = list(parent_entry["files"])
+                if rows > 0:
+                    files.append(os.path.join(name, tname))
+                tables[tname] = {
+                    "mode": "delta",
+                    "files": files,
+                    "rows": parent_entry["rows"] + rows,
+                    "delta_rows": rows,
+                }
+            man = Manifest(snap_id, head.snapshot_id if head else None, batch_id, tables, metrics or {})
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                f.write(man.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, final)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        head_tmp = self._head_path() + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(head_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(head_tmp, self._head_path())
+        return man
+
+    # -- read -----------------------------------------------------------------
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame | None:
+        """Read a table at HEAD (or a given snapshot — time travel)."""
+        man = self.head() if snapshot_id is None else self.manifest(snapshot_id)
+        if man is None or table not in man.tables:
+            return None
+        entry = man.tables[table]
+        if not entry["files"]:
+            return None
+        paths = [os.path.join(self.root, "snapshots", p) for p in entry["files"]]
+        return self.spark.read.parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

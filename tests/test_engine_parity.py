@@ -1,0 +1,121 @@
+"""End-to-end equality: Spark engine vs the pure-Python oracle transcription
+of the reference loop (SURVEY.md §5.3 item 2).
+
+Checked per the north rule:
+- per-host (== per-source) crawl order, exact sequence;
+- URL-seen membership, exact set;
+- per-row span-sequence equality (kind, text, media_ref, order);
+- CrawlJobResult counters (pages_crawled, total_pages_found).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.fixtures import make_web_graph, web_graph_rows
+from crawler_spark.operators.frontier import CrawlEngine
+from crawler_spark.oracle import crawl_many, make_policy
+from crawler_spark.schemas import WEB_GRAPH
+
+
+def _run_both(spark, tmp_path, policy, n_hosts=3, pages_per_host=14, max_pages=5, seed=42):
+    g = make_web_graph(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed, max_pages=max_pages)
+    oracle_out = crawl_many(g.seeds, g.web, make_policy(policy))
+
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / f"state_{policy}_{seed}"), policy=policy)
+    eng.run(seeds=g.seeds)
+    return g, oracle_out, eng
+
+
+POLICIES = ["lexmin", "fifo", "seeded:7", "none"]
+
+
+@pytest.mark.parametrize("policy", POLICIES)
+def test_engine_matches_oracle(spark, tmp_path, policy):
+    g, oracle_out, eng = _run_both(spark, tmp_path, policy)
+
+    log = eng.crawl_log().orderBy("source_url", "seq").collect()
+    engine_order: dict[str, list[str]] = {}
+    for r in log:
+        engine_order.setdefault(r.source_url, []).append(r.url)
+    for sc in oracle_out:
+        assert engine_order.get(sc.source_url, []) == sc.crawl_order, (
+            f"crawl order mismatch for {sc.source_url} under {policy}"
+        )
+
+    seen = eng.url_seen().collect()
+    engine_seen: dict[str, set] = {}
+    for r in seen:
+        engine_seen.setdefault(r.source_url, set()).add(r.url)
+    for sc in oracle_out:
+        assert engine_seen.get(sc.source_url, set()) == sc.processed
+
+    st = {r.source_url: r for r in eng.source_state().collect()}
+    for sc in oracle_out:
+        row = st[sc.source_url]
+        assert row.pages_crawled == sc.pages_crawled
+        assert row.total_pages_found == sc.total_pages_found
+        assert row.max_pages == sc.max_pages
+
+    docs = eng.docs().orderBy("source_url", "seq").collect()
+    engine_spans: dict[tuple, list] = {}
+    for r in docs:
+        engine_spans[(r.source_url, r.seq)] = [
+            (s.kind, s.text, s.media_ref, s.offset) for s in r.spans
+        ]
+    for sc in oracle_out:
+        for rec in sc.records:
+            key = (sc.source_url, rec.seq)
+            if rec.ok:
+                expected = [(s.kind, s.text, s.media_ref, s.offset) for s in rec.spans]
+                assert engine_spans.get(key) == expected, f"span mismatch at {key}"
+            else:
+                assert key not in engine_spans
+
+
+def test_engine_matches_oracle_many_hosts(spark, tmp_path):
+    """Wider graph incl. dead links + pdf mix, seeded policy."""
+    g, oracle_out, eng = _run_both(
+        spark, tmp_path, "seeded:13", n_hosts=6, pages_per_host=10, max_pages=4, seed=99
+    )
+    log = eng.crawl_log().orderBy("source_url", "seq").collect()
+    engine_order: dict[str, list[str]] = {}
+    for r in log:
+        engine_order.setdefault(r.source_url, []).append(r.url)
+    for sc in oracle_out:
+        assert engine_order.get(sc.source_url, []) == sc.crawl_order
+    # ok/failure flags match too
+    eng_ok = {(r.source_url, r.seq): r.ok for r in log}
+    for sc in oracle_out:
+        for rec in sc.records:
+            assert eng_ok[(sc.source_url, rec.seq)] == rec.ok
+
+
+def test_external_links_keepfirst_dedup(spark, tmp_path):
+    """Summarize-stage global keep-first external-link dedup (A5,
+    entities.py:248-261) as a DataFrame view over page_links."""
+    from pyspark.sql import Window
+
+    g, oracle_out, eng = _run_both(spark, tmp_path, "lexmin")
+    pl = eng.page_links().filter(F.col("category") == "external")
+    first_touch = (
+        eng.crawl_log()
+        .groupBy("source_url", "url")
+        .agg(F.min("seq").alias("first_seq"))
+    )
+    ordered = pl.join(first_touch, ["source_url", "url"]).select(
+        "source_url", "link",
+        F.struct("first_seq", "seq", "pos").alias("ord"),
+    )
+    w = Window.partitionBy("source_url", "link").orderBy("ord")
+    dedup = (
+        ordered.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .orderBy("source_url", "ord")
+        .collect()
+    )
+    engine_ext: dict[str, list[str]] = {}
+    for r in dedup:
+        engine_ext.setdefault(r.source_url, []).append(r.link)
+    for sc in oracle_out:
+        assert engine_ext.get(sc.source_url, []) == sc.unique_external_links
