@@ -1,0 +1,811 @@
+"""Query inventory for the driver's correctness gate (__spark_entry__.py).
+
+Each entry pairs a Spark DataFrame builder with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables (/root/testdata/sf*/). The queries
+re-express the reference crawler's operator inventory (SURVEY.md §2 — semi/
+anti joins J4-J8, keep-first dedups A5, first-per-group A4/A6, top-k drains
+§2.5-§2.6, URL functions P1-P8/F1-F5) over the driver's relational tables,
+plus the large-scale training-data-pipeline operators (dedup, similarity
+search, text analysis) over the ``documents``/``embeddings`` tables.
+
+Determinism rules (the driver hashes values):
+- no raw doubles in outputs — every float is floor(x * scale) into a BIGINT
+  (integer sums are order-independent; double sums are not);
+- hashes shared between engines go through md5 (identical in Spark/DuckDB);
+- timestamps are formatted to strings;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.linkextract import build_spans_html, extract_links
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic shared constants (computed once, embedded in BOTH engines)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+N_PLANES = 8
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+LANG_MARKERS = {
+    "en": ("the", "a", "is"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def _plane_sign(j: int, i: int) -> int:
+    """Hyperplane sign matrix for LSH bucketing: ±1 from md5 parity.
+    Uses md5 so the Spark and DuckDB sides can regenerate it identically;
+    here it is precomputed and embedded as literals in both."""
+    h = hashlib.md5(f"{j}-{i}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+PLANES = [[_plane_sign(j, i) for i in range(EMB_DIM)] for j in range(N_PLANES)]
+
+
+# ---------------------------------------------------------------------------
+# relational operator shapes (SURVEY.md §2.3-§2.6) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_semi_join_open_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/J8 shape (left-semi EXISTS view, repositories.py:131-167)."""
+    customer, orders = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return customer.join(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        customer.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_anti_join_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 shape (discovered-but-never-crawled anti-join, repositories.py:264-285)."""
+    customer, orders = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_first_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A4/A6 shape (first job per page, entities.py:217-226)."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("first_price_cents"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """The scheduler's per-host top-K drain window (SURVEY.md §2.5)."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_keepfirst_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 shape (keep-first-occurrence dedup, entities.py:248-261)."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_crawl_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2 shape (pages_crawled / total_pages_found counters)."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+
+
+def q_concat_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 shape (per-source ordered concat of summaries, chatbot_service.py:42-109)."""
+    docs = load(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.lpad(F.col("doc_id").cast("string"), 8, "0"))), "|"
+        ).alias("doc_ids_concat"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_recent_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """O4 shape (recent-jobs listing, repl_helper.py:96-98)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+def q_budget_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """O2 shape (max_pages budget: first 3 pops per source, entities.py:157)."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Micro-batch metrics rollup: tumbling 1h windows over the event stream."""
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL functions (P1-P8, F1-F5) over synthesized URL columns
+# ---------------------------------------------------------------------------
+
+_URL_CASE = """CASE CAST(o_orderkey % 4 AS INT)
+  WHEN 0 THEN concat('https://h', CAST(o_custkey % 50 AS STRING), '.example.org/o/', CAST(o_orderkey AS STRING), '///')
+  WHEN 1 THEN concat('http://insecure.example.org/o/', CAST(o_orderkey AS STRING))
+  WHEN 2 THEN concat('https://h', CAST(o_custkey % 50 AS STRING), '.example.org/o/', CAST(o_orderkey AS STRING), '#frag')
+  ELSE concat('https://h', CAST(o_custkey % 50 AS STRING), '.example.org/o/', CAST(o_orderkey AS STRING))
+END"""
+
+
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/P2: reference URL normalization (domain/types.py:11-24) via the
+    engine's actual Arrow UDF over synthesized dirty URLs."""
+    from .functions.udfs import normalize_url_udf
+
+    orders = load(spark, sf, "orders")
+    return (
+        orders.withColumn("dirty_url", F.expr(_URL_CASE))
+        .withColumn("norm_url", normalize_url_udf("dirty_url"))
+        .filter(F.col("norm_url").isNotNull())
+        .select("o_orderkey", "norm_url")
+    )
+
+
+def q_url_strip_fragment(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: fragment stripping (entities.py:28-34) via the engine's Arrow UDF."""
+    from .functions.udfs import strip_fragment_udf
+
+    orders = load(spark, sf, "orders")
+    return (
+        orders.withColumn("dirty_url", F.expr(_URL_CASE))
+        .filter(F.col("dirty_url").startswith("https://"))
+        .withColumn("url_nofrag", strip_fragment_udf("dirty_url"))
+        .select("o_orderkey", "url_nofrag")
+    )
+
+
+_CLASSIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+_HREF_CASE = """CASE CAST(l_linenumber % 5 AS INT)
+  WHEN 0 THEN concat('https://base.example.org/files/f', CAST(l_orderkey AS STRING), '.pdf')
+  WHEN 1 THEN concat('https://base.example.org/p/', CAST(l_orderkey AS STRING))
+  WHEN 2 THEN concat('https://other.example.net/x/', CAST(l_orderkey AS STRING))
+  WHEN 3 THEN concat('/rel/p', CAST(l_orderkey AS STRING))
+  ELSE 'mailto:team@example.com'
+END"""
+
+
+def _classify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .functions.linkextract import classify_href
+
+    base = "https://base.example.org"
+    for pdf in it:
+        cats, urls = [], []
+        for href in pdf["href"]:
+            c, u = classify_href(href, base)
+            cats.append(c)
+            urls.append(u)
+        yield pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"].values,
+                "l_linenumber": pdf["l_linenumber"].values,
+                "category": cats,
+                "url": urls,
+            }
+        )
+
+
+def q_url_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """P5-P8: href classification pipeline (manual_link_extractor.py:44-58,
+    exclusion + file-suffix + internal/external) via the engine's classifier."""
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", F.expr(_HREF_CASE).alias("href"))
+        .mapInPandas(_classify_batches, _CLASSIFY_SCHEMA)
+        .filter(F.col("category").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# link extraction + interleaved spans (F3, S2-S3, input_hint payload)
+# ---------------------------------------------------------------------------
+
+
+def _doc_html(doc_id: str, text: str, with_links: bool) -> str:
+    k = int(doc_id) % 7
+    if with_links:
+        return (
+            f"<p>{text}</p>"
+            f'<a href="https://h{k}.example.org/p{doc_id}">x</a>'
+            f'<a href="/rel/{doc_id}">r</a>'
+            f'<a href="#">skip</a>'
+            f'<a href="https://ext.example.net/e{doc_id}">e</a>'
+            f'<a href="https://h{k}.example.org/f{doc_id}.pdf">f</a>'
+        )
+    return (
+        f"<p>{text}</p>"
+        f'<a href="https://files.example.org/d{doc_id}.pdf"></a>'
+        f"<p>tail{doc_id}</p>"
+    )
+
+
+_LINKS_SCHEMA = "doc_id long, category string, pos int, link string"
+
+
+def _extract_links_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = {"doc_id": [], "category": [], "pos": [], "link": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            base = f"https://h{int(doc_id) % 7}.example.org"
+            links = extract_links(_doc_html(str(doc_id), text, True), base)
+            for cat, lst in (("internal", links.internal), ("external", links.external), ("file", links.file)):
+                for pos, link in enumerate(lst):
+                    rows["doc_id"].append(doc_id)
+                    rows["category"].append(cat)
+                    rows["pos"].append(pos)
+                    rows["link"].append(link)
+        yield pd.DataFrame(rows)
+
+
+def q_link_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F3/UDTF shape: href harvest + classify + order-preserving dedup
+    (manual_link_extractor.py:60-104) via the engine's Arrow extractor
+    over HTML synthesized from the documents table."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", "text").mapInPandas(_extract_links_batches, _LINKS_SCHEMA)
+
+
+_SPANS_FLAT_SCHEMA = (
+    "doc_id long, pos int, kind string, text string, media_ref string, offset int"
+)
+
+
+def _spans_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = {"doc_id": [], "pos": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            spans, _links = build_spans_html(
+                _doc_html(str(doc_id), text, False), "https://files.example.org"
+            )
+            for pos, s in enumerate(spans):
+                rows["doc_id"].append(doc_id)
+                rows["pos"].append(pos)
+                rows["kind"].append(s.kind)
+                rows["text"].append(s.text)
+                rows["media_ref"].append(s.media_ref)
+                rows["offset"].append(s.offset)
+        yield pd.DataFrame(rows)
+
+
+def q_spans_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """The input_hint payload: interleaved text+media span extraction
+    (BASELINE.json; reference order semantics manual_link_extractor.py:62-71 +
+    pdf_scraper.py:21-24) via the engine's Arrow span parser, exploded flat."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", "text").mapInPandas(_spans_batches, _SPANS_FLAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deduplication suite over documents (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a canonicalized content key."""
+    docs = load(spark, sf, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)))
+    return docs.groupBy(key.alias("content_key")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+_SHINGLES = "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures over word-3-gram shingles (4 hash families via
+    seeded md5; lexicographic min — identical in DuckDB)."""
+    docs = load(spark, sf, "documents")
+    cols = [
+        F.expr(f"array_min(transform({_SHINGLES}, s -> md5(concat('{j}:', s))))").alias(f"mh{j}")
+        for j in range(4)
+    ]
+    return docs.filter(F.size(F.split("text", " ")) >= 3).select("doc_id", *cols)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over tokens: per-bit majority of md5-derived bits
+    (bit b = parity of hex char b of md5(token))."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.md5("tok"), b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b) for b in range(16)),
+        F.lit(0),
+    )
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring between consecutive doc pairs
+    (linear blocking; integer-exact milli-Jaccard)."""
+    docs = load(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.doc_id") + 1 == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"))
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+    )
+    return (
+        pairs.join(inter, "doc_a", "left")
+        .withColumn("inter_cnt", F.coalesce("inter_cnt", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            (F.col("na") + F.col("nb") - F.col("inter_cnt")).alias("union_cnt"),
+            F.floor(
+                1000.0 * F.col("inter_cnt") / (F.col("na") + F.col("nb") - F.col("inter_cnt"))
+            ).cast("long").alias("jac_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_Q = (
+    "aggregate(zip_with(embedding, qe, (x, y) -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_NORM_SQ = (
+    "aggregate(transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: integer-exact fixed-point dot
+    products (order-independent), deterministic tie-break by vec_id."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qe"))
+    pair = emb.crossJoin(F.broadcast(q))
+    scored = pair.select(
+        "vec_id",
+        F.expr(_DOT_Q).alias("dot"),
+        F.expr(_NORM_SQ.format(col="embedding")).alias("nv"),
+        F.expr(_NORM_SQ.format(col="qe")).alias("nq"),
+    ).select(
+        "vec_id",
+        F.floor(
+            1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
+        ).cast("long").alias("cos_milli"),
+    )
+    w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 10")
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH bucketing for scalable ANN: 8 random-hyperplane sign bits
+    (integer-exact dots); the scale path buckets then searches in-bucket."""
+    emb = load(spark, sf, "embeddings")
+    bit_exprs = []
+    for j, signs in enumerate(PLANES):
+        arr = ",".join(str(s) for s in signs)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), (x, s) -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(s AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** j} ELSE 0 END)")
+    bucket = " + ".join(bit_exprs)
+    return (
+        emb.select(F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + char stats (whitespace tokenizer)."""
+    docs = load(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.floor(1000.0 * F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tok)
+        .cast("long")
+        .alias("avg_tok_len_milli"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: stopword ratio + short-token ratio (length/punct
+    heuristics of a training-data filter)."""
+    docs = load(spark, sf, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tok = F.size(F.split("text", " "))
+    stop_cnt = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    short_cnt = F.expr("size(filter(split(text, ' '), t -> length(t) <= 2))")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("stop_cnt"),
+        F.floor(1000.0 * stop_cnt / n_tok).cast("long").alias("stop_milli"),
+        F.floor(1000.0 * short_cnt / n_tok).cast("long").alias("short_milli"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword hit counts with a
+    deterministic priority tie-break (en > de > fr > es)."""
+    docs = load(spark, sf, "documents")
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hits[lang] = F.expr(f"size(filter(split(text, ' '), t -> t IN ({lst})))")
+    guess = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: md5 content fingerprint + size bucket."""
+    docs = load(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 2).alias("fp_bucket"),
+        (F.floor(F.length("text") / 100) * 100).cast("long").alias("len_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_URL_CASE_DUCK = """CASE CAST(o_orderkey % 4 AS INT)
+  WHEN 0 THEN 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.org/o/' || CAST(o_orderkey AS VARCHAR) || '///'
+  WHEN 1 THEN 'http://insecure.example.org/o/' || CAST(o_orderkey AS VARCHAR)
+  WHEN 2 THEN 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.org/o/' || CAST(o_orderkey AS VARCHAR) || '#frag'
+  ELSE 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.org/o/' || CAST(o_orderkey AS VARCHAR)
+END"""
+
+_SHINGLES_DUCK = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])"
+)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+agg AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM agg"""
+
+
+def _lsh_sql() -> str:
+    bits = []
+    for j, signs in enumerate(PLANES):
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * ({arr}::BIGINT[])[i]))"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+SELECT CAST({bucket} AS BIGINT) AS bucket, count(*) AS n_vecs
+FROM embeddings GROUP BY 1"""
+
+
+_MINHASH_COLS_DUCK = ", ".join(
+    f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5('{j}:' || s))) AS mh{j}" for j in range(4)
+)
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _langid_sql() -> str:
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hit_cols.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS {lang}_hits"
+        )
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       WHEN fr_hits >= es_hits THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM h"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "semi_join_open_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+    "anti_join_no_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "first_per_group": """
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS first_price_cents
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1""",
+    "topk_per_group": """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+FROM orders
+QUALIFY rk <= 3""",
+    "keepfirst_dedup": """
+SELECT user_id, event_type, event_id AS first_event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1""",
+    "crawl_counters": """
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+FROM orders GROUP BY o_custkey""",
+    "concat_agg": """
+SELECT lang,
+       string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), '|' ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS doc_ids_concat,
+       count(*) AS n_docs
+FROM documents GROUP BY lang""",
+    "recent_topn": """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
+    "budget_limit": """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+FROM events QUALIFY rn <= 3""",
+    "events_tumbling": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+       count(*) AS n_events, sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2""",
+    "url_normalize": f"""
+SELECT o_orderkey, regexp_replace({_URL_CASE_DUCK}, '/+$', '') AS norm_url
+FROM orders WHERE CAST(o_orderkey % 4 AS INT) <> 1""",
+    "url_strip_fragment": f"""
+SELECT o_orderkey, regexp_replace({_URL_CASE_DUCK}, '#.*$', '') AS url_nofrag
+FROM orders WHERE CAST(o_orderkey % 4 AS INT) <> 1""",
+    "url_classify": """
+SELECT l_orderkey, l_linenumber,
+  CASE CAST(l_linenumber % 5 AS INT)
+    WHEN 0 THEN 'file' WHEN 1 THEN 'internal' WHEN 2 THEN 'external' ELSE 'internal' END AS category,
+  CASE CAST(l_linenumber % 5 AS INT)
+    WHEN 0 THEN 'https://base.example.org/files/f' || CAST(l_orderkey AS VARCHAR) || '.pdf'
+    WHEN 1 THEN 'https://base.example.org/p/' || CAST(l_orderkey AS VARCHAR)
+    WHEN 2 THEN 'https://other.example.net/x/' || CAST(l_orderkey AS VARCHAR)
+    ELSE 'https://base.example.org/rel/p' || CAST(l_orderkey AS VARCHAR) END AS url
+FROM lineitem WHERE CAST(l_linenumber % 5 AS INT) <> 4""",
+    "link_extract": """
+WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k FROM documents)
+SELECT doc_id, 'internal' AS category, 0 AS pos,
+       'https://h' || k || '.example.org/p' || CAST(doc_id AS VARCHAR) AS link FROM d
+UNION ALL SELECT doc_id, 'internal', 1, 'https://h' || k || '.example.org/rel/' || CAST(doc_id AS VARCHAR) FROM d
+UNION ALL SELECT doc_id, 'external', 0, 'https://ext.example.net/e' || CAST(doc_id AS VARCHAR) FROM d
+UNION ALL SELECT doc_id, 'file', 0, 'https://h' || k || '.example.org/f' || CAST(doc_id AS VARCHAR) || '.pdf' FROM d""",
+    "spans_parse": """
+SELECT doc_id, 0 AS pos, 'text' AS kind,
+       trim(regexp_replace(text, ' +', ' ', 'g')) AS text, '' AS media_ref, 0 AS "offset"
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'media', '',
+       'https://files.example.org/d' || CAST(doc_id AS VARCHAR) || '.pdf',
+       CAST(length(text) + 7 AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, 2, 'text', 'tail' || CAST(doc_id AS VARCHAR), '', CAST(length(text) + 7 AS INT)
+FROM documents""",
+    "dedup_exact": """
+SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS content_key,
+       count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1""",
+    "dedup_minhash": f"""
+SELECT doc_id, {_MINHASH_COLS_DUCK}
+FROM documents WHERE len(string_split(text, ' ')) >= 3""",
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n_sh AS na, y.n_sh AS nb
+  FROM sizes x JOIN sizes y ON x.doc_id + 1 = y.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, count(*) AS inter_cnt
+  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id AND a.s = b.s
+  GROUP BY 1
+)
+SELECT p.doc_a, p.doc_b, coalesce(i.inter_cnt, 0) AS inter_cnt,
+       p.na + p.nb - coalesce(i.inter_cnt, 0) AS union_cnt,
+       CAST(floor(1000.0 * coalesce(i.inter_cnt, 0) / (p.na + p.nb - coalesce(i.inter_cnt, 0))) AS BIGINT) AS jac_milli
+FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a""",
+    "cosine_topk": f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1
+),
+scored AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS nv,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS nq
+  FROM embeddings, q
+)
+SELECT vec_id,
+       CAST(floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) AS BIGINT) AS cos_milli,
+       CAST(row_number() OVER (ORDER BY floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) DESC, vec_id ASC) AS INT) AS rk
+FROM scored QUALIFY rk <= 10""",
+    "ann_lsh_buckets": _lsh_sql(),
+    "text_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST(floor(1000.0 * length(replace(text, ' ', '')) / len(string_split(text, ' '))) AS BIGINT) AS avg_tok_len_milli
+FROM documents""",
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS stop_cnt,
+         len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS short_cnt
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(stop_cnt AS INT) AS stop_cnt,
+       CAST(floor(1000.0 * stop_cnt / n_tokens) AS BIGINT) AS stop_milli,
+       CAST(floor(1000.0 * short_cnt / n_tokens) AS BIGINT) AS short_milli
+FROM t""",
+    "text_langid": _langid_sql(),
+    "fingerprint": """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+       substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 2) AS fp_bucket,
+       CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket
+FROM documents""",
+}
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semi_join_open_orders": q_semi_join_open_orders,
+    "anti_join_no_orders": q_anti_join_no_orders,
+    "first_per_group": q_first_per_group,
+    "topk_per_group": q_topk_per_group,
+    "keepfirst_dedup": q_keepfirst_dedup,
+    "crawl_counters": q_crawl_counters,
+    "concat_agg": q_concat_agg,
+    "recent_topn": q_recent_topn,
+    "budget_limit": q_budget_limit,
+    "events_tumbling": q_events_tumbling,
+    "url_normalize": q_url_normalize,
+    "url_strip_fragment": q_url_strip_fragment,
+    "url_classify": q_url_classify,
+    "link_extract": q_link_extract,
+    "spans_parse": q_spans_parse,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "fingerprint": q_fingerprint,
+}
