@@ -1,0 +1,154 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-rule headline metric — frontier drain throughput (URLs
+scheduled+deduped/sec) over a synthetic Zipf-skewed frontier.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "frontier_rows": N,
+   "frontier_urls_per_sec": X, "cores": C}
+
+The synthetic frontier is derived purely from row ids (xxhash64-based
+log-uniform host skew), so the SAME input is produced at any
+parallelism — required for the N-vs-4N scaling-efficiency evidence
+(tools/scaling.py runs this drain at local[8] and local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+HEADLINE = [
+    "spans_parse",
+    "link_extract",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "text_quality",
+    "topk_per_group",
+    "semi_join_open_orders",
+    "crawl_counters",
+    "events_tumbling",
+]
+
+N_HOSTS = 10_000
+SEEN_EVERY = 3  # every 3rd URL is already seen
+
+
+def make_frontier(spark: SparkSession, n_rows: int):
+    """Deterministic Zipf-ish frontier: host = log-uniform in [0, N_HOSTS)
+    (density ~ 1/rank), plus 10% of rows on one mega-host to exercise
+    salting. Pure function of the row id — partitioning-independent."""
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0)
+    host_id = F.when(
+        F.pmod(F.col("id"), F.lit(10)) == 0, F.lit(0)
+    ).otherwise(F.floor(F.exp(F.log(F.lit(float(N_HOSTS))) * u)).cast("int"))
+    return (
+        spark.range(n_rows)
+        .select(
+            F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.org")).alias("host"),
+            F.col("id").alias("seq"),
+            F.pmod(F.col("id"), F.lit(10)).cast("int").alias("priority"),
+            F.concat(
+                F.lit("https://h"), host_id.cast("string"), F.lit(".example.org/p/"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+
+
+def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) -> dict:
+    from crawler_spark.operators.politeness import broadcast_robots, host_quotas
+    from crawler_spark.operators.scheduler import build_bloom, drain_ordered, schedule_batch
+
+    frontier = make_frontier(spark, n_rows)
+    seen = frontier.filter(F.pmod("seq", F.lit(SEEN_EVERY)) == 0).select("url")
+    robots_rows = [
+        (f"h{i}.example.org", ["/private", "/login"], 100 if i % 2 else 0)
+        for i in range(50)
+    ]
+    robots_df = spark.createDataFrame(
+        robots_rows, "host string, disallow_prefixes array<string>, crawl_delay_ms int"
+    )
+    robots_b = broadcast_robots(spark, robots_df)
+    quotas = host_quotas(spark, robots_b, default_k=default_k)
+
+    t0 = time.monotonic()
+    bloom = build_bloom(seen).persist()
+    bloom.count()
+    t_bloom = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    scheduled = schedule_batch(
+        frontier,
+        seen=seen,
+        bloom=bloom,
+        robots_bcast=robots_b,
+        quotas=quotas,
+        default_k=default_k,
+        salt_span=250,
+    )
+    drained = drain_ordered(scheduled, n_partitions=spark.sparkContext.defaultParallelism * 2)
+    n_scheduled = drained.count()
+    t_drain = time.monotonic() - t1
+    bloom.unpersist()
+    return {
+        "frontier_rows": n_rows,
+        "n_scheduled": n_scheduled,
+        "bloom_build_sec": round(t_bloom, 2),
+        "drain_sec": round(t_drain, 2),
+        "urls_per_sec": round(n_rows / t_drain, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "2000000"))
+
+    from crawler_spark.queries import SPARK_QUERIES
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("crawler_spark_bench", cores=cpus)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    drain = run_frontier_drain(spark, n_rows)
+    queries["frontier_drain"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "frontier drain throughput (URLs scheduled+deduped/sec) + headline query latencies",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": int(cpus) if str(cpus).isdigit() else cpus,
+        **drain,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

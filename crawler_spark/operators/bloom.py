@@ -1,0 +1,113 @@
+"""Partitioned Bloom URL-seen prefilter (SURVEY.md §4.2 item 1).
+
+The reference's URL-seen is an exact in-memory ``set``
+(/root/reference/backend/domain/entities.py:153); at 10^10-frontier scale
+the engine splits membership into (a) this Bloom prefilter — per-partition
+bit-array blobs stored as a state table, co-partitioned with the frontier
+by ``pmod(xxhash64(url), P)`` — and (b) an exact anti-join against the
+seen table for the maybe-seen fraction only. Bloom has no false negatives,
+so rows it clears are *definitely new* and skip the exact join entirely;
+URL-seen membership stays exact, as the north rule requires.
+
+Hashing is JVM-side (``F.xxhash64`` twice with different seed columns);
+Python only ORs numpy bitmaps inside Arrow batches — no per-row Python.
+
+Scale math (design point): 10^10 URLs at 1% fpp ≈ 12 GiB of bitmap total,
+sharded across P=4096 partitions ≈ 3 MiB per blob — each executor probes
+only its partition's blob; nothing is driver-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["add_bloom_keys", "build_bloom", "bloom_prefilter", "K_PROBES"]
+
+K_PROBES = 5
+
+
+def add_bloom_keys(df: DataFrame, url_col: str = "url", n_parts: int = 64) -> DataFrame:
+    """JVM-side keys: partition id + two independent 64-bit hashes
+    (double-hashing h1 + i*h2 generates the k probe positions)."""
+    return (
+        df.withColumn("h1", F.xxhash64(url_col))
+        .withColumn("h2", F.xxhash64(url_col, F.lit(1)))
+        .withColumn("bloom_part", F.pmod(F.xxhash64(url_col, F.lit(2)), F.lit(n_parts)).cast("int"))
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> Iterator[np.ndarray]:
+    h1u = h1.astype(np.uint64)
+    h2u = h2.astype(np.uint64) | np.uint64(1)  # odd => full-cycle stride
+    for i in range(K_PROBES):
+        yield ((h1u + np.uint64(i) * h2u) % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom(seen: DataFrame, n_parts: int = 64, m_bits_per_part: int = 1 << 22) -> DataFrame:
+    """Build per-partition Bloom blobs from the seen table.
+    Returns (bloom_part:int, blob:binary). Stored as a state table and
+    rebuilt incrementally by OR-ing each batch's new URLs into its blob."""
+    keyed = add_bloom_keys(seen)
+    if "bloom_part" not in seen.columns:
+        keyed = add_bloom_keys(seen, n_parts=n_parts)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits_per_part // 8, dtype=np.uint8)
+        h1 = pdf["h1"].to_numpy()
+        h2 = pdf["h2"].to_numpy()
+        for pos in _positions(h1, h2, m_bits_per_part):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bloom_part": [int(pdf["bloom_part"].iloc[0])], "blob": [bits.tobytes()]})
+
+    return (
+        keyed.select("bloom_part", "h1", "h2")
+        .groupBy("bloom_part")
+        .applyInPandas(_build, "bloom_part int, blob binary")
+    )
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    n_parts: int = 64,
+    m_bits_per_part: int = 1 << 22,
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen``. Co-grouped by bloom_part so each
+    task probes exactly one blob (no broadcast of the full filter).
+    maybe_seen=false is authoritative (no false negatives)."""
+    keyed = add_bloom_keys(candidates, n_parts=n_parts)
+
+    def _probe(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if not len(cands):
+            out = cands.drop(columns=["h1", "h2"])
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        bits = (
+            np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint8)
+            if len(blobs)
+            else np.zeros(m_bits_per_part // 8, dtype=np.uint8)
+        )
+        h1 = cands["h1"].to_numpy()
+        h2 = cands["h2"].to_numpy()
+        maybe = np.ones(len(cands), dtype=bool)
+        for pos in _positions(h1, h2, m_bits_per_part):
+            maybe &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        out = cands.drop(columns=["h1", "h2"])
+        out["maybe_seen"] = maybe
+        return out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in keyed.drop("h1", "h2").schema.fields
+    ) + ", maybe_seen boolean"
+    return (
+        keyed.groupBy("bloom_part")
+        .cogroup(bloom.groupBy("bloom_part"))
+        .applyInPandas(_probe, out_schema)
+        .drop("bloom_part")
+    )

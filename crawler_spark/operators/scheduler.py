@@ -1,0 +1,119 @@
+"""The scale-path frontier scheduler (SURVEY.md §7.2 M4, Axis A).
+
+``frontier.CrawlEngine`` is the reference-parity drain (one pop per source
+per batch — exact loop equality). This module is the 10^10-frontier path
+the north rule benchmarks: schedule+dedup a micro-batch from a massive
+Zipf-skewed frontier.
+
+Pipeline per micro-batch:
+1. politeness — robots disallow (broadcast trie UDF) + per-host crawl-delay
+   quotas (broadcast-joined tiny table);
+2. dedup — partitioned Bloom prefilter (no false negatives) routes only the
+   maybe-seen fraction through the exact ``left_anti`` vs the seen table;
+3. priority drain — ``row_number`` over (host ordered by priority, seq)
+   capped at the host's quota: the single most load-bearing window;
+4. hot-host salting — a drained host's rows are split into seq-contiguous
+   subgroups of ``salt_span`` rows (order preserved inside each subgroup,
+   subgroup id monotone in seq, so concatenating salted groups in salt
+   order reproduces the per-host FIFO exactly);
+5. per-host ordered fetch — ``groupBy(host, salt).applyInPandas`` sorts by
+   (priority, seq) inside the group and emits ``fetch_order``: Spark
+   guarantees the whole group in one pane; order is enforced inside.
+
+Shuffle accounting (design point at 1000 executors): steps 1-2 are
+narrow + one co-partitioned cogroup; step 3 is ONE shuffle on host; the
+salted repartition reuses the same key family so AQE can coalesce. The
+seen table and bloom blobs are both partitioned by ``xxhash64(url)``
+families, so batch-over-batch the exact anti-join is co-located.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bloom import bloom_prefilter, build_bloom
+from .politeness import robots_filter
+
+__all__ = ["schedule_batch", "drain_ordered", "build_bloom"]
+
+
+def schedule_batch(
+    frontier: DataFrame,
+    seen: DataFrame | None = None,
+    bloom: DataFrame | None = None,
+    robots_bcast=None,
+    quotas: DataFrame | None = None,
+    default_k: int = 100,
+    salt_span: int = 1000,
+    n_bloom_parts: int = 64,
+) -> DataFrame:
+    """Select this micro-batch's fetch set from the frontier.
+
+    frontier: (url, url_hash, host, priority, seq, ...).
+    Returns the scheduled rows + (rank, salt) — per-host order preserved:
+    rank is the host-FIFO position, salt = (rank-1) // salt_span.
+    """
+    cand = frontier
+
+    # 1. politeness
+    if robots_bcast is not None:
+        cand = robots_filter(cand, robots_bcast)
+
+    # 2. dedup: bloom prefilter -> exact anti-join on the maybe-seen slice
+    if bloom is not None and seen is not None:
+        tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts)
+        definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
+        cand = definitely_new.unionByName(confirmed_new)
+    elif seen is not None:
+        cand = cand.join(seen.select("url"), "url", "left_anti")
+
+    # 3. per-host priority top-K (quota-aware)
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    if quotas is not None:
+        ranked = ranked.join(F.broadcast(quotas), "host", "left").withColumn(
+            "quota", F.coalesce("quota", F.lit(default_k))
+        )
+        ranked = ranked.filter(F.col("rank") <= F.col("quota")).drop("quota")
+    else:
+        ranked = ranked.filter(F.col("rank") <= default_k)
+
+    # 4. hot-host salting: seq-contiguous subgroups
+    return ranked.withColumn("salt", ((F.col("rank") - 1) / salt_span).cast("int"))
+
+
+_DRAIN_SUFFIX = ", fetch_order int, content_hash long"
+
+
+def drain_ordered(scheduled: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Per-host ordered fetch stage: groupBy(host, salt).applyInPandas.
+
+    Sorts each (host, salt) group by (priority, seq) and assigns
+    fetch_order — the position at which a sequential per-host fetcher would
+    issue the request. The ``content_hash`` stands in for the fetch+parse
+    work in the bench (the real engine joins vs web_graph / HTTP here).
+    repartitions by xxhash64(host)+salt range first so hot hosts spread.
+    """
+    cols = scheduled.columns
+
+    def _drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
+        pdf["fetch_order"] = pdf.index.astype("int32")
+        # cheap deterministic stand-in for fetch+parse (vectorized)
+        pdf["content_hash"] = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
+        return pdf
+
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scheduled.schema.fields)
+        + _DRAIN_SUFFIX
+    )
+    df = scheduled
+    if n_partitions:
+        df = df.repartitionByRange(n_partitions, F.xxhash64("host"), F.col("salt"))
+    return df.groupBy("host", "salt").applyInPandas(_drain, schema)
