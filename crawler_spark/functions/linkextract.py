@@ -76,15 +76,21 @@ def _is_excluded(url: str) -> bool:
 def _is_file_url(url: str) -> bool:
     from urllib.parse import urlparse
 
-    path = urlparse(url.lower()).path
+    try:
+        path = urlparse(url.lower()).path
+    except ValueError:
+        return False
     return any(path.endswith(ext) for ext in FILE_EXTENSIONS)
 
 
 def _is_internal(url: str, base_url: str) -> bool:
     from urllib.parse import urlparse
 
-    netloc = urlparse(url).netloc
-    return (not netloc) or netloc == urlparse(base_url).netloc
+    try:
+        netloc = urlparse(url).netloc
+        return (not netloc) or netloc == urlparse(base_url).netloc
+    except ValueError:
+        return False
 
 
 def classify_href(href: str, base_url: str) -> tuple[str | None, str | None]:

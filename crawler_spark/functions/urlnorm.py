@@ -42,15 +42,23 @@ def normalize_url(url: str | None) -> str | None:
 
 
 def strip_fragment(url: str) -> str:
-    """Drop the fragment exactly the way the reference does (via urlparse)."""
-    p = urlparse(url)
-    return urlunparse((p.scheme, p.netloc, p.path, p.params, p.query, ""))
+    """Drop the fragment exactly the way the reference does (via urlparse).
+    Unparseable URLs (bad port / IPv6 bracket garbage) pass through with a
+    plain '#'-split — fail-closed, never raise in an executor."""
+    try:
+        p = urlparse(url)
+        return urlunparse((p.scheme, p.netloc, p.path, p.params, p.query, ""))
+    except ValueError:
+        return url.split("#", 1)[0]
 
 
 def resolve(base_url: str, href: str) -> str:
     """Relative->absolute resolution (urljoin), as the reference applies it
     to hrefs that do not start with http:// or https://."""
-    return urljoin(base_url, href)
+    try:
+        return urljoin(base_url, href)
+    except ValueError:
+        return href
 
 
 def url_type(url: str) -> str:
@@ -59,7 +67,10 @@ def url_type(url: str) -> str:
 
 
 def host_of(url: str) -> str:
-    return urlparse(url).netloc
+    try:
+        return urlparse(url).netloc
+    except ValueError:
+        return ""
 
 
 _DEFAULT_PORTS = {"https": "443", "http": "80"}
@@ -77,10 +88,13 @@ def canonicalize_rfc3986(url: str | None) -> str | None:
     base = normalize_url(url)
     if base is None:
         return None
-    p = urlparse(base)
-    scheme = p.scheme.lower()
-    host = p.hostname.lower() if p.hostname else ""
-    port = p.port
+    try:
+        p = urlparse(base)
+        scheme = p.scheme.lower()
+        host = p.hostname.lower() if p.hostname else ""
+        port = p.port
+    except ValueError:
+        return None  # bad port / IPv6 garbage: invalid, never raise
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

@@ -48,20 +48,30 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> Iterator[np.ndarr
         yield ((h1u + np.uint64(i) * h2u) % np.uint64(m_bits)).astype(np.int64)
 
 
+def set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m_bits: int) -> None:
+    """OR the k probe positions of (h1,h2) into the bitmap (uint8 array)."""
+    for pos in _positions(h1, h2, m_bits):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+
+def probe_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized membership probe; True = maybe present (never a false
+    negative for keys previously set with set_bits)."""
+    maybe = np.ones(len(h1), dtype=bool)
+    for pos in _positions(h1, h2, m_bits):
+        maybe &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+    return maybe
+
+
 def build_bloom(seen: DataFrame, n_parts: int = 64, m_bits_per_part: int = 1 << 22) -> DataFrame:
     """Build per-partition Bloom blobs from the seen table.
     Returns (bloom_part:int, blob:binary). Stored as a state table and
     rebuilt incrementally by OR-ing each batch's new URLs into its blob."""
-    keyed = add_bloom_keys(seen)
-    if "bloom_part" not in seen.columns:
-        keyed = add_bloom_keys(seen, n_parts=n_parts)
+    keyed = add_bloom_keys(seen, n_parts=n_parts)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits_per_part // 8, dtype=np.uint8)
-        h1 = pdf["h1"].to_numpy()
-        h2 = pdf["h2"].to_numpy()
-        for pos in _positions(h1, h2, m_bits_per_part):
-            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        set_bits(bits, pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), m_bits_per_part)
         return pd.DataFrame({"bloom_part": [int(pdf["bloom_part"].iloc[0])], "blob": [bits.tobytes()]})
 
     return (
@@ -75,30 +85,24 @@ def bloom_prefilter(
     candidates: DataFrame,
     bloom: DataFrame,
     n_parts: int = 64,
-    m_bits_per_part: int = 1 << 22,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``. Co-grouped by bloom_part so each
-    task probes exactly one blob (no broadcast of the full filter).
-    maybe_seen=false is authoritative (no false negatives)."""
+    task probes exactly one blob (no broadcast of the full filter); the
+    bitmap width is carried by the blob itself (m_bits = 8 * len(blob)).
+    maybe_seen=false is authoritative (no false negatives). n_parts MUST
+    match the value the bloom was built with."""
     keyed = add_bloom_keys(candidates, n_parts=n_parts)
 
     def _probe(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
-        if not len(cands):
-            out = cands.drop(columns=["h1", "h2"])
-            out["maybe_seen"] = pd.Series([], dtype=bool)
-            return out
-        bits = (
-            np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint8)
-            if len(blobs)
-            else np.zeros(m_bits_per_part // 8, dtype=np.uint8)
-        )
-        h1 = cands["h1"].to_numpy()
-        h2 = cands["h2"].to_numpy()
-        maybe = np.ones(len(cands), dtype=bool)
-        for pos in _positions(h1, h2, m_bits_per_part):
-            maybe &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
         out = cands.drop(columns=["h1", "h2"])
-        out["maybe_seen"] = maybe
+        if not len(cands) or not len(blobs):
+            # no blob => nothing seen in this partition
+            out["maybe_seen"] = pd.Series([False] * len(cands), dtype=bool)
+            return out
+        bits = np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint8)
+        out["maybe_seen"] = probe_bits(
+            bits, cands["h1"].to_numpy(), cands["h2"].to_numpy(), len(bits) * 8
+        )
         return out
 
     out_schema = ", ".join(

@@ -91,16 +91,17 @@ def schedule_batch(
 _DRAIN_SUFFIX = ", fetch_order int, content_hash long"
 
 
-def drain_ordered(scheduled: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def drain_ordered(scheduled: DataFrame) -> DataFrame:
     """Per-host ordered fetch stage: groupBy(host, salt).applyInPandas.
 
     Sorts each (host, salt) group by (priority, seq) and assigns
     fetch_order — the position at which a sequential per-host fetcher would
     issue the request. The ``content_hash`` stands in for the fetch+parse
     work in the bench (the real engine joins vs web_graph / HTTP here).
-    repartitions by xxhash64(host)+salt range first so hot hosts spread.
+    groupBy(host, salt) hash-partitions on BOTH keys, so a hot host's
+    salted subgroups land on different executors — no extra repartition
+    needed; AQE sizes the shuffle.
     """
-    cols = scheduled.columns
 
     def _drain(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
@@ -113,7 +114,4 @@ def drain_ordered(scheduled: DataFrame, n_partitions: int | None = None) -> Data
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scheduled.schema.fields)
         + _DRAIN_SUFFIX
     )
-    df = scheduled
-    if n_partitions:
-        df = df.repartitionByRange(n_partitions, F.xxhash64("host"), F.col("salt"))
-    return df.groupBy("host", "salt").applyInPandas(_drain, schema)
+    return scheduled.groupBy("host", "salt").applyInPandas(_drain, schema)

@@ -93,25 +93,13 @@ def test_engine_matches_oracle_many_hosts(spark, tmp_path):
 
 def test_external_links_keepfirst_dedup(spark, tmp_path):
     """Summarize-stage global keep-first external-link dedup (A5,
-    entities.py:248-261) as a DataFrame view over page_links."""
-    from pyspark.sql import Window
+    entities.py:248-261) via the views module."""
+    from crawler_spark.views import external_links_keepfirst
 
     g, oracle_out, eng = _run_both(spark, tmp_path, "lexmin")
-    pl = eng.page_links().filter(F.col("category") == "external")
-    first_touch = (
-        eng.crawl_log()
-        .groupBy("source_url", "url")
-        .agg(F.min("seq").alias("first_seq"))
-    )
-    ordered = pl.join(first_touch, ["source_url", "url"]).select(
-        "source_url", "link",
-        F.struct("first_seq", "seq", "pos").alias("ord"),
-    )
-    w = Window.partitionBy("source_url", "link").orderBy("ord")
     dedup = (
-        ordered.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .orderBy("source_url", "ord")
+        external_links_keepfirst(eng.crawl_log(), eng.page_links())
+        .orderBy("source_url", "first_seq", "seq", "pos")
         .collect()
     )
     engine_ext: dict[str, list[str]] = {}

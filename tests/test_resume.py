@@ -1,0 +1,96 @@
+"""Resume + snapshot-store semantics (SURVEY.md §5.3 item 4; maps the
+reference's acks_late redelivery + idempotence guard,
+/root/reference/backend/tasks/crawl.py:7, backend/service/services.py:291-292).
+"""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.fixtures import make_web_graph, web_graph_rows
+from crawler_spark.operators.frontier import CrawlEngine
+from crawler_spark.schemas import WEB_GRAPH
+
+
+def _collect_state(eng):
+    log = sorted(
+        (r.source_url, r.seq, r.url, r.ok) for r in eng.crawl_log().collect()
+    )
+    seen = sorted((r.source_url, r.url) for r in eng.url_seen().collect())
+    st = sorted(
+        (r.source_url, r.pages_crawled, r.total_pages_found)
+        for r in eng.source_state().collect()
+    )
+    return log, seen, st
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
+    g = make_web_graph(n_hosts=2, pages_per_host=10, seed=5, max_pages=4)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+
+    full = CrawlEngine(spark, web_df, str(tmp_path / "full"), policy="lexmin")
+    full.run(seeds=g.seeds)
+
+    # "killed" run: stop after 2 batches, then a FRESH engine resumes
+    part = CrawlEngine(spark, web_df, str(tmp_path / "part"), policy="lexmin")
+    part.init_state(g.seeds)
+    part.step(1)
+    part.step(2)
+    resumed = CrawlEngine(spark, web_df, str(tmp_path / "part"), policy="lexmin")
+    resumed.run()  # no seeds: resumes from HEAD
+
+    assert _collect_state(resumed) == _collect_state(full)
+
+
+def test_recommit_same_batch_is_noop(spark, tmp_path):
+    g = make_web_graph(n_hosts=1, pages_per_host=6, seed=3, max_pages=2)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "s"), policy="lexmin")
+    eng.init_state(g.seeds)
+    eng.step(1)
+    head = eng.store.head()
+    # redelivery of the same batch: commit with HEAD's batch_id is a no-op
+    man = eng.store.commit(
+        batch_id=head.batch_id,
+        full_tables={"frontier": eng.store.read("frontier")},
+        metrics={"event": "dup"},
+    )
+    assert man.snapshot_id == head.snapshot_id
+    assert eng.store.head().snapshot_id == head.snapshot_id
+
+
+def test_time_travel_reads_parent_snapshot(spark, tmp_path):
+    g = make_web_graph(n_hosts=1, pages_per_host=8, seed=9, max_pages=3)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "tt"), policy="lexmin")
+    eng.run(seeds=g.seeds)
+    hist = eng.store.history()
+    assert len(hist) >= 3
+    # lineage: parent chain is contiguous
+    for parent, child in zip(hist, hist[1:]):
+        assert child.parent_id == parent.snapshot_id
+    # docs at snapshot k is a prefix of docs at HEAD
+    mid = hist[2]
+    docs_mid = eng.store.read("docs", snapshot_id=mid.snapshot_id)
+    n_mid = docs_mid.count() if docs_mid is not None else 0
+    assert n_mid <= eng.docs().count()
+    assert mid.tables["docs"]["rows"] == n_mid
+    # metrics recorded per batch
+    assert all("popped" in m.metrics for m in hist[1:])
+
+
+def test_crash_during_commit_leaves_head_intact(spark, tmp_path):
+    """A commit that fails mid-write must not move HEAD (atomicity)."""
+    g = make_web_graph(n_hosts=1, pages_per_host=6, seed=4, max_pages=2)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "cr"), policy="lexmin")
+    eng.init_state(g.seeds)
+    head = eng.store.head()
+    bad = web_df.select(F.col("url").alias("boom"), F.expr("assert_true(false)").alias("x"))
+    try:
+        eng.store.commit(batch_id=99, full_tables={"frontier": bad})
+        raise AssertionError("commit should have failed")
+    except Exception:
+        pass
+    assert eng.store.head().snapshot_id == head.snapshot_id
+    # and the engine still resumes cleanly
+    eng2 = CrawlEngine(spark, web_df, str(tmp_path / "cr"), policy="lexmin")
+    assert eng2.run() >= 1

@@ -1,0 +1,89 @@
+"""Query-surface view parity (SURVEY.md M6, J5-J8 / A4 / A6) against the
+oracle on a shared small crawl."""
+
+import pytest
+
+from crawler_spark.fixtures import make_web_graph, web_graph_rows
+from crawler_spark.operators.frontier import CrawlEngine
+from crawler_spark.oracle import crawl_many, make_policy
+from crawler_spark.schemas import WEB_GRAPH
+from crawler_spark.views import (
+    crawled_sources,
+    discovered_sources,
+    failed_job_sources,
+    in_progress_sources,
+    source_listing,
+    source_page_summaries,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    g = make_web_graph(n_hosts=4, pages_per_host=10, seed=21, max_pages=4)
+    oracle_out = crawl_many(g.seeds, g.web, make_policy("lexmin"))
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path_factory.mktemp("views")), policy="lexmin")
+    eng.run(seeds=g.seeds)
+    return g, oracle_out, eng
+
+
+def test_failed_job_sources(crawl):
+    g, oracle_out, eng = crawl
+    expected = {sc.source_url for sc in oracle_out if any(not r.ok for r in sc.records)}
+    got = {r.source_url for r in failed_job_sources(eng.source_state(), eng.crawl_log()).collect()}
+    assert got == expected
+
+
+def test_crawled_and_in_progress_partition_sources(crawl):
+    g, oracle_out, eng = crawl
+    st = eng.source_state()
+    done = {r.source_url for r in crawled_sources(st, eng.crawl_log()).collect()}
+    pending = {r.source_url for r in in_progress_sources(st).collect()}
+    exhausted = {sc.source_url for sc in oracle_out if sc.pages_crawled >= sc.max_pages}
+    assert exhausted <= done
+    assert pending == {sc.source_url for sc in oracle_out if sc.pages_crawled < sc.max_pages}
+
+
+def test_discovered_sources_anti_join(crawl, spark):
+    g, oracle_out, eng = crawl
+    # add an extra never-crawled source row to the state table
+    extra = spark.createDataFrame(
+        [("https://never.example.org", "never.example.org", 3, 0, 1, 1)],
+        eng.source_state().schema,
+    )
+    st = eng.source_state().unionByName(extra)
+    got = {r.source_url for r in discovered_sources(st, eng.crawl_log()).collect()}
+    assert got == {"https://never.example.org"}
+
+
+def test_source_page_summaries_first_per_page(crawl):
+    g, oracle_out, eng = crawl
+    rows = {
+        r.source_url: r
+        for r in source_page_summaries(eng.docs(), strip_markdown=False).collect()
+    }
+    for sc in oracle_out:
+        ok_pages = [rec for rec in sc.records if rec.ok]
+        if not ok_pages:
+            assert sc.source_url not in rows
+            continue
+        # first text span per page, in crawl order
+        expected = "\n\n".join(
+            next((s.text for s in rec.spans if s.kind == "text"), None) or ""
+            for rec in ok_pages
+        )
+        assert rows[sc.source_url].page_summaries == expected
+        assert rows[sc.source_url].n_pages == len(ok_pages)
+
+
+def test_source_listing_first_doc(crawl):
+    g, oracle_out, eng = crawl
+    rows = {r.source_url: r for r in source_listing(eng.source_state(), eng.docs()).collect()}
+    for sc in oracle_out:
+        row = rows[sc.source_url]
+        assert row.pages_crawled == sc.pages_crawled
+        assert row.total_pages_found == sc.total_pages_found
+        first_ok = next((r for r in sc.records if r.ok), None)
+        if first_ok is not None:
+            first_text = next((s.text for s in first_ok.spans if s.kind == "text"), None)
+            assert row.first_summary == first_text
