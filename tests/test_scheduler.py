@@ -121,3 +121,15 @@ def test_drain_ordered_per_host_fifo(spark):
         # salt is contiguous in rank
         for r in rs:
             assert r.salt == (r.rank - 1) // 6
+
+
+def test_drain_bucketed_equals_per_host(spark):
+    rows = []
+    for h in range(12):
+        for i in range(15):
+            rows.append((f"https://b{h}.org/p/{i}", f"b{h}.org", i % 2, h * 100 + i))
+    frontier = _frontier_df(spark, rows)
+    sched = schedule_batch(frontier, default_k=15, salt_span=4)
+    per_host = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched).collect()}
+    bucketed = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched, n_buckets=3).collect()}
+    assert per_host == bucketed
