@@ -67,12 +67,45 @@ def make_frontier(spark: SparkSession, n_rows: int):
     )
 
 
+def synth_fetch(url: str) -> str:
+    """Deterministic stand-in for the HTTP fetch: a realistic ~6 KB page
+    derived purely from the URL (15 internal/external/file links amid
+    paragraph text), so the parse stage does real work at real page size."""
+    tail = url.rsplit("/", 1)[-1]
+    doc_id = int("".join(c for c in tail if c.isdigit()) or "0")
+    host = url.split("/")[2]
+    words = ("data web crawl spark frontier queue host link page index archive "
+             "report dataset analysis summary figure quote fact study survey").split()
+    para = " ".join(words[(doc_id + k) % len(words)] for k in range(90))
+    parts = [f"<html><head><title>{tail}</title></head><body><h1>doc {doc_id}</h1>"]
+    for j in range(15):
+        t = (doc_id * 31 + j * 7) % 100_000
+        if j % 5 == 4:
+            href = f"https://ext{t % 13}.example.net/r/{t}"
+        elif j % 7 == 6:
+            href = f"/files/f{t}.pdf"
+        else:
+            href = f"/p/{t}"
+        parts.append(f'<a href="{href}">link {j}</a><p>{para[: 300 + (t % 100)]}</p>')
+    parts.append('<a href="#">top</a><a href="mailto:x@y.z">m</a></body></html>')
+    return "".join(parts)
+
+
 def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) -> dict:
     from crawler_spark.operators.politeness import broadcast_robots, host_quotas
-    from crawler_spark.operators.scheduler import build_bloom, drain_ordered, schedule_batch
+    from crawler_spark.operators.scheduler import (
+        build_bloom,
+        drain_ordered,
+        fetch_parse_digest,
+        schedule_batch,
+    )
 
-    frontier = make_frontier(spark, n_rows)
-    seen = frontier.filter(F.pmod("seq", F.lit(SEEN_EVERY)) == 0).select("url")
+    # materialize inputs once — the drain measures scheduling work, not
+    # synthetic-frontier regeneration (which a forked plan would repeat)
+    frontier = make_frontier(spark, n_rows).persist()
+    frontier.count()
+    seen = frontier.filter(F.pmod("seq", F.lit(SEEN_EVERY)) == 0).select("url").persist()
+    seen.count()
     robots_rows = [
         (f"h{i}.example.org", ["/private", "/login"], 100 if i % 2 else 0)
         for i in range(50)
@@ -98,16 +131,35 @@ def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) 
         default_k=default_k,
         salt_span=250,
     )
-    drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4)
+    drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4).persist()
     n_scheduled = drained.count()
     t_drain = time.monotonic() - t1
-    bloom.unpersist()
+
+    # fetch+parse the drained batch: the engine's real span/link extraction
+    # over realistic synthesized payloads (the compute that dominates an
+    # actual crawl; only digests are materialized here)
+    t2 = time.monotonic()
+    parsed = fetch_parse_digest(drained, synth_fetch)
+    agg = parsed.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_internal").alias("links"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    t_parse = time.monotonic() - t2
+
+    for df in (bloom, frontier, seen, drained):
+        df.unpersist()
     return {
         "frontier_rows": n_rows,
         "n_scheduled": n_scheduled,
         "bloom_build_sec": round(t_bloom, 2),
         "drain_sec": round(t_drain, 2),
         "urls_per_sec": round(n_rows / t_drain, 1),
+        "parse_sec": round(t_parse, 2),
+        "parsed_docs_per_sec": round(n_scheduled / t_parse, 1),
+        "links_extracted": int(agg.links),
+        "spans_built": int(agg.spans),
+        "e2e_urls_per_sec": round(n_rows / (t_drain + t_parse), 1),
     }
 
 

@@ -73,12 +73,30 @@ class CrawlEngine:
         state_dir: str,
         policy: str = "lexmin",
         broadcast_web: bool = True,
+        robots: DataFrame | None = None,
     ):
+        """robots: optional (host, disallow_prefixes, crawl_delay_ms) rules
+        table (FIXTURES.md §3). The reference has no robots handling
+        (SURVEY.md §0 — README claim only); when given, the engine drops
+        disallowed URLs at enqueue time (and disallowed seeds at init), so
+        reference-parity runs simply omit it."""
         self.spark = spark
         self.web_graph = web_graph
         self.store = SnapshotParquetStore(spark, state_dir)
         self.policy_name = policy
         self.broadcast_web = broadcast_web
+        self.robots_bcast = None
+        if robots is not None:
+            from .politeness import broadcast_robots
+
+            self.robots_bcast = broadcast_robots(spark, robots)
+
+    def _robots_ok(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        if self.robots_bcast is None:
+            return df
+        from .politeness import robots_filter
+
+        return robots_filter(df, self.robots_bcast, url_col=url_col)
 
     # -- state bootstrap ------------------------------------------------------
 
@@ -88,7 +106,7 @@ class CrawlEngine:
         seed_df = spark.createDataFrame(
             [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
         )
-        frontier = (
+        frontier = self._robots_ok(
             seed_df.select(
                 F.col("source_url"),
                 F.col("source_url").alias("url"),
@@ -247,7 +265,7 @@ class CrawlEngine:
             .persist()
         )
 
-        enqueue = (
+        enqueue = self._robots_ok(
             chosen.filter(F.col("next_link").isNotNull())
             .join(F.broadcast(active.select("source_url", "next_enqueue_seq")), "source_url")
             .select(
@@ -385,3 +403,23 @@ class CrawlEngine:
 
     def page_links(self) -> DataFrame:
         return self._read_or_empty("page_links")
+
+    def metrics(self) -> DataFrame:
+        """Per-batch fetch/dedup metrics from the snapshot lineage (T6:
+        the reference's polled job-state view becomes a queryable table)."""
+        rows = [
+            {
+                "snapshot_id": m.snapshot_id,
+                "batch_id": m.batch_id,
+                "popped": int(m.metrics.get("popped", 0)),
+                "fetched_ok": int(m.metrics.get("fetched_ok", 0)),
+                "new_candidates": int(m.metrics.get("new_candidates", 0)),
+                "batch_sec": float(m.metrics.get("batch_sec", 0.0)),
+            }
+            for m in self.store.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, batch_id long, popped long, fetched_ok long, "
+            "new_candidates long, batch_sec double",
+        )

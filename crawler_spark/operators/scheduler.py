@@ -63,9 +63,14 @@ def schedule_batch(
     if robots_bcast is not None:
         cand = robots_filter(cand, robots_bcast)
 
-    # 2. dedup: bloom prefilter -> exact anti-join on the maybe-seen slice
+    # 2. dedup: bloom prefilter -> exact anti-join on the maybe-seen slice.
+    # The union FORKS the plan on `tagged`; without a materialization
+    # barrier Spark would recompute the prefilter (and everything upstream)
+    # once per branch — persist+count pins it, exactly like the state
+    # tables would already be materialized in the engine's batch loop.
     if bloom is not None and seen is not None:
-        tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts)
+        tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts).persist()
+        tagged.count()
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
@@ -133,3 +138,54 @@ def drain_ordered(scheduled: DataFrame, n_buckets: int | None = None) -> DataFra
             .drop("fetch_group")
         )
     return scheduled.groupBy("host", "salt").applyInPandas(_drain, schema)
+
+
+PARSE_DIGEST_SCHEMA = (
+    "url string, host string, seq long, n_internal int, n_external int, "
+    "n_file int, n_spans int, md_len int"
+)
+
+
+def fetch_parse_digest(drained: DataFrame, fetcher) -> DataFrame:
+    """Fetch+parse stage over a drained batch: for every scheduled URL,
+    fetch the payload (``fetcher(url) -> html str`` — an HTTP client in
+    production, a deterministic synthesizer in the bench) and run the
+    engine's REAL span/link extraction (functions.linkextract — the same
+    code the parity-tested parse path uses). Emits per-doc digests; the
+    engine variant lands full span rows in the docs table instead.
+
+    mapInArrow, not mapInPandas: the URL strings cross the boundary as
+    Arrow buffers without pandas object materialization (measured: pandas
+    string columns anti-scale past ~8 workers on allocator contention)."""
+    import pyarrow as pa
+
+    from ..functions.linkextract import build_spans_html
+
+    def _fp(it):
+        for b in it:
+            urls = b.column("url").to_pylist()
+            hosts = b.column("host").to_pylist()
+            out = {k: [] for k in ("n_internal", "n_external", "n_file", "n_spans", "md_len")}
+            for u, h in zip(urls, hosts):
+                html = fetcher(u)
+                spans, links = build_spans_html(html, f"https://{h}")
+                out["n_internal"].append(len(links.internal))
+                out["n_external"].append(len(links.external))
+                out["n_file"].append(len(links.file))
+                out["n_spans"].append(len(spans))
+                out["md_len"].append(sum(len(s.text) for s in spans))
+            yield pa.record_batch(
+                [
+                    b.column("url"),
+                    b.column("host"),
+                    b.column("seq"),
+                    pa.array(out["n_internal"], pa.int32()),
+                    pa.array(out["n_external"], pa.int32()),
+                    pa.array(out["n_file"], pa.int32()),
+                    pa.array(out["n_spans"], pa.int32()),
+                    pa.array(out["md_len"], pa.int32()),
+                ],
+                names=["url", "host", "seq", "n_internal", "n_external", "n_file", "n_spans", "md_len"],
+            )
+
+    return drained.select("url", "host", "seq").mapInArrow(_fp, PARSE_DIGEST_SCHEMA)

@@ -18,6 +18,7 @@ __all__ = [
     "failed_job_sources",
     "crawled_sources",
     "discovered_sources",
+    "discover_new_sources",
     "in_progress_sources",
     "source_page_summaries",
     "external_links_keepfirst",
@@ -93,6 +94,28 @@ def external_links_keepfirst(crawl_log: DataFrame, page_links: DataFrame) -> Dat
         ordered.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("source_url", "link", "first_seq", "seq", "pos")
+    )
+
+
+def discover_new_sources(source_state: DataFrame, crawl_log: DataFrame, page_links: DataFrame) -> DataFrame:
+    """J9: frontier discovery across sources — the summarize stage's
+    relevant external links are upserted as new, un-crawled sources iff
+    not already known (get-then-insert dedup, services.py:28-39,304-311).
+    MERGE-style: keep-first external links -> anti-join known sources ->
+    rows shaped for a source_state append (crawled counters zeroed)."""
+    from .functions.udfs import host_udf
+
+    ext = external_links_keepfirst(crawl_log, page_links).select(
+        F.col("link").alias("source_url")
+    ).distinct()
+    new = ext.join(source_state.select("source_url"), "source_url", "left_anti")
+    return new.select(
+        "source_url",
+        host_udf("source_url").alias("host"),
+        F.lit(0).alias("max_pages"),  # discovered, never auto-crawled (reference §3.1 step 5)
+        F.lit(0).alias("pages_crawled"),
+        F.lit(1).cast("long").alias("total_pages_found"),
+        F.lit(1).cast("long").alias("next_enqueue_seq"),
     )
 
 

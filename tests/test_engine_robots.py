@@ -1,0 +1,48 @@
+"""Robots rules inside the parity engine (M2): disallowed URLs never
+enter the frontier — at seed time or at enqueue time. The oracle has no
+robots (the reference has none, SURVEY.md §0), so the expectation is
+derived by re-running the oracle and post-filtering its enqueue choices
+through the same rule set."""
+
+from crawler_spark.fixtures import make_web_graph, web_graph_rows
+from crawler_spark.operators.frontier import CrawlEngine
+from crawler_spark.operators.politeness import RobotsTrie
+from crawler_spark.schemas import ROBOTS, WEB_GRAPH
+
+
+def test_disallowed_urls_never_fetched(spark, tmp_path):
+    g = make_web_graph(n_hosts=2, pages_per_host=12, seed=11, max_pages=5)
+    # disallow the sections the lexmin policy would otherwise walk into
+    rules = [(h, ["/docs", "/blog"], 0) for h in g.hosts]
+    robots_df = spark.createDataFrame(rules, ROBOTS)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(
+        spark, web_df, str(tmp_path / "rb"), policy="lexmin", robots=robots_df
+    )
+    eng.run(seeds=g.seeds)
+
+    tries = {h: RobotsTrie(["/docs", "/blog"]) for h in g.hosts}
+    fetched = [r.url for r in eng.crawl_log().collect()]
+    assert fetched, "engine crawled nothing"
+    for url in fetched:
+        from urllib.parse import urlparse
+
+        p = urlparse(url)
+        trie = tries.get(p.netloc)
+        assert trie is None or not trie.disallowed(p.path or "/"), (
+            f"robots-disallowed URL was fetched: {url}"
+        )
+
+
+def test_disallowed_seed_is_dropped(spark, tmp_path):
+    g = make_web_graph(n_hosts=2, pages_per_host=8, seed=12, max_pages=3)
+    blocked_host = g.hosts[0]
+    robots_df = spark.createDataFrame([(blocked_host, ["/"], 0)], ROBOTS)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(
+        spark, web_df, str(tmp_path / "rs"), policy="lexmin", robots=robots_df
+    )
+    eng.run(seeds=g.seeds)
+    hosts_fetched = {r.host for r in eng.crawl_log().collect()}
+    assert blocked_host not in hosts_fetched
+    assert hosts_fetched  # the unblocked source still crawled

@@ -76,6 +76,24 @@ def test_source_page_summaries_first_per_page(crawl):
         assert rows[sc.source_url].n_pages == len(ok_pages)
 
 
+def test_discover_new_sources_merge_shape(crawl):
+    """J9: every keep-first external link becomes a new source unless
+    already known; counters zeroed; no duplicates."""
+    from crawler_spark.views import discover_new_sources
+
+    g, oracle_out, eng = crawl
+    new = discover_new_sources(eng.source_state(), eng.crawl_log(), eng.page_links()).collect()
+    known = {sc.source_url for sc in oracle_out}
+    expected = set()
+    for sc in oracle_out:
+        expected.update(u for u in sc.unique_external_links if u not in known)
+    got = [r.source_url for r in new]
+    assert sorted(got) == sorted(expected)
+    assert len(got) == len(set(got))
+    for r in new:
+        assert r.pages_crawled == 0 and r.max_pages == 0
+
+
 def test_source_listing_first_doc(crawl):
     g, oracle_out, eng = crawl
     rows = {r.source_url: r for r in source_listing(eng.source_state(), eng.docs()).collect()}
