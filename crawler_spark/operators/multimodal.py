@@ -1,0 +1,241 @@
+"""Multimodal media columns: opaque binary payloads + typed metadata.
+
+The crawl's media spans (kind='media', media_ref=URL — FIXTURES.md §6)
+reference binary objects. This module is the Spark-side plumbing for a
+media table keyed by those refs: schema, partitioning, and the
+decode / feature-extract / resize / frame-sample stages as Arrow-batched
+pandas UDFs over ``mapInPandas``.
+
+The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
+container, so the decode core is STUBBED behind ``DecodeBackend``:
+- ``FakeDecodeBackend`` — deterministic pure-numpy synthesis from the
+  payload bytes (same bytes => same pixels/samples everywhere), so every
+  downstream stage (resize, frame sample, feature extraction) runs real
+  vectorized numpy over real Spark plumbing and is fully testable;
+- a production backend implements the same 3 methods with PIL/ffmpeg and
+  nothing else changes.
+
+Scale shape: media blobs are stored in their own table partitioned by
+``pmod(xxhash64(media_ref), P)`` — NEVER carried through the crawl
+shuffles (spans carry only the ref); stages here are narrow (no shuffle)
+and Arrow-batched with a bounded ``maxRecordsPerBatch`` so a batch of
+blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "DecodeBackend",
+    "FakeDecodeBackend",
+    "media_from_spans",
+    "decode_metadata",
+    "image_resize_features",
+    "video_frame_sample",
+]
+
+# media table: (media_ref, kind, payload, meta) — kind in image|audio|video,
+# meta is typed per-kind metadata filled by decode_metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec interface. Production: PIL / ffmpeg / librosa. This container
+    has none of them, so the default backend synthesizes deterministic
+    content; the Spark plumbing around it is identical either way."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:  # (H, W, C) uint8
+        raise NotImplementedError("no image codec in this environment")
+
+    def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:  # (samples,), rate
+        raise NotImplementedError("no audio codec in this environment")
+
+    def decode_video_frames(self, payload: bytes, every_n: int) -> np.ndarray:  # (F, H, W, C)
+        raise NotImplementedError("no video codec in this environment")
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic synthesis: content is a pure function of the payload
+    bytes (seeded from a rolling checksum), so tests and both sides of any
+    comparison agree byte-for-byte."""
+
+    def _seed(self, payload: bytes) -> int:
+        import zlib
+
+        return zlib.crc32(payload) & 0x7FFFFFFF
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        rng = np.random.default_rng(self._seed(payload))
+        h = 32 + self._seed(payload) % 97
+        w = 32 + (self._seed(payload) // 7) % 131
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
+        rng = np.random.default_rng(self._seed(payload))
+        n = 1000 + self._seed(payload) % 8000
+        return rng.standard_normal(n).astype(np.float32), 16_000
+
+    def decode_video_frames(self, payload: bytes, every_n: int) -> np.ndarray:
+        rng = np.random.default_rng(self._seed(payload))
+        n_frames = 8 + self._seed(payload) % 25
+        frames = rng.integers(0, 256, size=(n_frames, 16, 16, 3), dtype=np.uint8)
+        return frames[::every_n]
+
+
+def media_from_spans(docs: DataFrame) -> DataFrame:
+    """Harvest the distinct media refs out of the interleaved-span docs
+    table and synthesize their media rows (payload = deterministic bytes
+    from the ref; kind from the extension). In production the payload
+    column is filled by the fetch tier instead."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    kind = (
+        F.when(F.lower("media_ref").rlike(r"\.(png|jpe?g|gif|svg|bmp|webp|ico)$"), "image")
+        .when(F.lower("media_ref").rlike(r"\.(mp3|wav|flac|ogg)$"), "audio")
+        .when(F.lower("media_ref").rlike(r"\.(mp4|webm|avi|mov)$"), "video")
+        .otherwise("image")
+    )
+    return refs.select(
+        "media_ref",
+        kind.alias("kind"),
+        F.encode(F.md5("media_ref"), "utf-8").cast("binary").alias("payload"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+
+
+def _meta_dict(kind: str, backend: DecodeBackend, payload: bytes) -> dict:
+    none = {k: None for k in ("width", "height", "channels", "duration_ms", "sample_rate", "n_frames")}
+    if payload is None:
+        return none
+    if kind == "image":
+        arr = backend.decode_image(payload)
+        return {**none, "width": arr.shape[1], "height": arr.shape[0], "channels": arr.shape[2]}
+    if kind == "audio":
+        samples, rate = backend.decode_audio(payload)
+        return {**none, "sample_rate": rate, "duration_ms": int(1000 * len(samples) / rate)}
+    frames = backend.decode_video_frames(payload, 1)
+    return {
+        **none,
+        "n_frames": frames.shape[0],
+        "width": frames.shape[2],
+        "height": frames.shape[1],
+        "channels": frames.shape[3],
+    }
+
+
+def decode_metadata(media: DataFrame, backend: DecodeBackend | None = None) -> DataFrame:
+    """Fill the typed ``meta`` struct by decoding each payload (Arrow
+    batches; narrow — no shuffle)."""
+    backend = backend or FakeDecodeBackend()
+    out_schema = MEDIA_SCHEMA
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                _meta_dict(k, backend, p) for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pdf
+
+    return media.mapInPandas(_decode, out_schema)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_ref string, width int, height int, thumb_w int, thumb_h int, "
+    "mean_r double, mean_g double, mean_b double, phash long"
+)
+
+
+def image_resize_features(media: DataFrame, thumb: int = 8, backend: DecodeBackend | None = None) -> DataFrame:
+    """Decode -> resize to a thumb x thumb grid (mean-pool, pure numpy) ->
+    channel means + a 64-bit average-hash (phash-style) for near-dup
+    detection of images."""
+    backend = backend or FakeDecodeBackend()
+
+    def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_ref", "width", "height", "thumb_w", "thumb_h",
+                                    "mean_r", "mean_g", "mean_b", "phash")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = backend.decode_image(payload)
+                h, w, _ = arr.shape
+                ys = (np.arange(thumb + 1) * h) // thumb
+                xs = (np.arange(thumb + 1) * w) // thumb
+                small = np.empty((thumb, thumb), dtype=np.float64)
+                for i in range(thumb):
+                    for j in range(thumb):
+                        small[i, j] = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                bits = (small > small.mean()).flatten()
+                phash = 0
+                for b in bits:
+                    phash = (phash << 1) | int(b)
+                rows["media_ref"].append(ref)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb_w"].append(thumb)
+                rows["thumb_h"].append(thumb)
+                rows["mean_r"].append(float(arr[:, :, 0].mean()))
+                rows["mean_g"].append(float(arr[:, :, 1].mean()))
+                rows["mean_b"].append(float(arr[:, :, 2].mean()))
+                rows["phash"].append(phash - (1 << 63))  # to signed long
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(_feat, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, mean_lum double"
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 4, backend: DecodeBackend | None = None) -> DataFrame:
+    """Decode -> sample every Nth frame -> one row per sampled frame with
+    its mean luminance (UDTF-shaped: 1 video row -> F frame rows)."""
+    backend = backend or FakeDecodeBackend()
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_ref": [], "frame_idx": [], "mean_lum": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames = backend.decode_video_frames(payload, every_n)
+                for i, fr in enumerate(frames):
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(i * every_n)
+                    rows["mean_lum"].append(float(fr.mean()))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)

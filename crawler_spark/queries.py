@@ -471,6 +471,35 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 10")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring between consecutive vector pairs
+    (linear blocking, integer-exact fixed-point cosine; the full near-dup
+    pass buckets by LSH first — q_ann_lsh_buckets — then scores in-bucket)."""
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cos = F.floor(
+        1000.0
+        * F.expr(dot)
+        / F.sqrt(
+            F.expr(_NORM_SQ.format(col="ea")).cast("double")
+            * F.expr(_NORM_SQ.format(col="eb")).cast("double")
+        )
+    ).cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cos.alias("cos_milli"),
+        (cos >= 300).alias("is_near_dup"),
+    )
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """LSH bucketing for scalable ANN: 8 random-hyperplane sign bits
     (integer-exact dots); the scale path buckets then searches in-bucket."""
@@ -754,6 +783,25 @@ SELECT vec_id,
        CAST(floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) AS BIGINT) AS cos_milli,
        CAST(row_number() OVER (ORDER BY floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) DESC, vec_id ASC) AS INT) AS rk
 FROM scored QUALIFY rk <= 10""",
+    "dedup_embedding_cosine": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(floor(1000.0 *
+      list_sum(list_transform(range(1, {EMB_DIM + 1}),
+        i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT)))
+      / sqrt(
+        CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+          i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT))) AS DOUBLE)
+        * CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+          i -> CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT))) AS DOUBLE)
+      )) AS BIGINT) AS cos_milli
+  FROM pairs
+)
+SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
     "text_stats": """
 SELECT doc_id,
@@ -803,6 +851,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,

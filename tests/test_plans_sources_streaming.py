@@ -1,0 +1,112 @@
+"""Plan-quality contract + binary source + streaming ingestion tests."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.linkextract import PDF_PAGE_SEP, build_spans_pdf
+from crawler_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from crawler_spark.sources.binary_docs import read_binary_docs
+
+SF = "/root/testdata/sf0.01"
+
+
+# --- plan quality (the 100 TB contract: pushdown, pruning, broadcast) ---
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    pf = pushed_filters(df)
+    assert "o_orderstatus" in pf, f"filter not pushed: {pf!r}"
+
+
+def test_scan_is_column_pruned(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_semi_join_broadcasts_small_side(spark):
+    from crawler_spark.queries import q_semi_join_open_orders
+
+    df = q_semi_join_open_orders(spark, SF)
+    assert has_broadcast_join(df), "semi join should broadcast at this size"
+
+
+def test_topk_window_uses_group_limit(spark):
+    """The per-host top-K drain window must push the rank limit below the
+    shuffle (WindowGroupLimit), so only K rows per host survive the sort —
+    the property that keeps the drain bounded at 10^10-frontier scale."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_topk_per_group
+
+    assert "WindowGroupLimit" in formatted_plan(q_topk_per_group(spark, SF))
+
+
+def test_scan_filter_stage_is_codegen(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    assert codegen_stage_count(df) >= 1
+
+
+# --- binary docs source (S2) ---
+
+
+def test_binary_docs_source_pdf_page_order(spark, tmp_path):
+    payloads = {
+        "a.pdf": "page one" + PDF_PAGE_SEP + "page two",
+        "b.pdf": "solo page",
+        "skip.txt": "not a pdf",
+    }
+    for name, text in payloads.items():
+        (tmp_path / name).write_bytes(text.encode())
+    out = {r.doc_id: r for r in read_binary_docs(spark, str(tmp_path)).collect()}
+    assert set(out) == {"a.pdf", "b.pdf"}  # glob filtered
+    for name in ("a.pdf", "b.pdf"):
+        expected = build_spans_pdf(payloads[name])
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in out[name].spans]
+        assert got == [(s.kind, s.text, s.media_ref, s.offset) for s in expected]
+    assert out["a.pdf"].n_pages == 2
+
+
+# --- streaming ingestion (watermark + tumbling window + foreachBatch) ---
+
+
+def test_stream_windowed_metrics(spark, tmp_path):
+    from crawler_spark.streaming.events import run_stream_to_store
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    events = [
+        {"ts": "2026-01-01T10:00:05", "host": "a.org", "url": "https://a.org/1", "ok": True, "bytes": 100},
+        {"ts": "2026-01-01T10:00:40", "host": "a.org", "url": "https://a.org/2", "ok": False, "bytes": 0},
+        {"ts": "2026-01-01T10:01:10", "host": "a.org", "url": "https://a.org/3", "ok": True, "bytes": 50},
+        {"ts": "2026-01-01T10:00:20", "host": "b.org", "url": "https://b.org/1", "ok": True, "bytes": 10},
+    ]
+    with open(in_dir / "events.jsonl", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    q = run_stream_to_store(spark, str(in_dir), str(tmp_path / "ckpt"), out_dir)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    agg = {(r.host, r.window_start.minute): (r.fetches, r.ok_count, r.bytes) for r in rows}
+    assert agg[("a.org", 0)] == (2, 1, 100)
+    assert agg[("a.org", 1)] == (1, 1, 50)
+    assert agg[("b.org", 0)] == (1, 1, 10)
+    assert os.path.isdir(str(tmp_path / "ckpt"))
