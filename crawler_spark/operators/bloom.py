@@ -131,17 +131,21 @@ def bloom_prefilter(
             if est <= BROADCAST_BLOOM_MAX_BYTES:
                 blobs = {int(r.bloom_part): bytes(r.blob) for r in bloom.collect()}
         if blobs is not None:
+            import pyarrow as pa
+
             bcast = candidates.sparkSession.sparkContext.broadcast(blobs)
+            names = [f.name for f in candidates.schema.fields] + ["maybe_seen"]
 
             def _probe_bcast(it):
+                # mapInArrow: the candidate string columns pass through as
+                # Arrow buffers — no pandas object materialization (which
+                # anti-scales past ~8 workers on allocator contention).
                 local = bcast.value
-                for pdf in it:
-                    if not len(pdf):
-                        continue
-                    maybe = np.zeros(len(pdf), dtype=bool)
-                    parts = pdf["bloom_part"].to_numpy()
-                    h1 = pdf["h1"].to_numpy()
-                    h2 = pdf["h2"].to_numpy()
+                for b in it:
+                    parts = b.column("bloom_part").to_numpy()
+                    h1 = b.column("h1").to_numpy()
+                    h2 = b.column("h2").to_numpy()
+                    maybe = np.zeros(len(parts), dtype=bool)
                     for part in np.unique(parts):
                         blob = local.get(int(part))
                         if blob is None:
@@ -149,14 +153,13 @@ def bloom_prefilter(
                         sel = parts == part
                         bits = np.frombuffer(blob, dtype=np.uint8)
                         maybe[sel] = probe_bits(bits, h1[sel], h2[sel], len(bits) * 8)
-                    out = pdf.drop(columns=["h1", "h2", "bloom_part"])
-                    out["maybe_seen"] = maybe
-                    yield out
+                    keep = [b.column(n) for n in names[:-1]]
+                    yield pa.record_batch(keep + [pa.array(maybe)], names=names)
 
             out_schema = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
             ) + ", maybe_seen boolean"
-            return keyed.mapInPandas(_probe_bcast, out_schema)
+            return keyed.mapInArrow(_probe_bcast, out_schema)
 
     def _probe(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         out = cands.drop(columns=["h1", "h2"])

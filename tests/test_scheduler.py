@@ -123,6 +123,29 @@ def test_drain_ordered_per_host_fifo(spark):
             assert r.salt == (r.rank - 1) // 6
 
 
+def test_zipf_skew_salting_spreads_hot_host(spark):
+    """Skew smoke (SURVEY §5.3 item 5): a mega-host's drained rows split
+    into seq-contiguous salted subgroups of bounded size, so no single
+    task owns the whole Zipf head; FIFO is reconstructable."""
+    rows = [(f"https://hot.org/p/{i}", "hot.org", 0, i) for i in range(5000)]
+    rows += [(f"https://cold{j}.org/p", f"cold{j}.org", 0, j) for j in range(20)]
+    frontier = _frontier_df(spark, rows)
+    sched = schedule_batch(frontier, default_k=2000, salt_span=250)
+    drained = drain_ordered(sched).collect()
+    hot = [r for r in drained if r.host == "hot.org"]
+    assert len(hot) == 2000  # quota enforced on the hot host
+    by_salt = {}
+    for r in hot:
+        by_salt.setdefault(r.salt, []).append(r)
+    assert len(by_salt) == 8  # 2000 / 250 salted subgroups
+    for salt, grp in by_salt.items():
+        assert len(grp) == 250
+        seqs = sorted(r.seq for r in grp)
+        # seq-contiguous range per subgroup: FIFO preserved across groups
+        assert seqs == list(range(salt * 250, salt * 250 + 250))
+    assert sum(1 for r in drained if r.host != "hot.org") == 20
+
+
 def test_drain_bucketed_equals_per_host(spark):
     rows = []
     for h in range(12):
