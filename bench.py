@@ -91,7 +91,9 @@ def synth_fetch(url: str) -> str:
     return "".join(parts)
 
 
-def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) -> dict:
+def run_frontier_drain(
+    spark: SparkSession, n_rows: int, default_k: int = 1000, do_parse: bool = True
+) -> dict:
     from crawler_spark.operators.politeness import broadcast_robots, host_quotas
     from crawler_spark.operators.scheduler import (
         build_bloom,
@@ -138,29 +140,35 @@ def run_frontier_drain(spark: SparkSession, n_rows: int, default_k: int = 1000) 
     # fetch+parse the drained batch: the engine's real span/link extraction
     # over realistic synthesized payloads (the compute that dominates an
     # actual crawl; only digests are materialized here)
-    t2 = time.monotonic()
-    parsed = fetch_parse_digest(drained, synth_fetch)
-    agg = parsed.agg(
-        F.count("*").alias("docs"),
-        F.sum("n_internal").alias("links"),
-        F.sum("n_spans").alias("spans"),
-    ).collect()[0]
-    t_parse = time.monotonic() - t2
+    t_parse = agg = None
+    if do_parse:
+        t2 = time.monotonic()
+        parsed = fetch_parse_digest(drained, synth_fetch)
+        agg = parsed.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_internal").alias("links"),
+            F.sum("n_spans").alias("spans"),
+        ).collect()[0]
+        t_parse = time.monotonic() - t2
 
     for df in (bloom, frontier, seen, drained):
         df.unpersist()
-    return {
+    out = {
         "frontier_rows": n_rows,
         "n_scheduled": n_scheduled,
         "bloom_build_sec": round(t_bloom, 2),
         "drain_sec": round(t_drain, 2),
         "urls_per_sec": round(n_rows / t_drain, 1),
-        "parse_sec": round(t_parse, 2),
-        "parsed_docs_per_sec": round(n_scheduled / t_parse, 1),
-        "links_extracted": int(agg.links),
-        "spans_built": int(agg.spans),
-        "e2e_urls_per_sec": round(n_rows / (t_drain + t_parse), 1),
     }
+    if do_parse:
+        out.update(
+            parse_sec=round(t_parse, 2),
+            parsed_docs_per_sec=round(n_scheduled / t_parse, 1),
+            links_extracted=int(agg.links),
+            spans_built=int(agg.spans),
+            e2e_urls_per_sec=round(n_rows / (t_drain + t_parse), 1),
+        )
+    return out
 
 
 def main() -> None:
