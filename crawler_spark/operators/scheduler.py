@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from .bloom import bloom_prefilter, build_bloom
 from .politeness import robots_filter
 
-__all__ = ["schedule_batch", "drain_ordered", "build_bloom"]
+__all__ = ["schedule_batch", "drain_ordered", "build_bloom", "route_retries", "fetch_parse_digest"]
 
 
 def schedule_batch(
@@ -138,6 +138,32 @@ def drain_ordered(scheduled: DataFrame, n_buckets: int | None = None) -> DataFra
             .drop("fetch_group")
         )
     return scheduled.groupBy("host", "salt").applyInPandas(_drain, schema)
+
+
+def route_retries(
+    results: DataFrame, max_attempts: int = 3, retry_priority_penalty: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Failed-fetch routing (T5 — the reference's 3-attempt/120 s retry,
+    /root/reference/backend/nlp_processing/structured_completion.py:19-36,
+    generalized to the frontier): rows with ok=false re-enter the frontier
+    with attempt+1 and a priority penalty (drained later than fresh work,
+    seq preserved so per-host order among retries is stable); rows out of
+    attempts go to a dead-letter table for the metrics surface.
+
+    Returns (retry_frontier_rows, dead_letters)."""
+    failed = results.filter(~F.col("ok"))
+    cols = ["url", "url_hash", "host", "priority", "seq", "attempt"]
+    bumped = failed.select(
+        "url",
+        "url_hash",
+        "host",
+        (F.col("priority") + retry_priority_penalty).alias("priority"),
+        "seq",
+        (F.col("attempt") + 1).alias("attempt"),
+    )
+    retry = bumped.filter(F.col("attempt") < max_attempts).select(cols)
+    dead = bumped.filter(F.col("attempt") >= max_attempts).select(cols)
+    return retry, dead
 
 
 PARSE_DIGEST_SCHEMA = (

@@ -146,6 +146,30 @@ def test_zipf_skew_salting_spreads_hot_host(spark):
     assert sum(1 for r in drained if r.host != "hot.org") == 20
 
 
+def test_route_retries_attempts_and_dead_letter(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.scheduler import route_retries
+
+    rows = [
+        ("https://r.org/ok", "r.org", 0, 1, 0, True),
+        ("https://r.org/fail-fresh", "r.org", 0, 2, 0, False),
+        ("https://r.org/fail-last", "r.org", 0, 3, 2, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, priority int, seq long, attempt int, ok boolean"
+    ).withColumn("url_hash", F.xxhash64("url"))
+    retry, dead = route_retries(df, max_attempts=3)
+    r = {x.url: x for x in retry.collect()}
+    d = {x.url: x for x in dead.collect()}
+    assert set(r) == {"https://r.org/fail-fresh"}
+    assert set(d) == {"https://r.org/fail-last"}
+    assert r["https://r.org/fail-fresh"].attempt == 1
+    assert r["https://r.org/fail-fresh"].priority == 1  # penalty applied
+    assert r["https://r.org/fail-fresh"].seq == 2  # order key preserved
+    assert d["https://r.org/fail-last"].attempt == 3
+
+
 def test_drain_bucketed_equals_per_host(spark):
     rows = []
     for h in range(12):
