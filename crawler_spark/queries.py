@@ -535,6 +535,68 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bucket_expr_spark() -> str:
+    bits = []
+    for j, signs in enumerate(PLANES):
+        arr = ",".join(str(s) for s in signs)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), (x, s) -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(s AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def q_ann_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN search (the scale path): the query vector probes
+    ONLY its own hyperplane bucket, then exact integer-fixed-point cosine
+    top-5 within the bucket. At 10^10 scale the bucket column is a
+    partition key, so a probe touches one partition instead of the corpus."""
+    emb = load(spark, sf, "embeddings").withColumn("bucket", F.expr(_bucket_expr_spark()))
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    in_bucket = emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    scored = in_bucket.select(
+        "vec_id",
+        "bucket",
+        F.expr(_DOT_Q).alias("dot"),
+        F.expr(_NORM_SQ.format(col="embedding")).alias("nv"),
+        F.expr(_NORM_SQ.format(col="qe")).alias("nq"),
+    ).select(
+        "vec_id",
+        "bucket",
+        F.floor(
+            1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
+        ).cast("long").alias("cos_milli"),
+    )
+    w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: per-user session ids from >30-minute inactivity
+    gaps (lag + cumulative sum window), with per-session aggregates —
+    the standard event-pipeline op the crawl metrics stream also needs."""
+    events = load(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: cast to instant first (session tz is UTC);
+    # only gap differences matter, so the epoch origin cancels anyway
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = events.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w_user) > 1800, 1).otherwise(0),
+    )
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = gapped.withColumn("session_id", F.sum("new_sess").over(w_cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -817,6 +879,25 @@ scored AS (
 )
 SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
+    "ann_lsh_search": None,  # filled below (needs the bucket expr)
+    "sessionize": """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN CAST(epoch(ts) AS BIGINT)
+            - lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM sess GROUP BY user_id, session_id""",
     "text_stats": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -844,6 +925,45 @@ FROM documents""",
 }
 
 
+def _lsh_search_sql() -> str:
+    bits = []
+    for j, signs in enumerate(PLANES):
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * ({arr}::BIGINT[])[i]))"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** j} ELSE 0 END)")
+    bucket = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    fixed = "CAST(floor(CAST({v}[i] AS DOUBLE) * 1000) AS BIGINT)"
+    dotq = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {fixed.format(v='embedding')} * {fixed.format(v='qe')}))"
+    )
+    nv = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {fixed.format(v='embedding')} * {fixed.format(v='embedding')}))"
+    )
+    nq = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {fixed.format(v='qe')} * {fixed.format(v='qe')}))"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM b ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT vec_id, bucket,
+    CAST(floor(1000.0 * {dotq} / sqrt(CAST({nv} AS DOUBLE) * CAST({nq} AS DOUBLE))) AS BIGINT) AS cos_milli
+  FROM b, q WHERE b.bucket = q.qbucket
+)
+SELECT vec_id, bucket, cos_milli,
+       CAST(row_number() OVER (ORDER BY cos_milli DESC, vec_id ASC) AS INT) AS rk
+FROM scored QUALIFY rk <= 5"""
+
+
+ORACLE_SQL["ann_lsh_search"] = _lsh_search_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_open_orders": q_semi_join_open_orders,
     "anti_join_no_orders": q_anti_join_no_orders,
@@ -867,6 +987,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_search": q_ann_lsh_search,
+    "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
