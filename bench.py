@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "cosine_topk",
     "ann_lsh_buckets",
+    "ann_lsh_search",
+    "sessionize",
     "text_quality",
     "topk_per_group",
     "semi_join_open_orders",
