@@ -50,14 +50,30 @@ def schedule_batch(
     default_k: int = 100,
     salt_span: int = 1000,
     n_bloom_parts: int = 64,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Select this micro-batch's fetch set from the frontier.
 
     frontier: (url, url_hash, host, priority, seq, ...).
     Returns the scheduled rows + (rank, salt) — per-host order preserved:
     rank is the host-FIFO position, salt = (rank-1) // salt_span.
+
+    canonicalize=True runs the RFC 3986 canonicalizer first (north rule:
+    canonicalize -> xxhash64 -> seen filter), dropping invalid URLs and
+    re-deriving url_hash/host from the canonical form. Off by default —
+    the engine canonicalizes at enqueue time, so drain-time input is
+    normally already canonical.
     """
     cand = frontier
+    if canonicalize:
+        from ..functions.udfs import canonicalize_rfc3986_udf, host_udf
+
+        cand = (
+            cand.withColumn("url", canonicalize_rfc3986_udf("url"))
+            .filter(F.col("url").isNotNull())
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host", host_udf("url"))
+        )
 
     # 1. politeness
     if robots_bcast is not None:

@@ -146,6 +146,22 @@ def test_zipf_skew_salting_spreads_hot_host(spark):
     assert sum(1 for r in drained if r.host != "hot.org") == 20
 
 
+def test_schedule_canonicalize_stage(spark):
+    """canonicalize=True: dirty URLs collapse to canonical form before
+    hashing/dedup; invalid (non-https) rows are dropped."""
+    rows = [
+        ("https://C.org/p?b=2&a=1", "c.org", 0, 0),
+        ("https://c.org/p?a=1&b=2", "c.org", 0, 1),  # same canonical form
+        ("http://c.org/x", "c.org", 0, 2),  # invalid: not https
+        ("https://c.org/q/", "c.org", 0, 3),
+    ]
+    frontier = _frontier_df(spark, rows)
+    out = schedule_batch(frontier, default_k=10, canonicalize=True).collect()
+    urls = sorted(r.url for r in out)
+    assert urls == sorted(["https://c.org/p?a=1&b=2", "https://c.org/p?a=1&b=2", "https://c.org/q"])
+    assert all(r.host == "c.org" for r in out)
+
+
 def test_route_retries_attempts_and_dead_letter(spark):
     from pyspark.sql import functions as F
 
