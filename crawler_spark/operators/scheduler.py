@@ -29,8 +29,6 @@ families, so batch-over-batch the exact anti-join is co-located.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.linkextract import build_spans_pdf
-from ..functions.udfs import PARSED_SCHEMA  # reuse the span struct shape
 
 __all__ = ["read_binary_docs", "parse_pdf_payload"]
 
