@@ -762,7 +762,7 @@ SELECT user_id, event_type, event_id AS first_event_id FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1""",
     "crawl_counters": """
 SELECT o_custkey, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders GROUP BY o_custkey""",
     "concat_agg": """
 SELECT lang,
@@ -778,7 +778,7 @@ SELECT user_id, event_id,
 FROM events QUALIFY rn <= 3""",
     "events_tumbling": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
-       count(*) AS n_events, sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+       count(*) AS n_events, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
     "url_normalize": f"""
 SELECT o_orderkey, regexp_replace({_URL_CASE_DUCK}, '/+$', '') AS norm_url
