@@ -101,6 +101,7 @@ def run_frontier_drain(
         build_bloom,
         drain_ordered,
         fetch_parse_digest,
+        release_barrier,
         schedule_batch,
     )
 
@@ -137,6 +138,7 @@ def run_frontier_drain(
     )
     drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4).persist()
     n_scheduled = drained.count()
+    release_barrier(scheduled)  # drained is materialized; drop the fork cache
     t_drain = time.monotonic() - t1
 
     # fetch+parse the drained batch: the engine's real span/link extraction

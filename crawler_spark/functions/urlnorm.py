@@ -17,7 +17,8 @@ ports, sorts query parameters, and normalizes percent-encoding case.
 
 from __future__ import annotations
 
-from urllib.parse import parse_qsl, quote, unquote, urlencode, urljoin, urlparse, urlunparse
+import re
+from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlparse, urlunparse
 
 __all__ = [
     "normalize_url",
@@ -75,6 +76,32 @@ def host_of(url: str) -> str:
 
 _DEFAULT_PORTS = {"https": "443", "http": "80"}
 
+# RFC 3986 §2.3 unreserved characters — the ONLY escapes safe to decode.
+# Reserved escapes (%2F, %3F, ...) are NOT equivalent to their literals
+# (§2.2), so they keep their encoded form with uppercased hex.
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_PATH_SAFE = "/:@!$&'()*+,;=~-._"
+
+
+def _canon_pct_path(path: str) -> str:
+    """Percent-encoding normalization for a path segment string: decode
+    escapes of unreserved characters, uppercase the hex of all remaining
+    escapes, and percent-encode any raw character that needs it — without
+    double-encoding existing escapes (quote() is applied only to the
+    literal stretches between them)."""
+    out: list[str] = []
+    i = 0
+    for m in _PCT_RE.finditer(path):
+        out.append(quote(path[i : m.start()], safe=_PATH_SAFE))
+        ch = chr(int(m.group(1), 16))
+        out.append(ch if ch in _UNRESERVED else "%" + m.group(1).upper())
+        i = m.end()
+    out.append(quote(path[i:], safe=_PATH_SAFE))
+    return "".join(out)
+
 
 def canonicalize_rfc3986(url: str | None) -> str | None:
     """Extended canonical form for scale mode (engine-only; superset of the
@@ -101,7 +128,7 @@ def canonicalize_rfc3986(url: str | None) -> str | None:
     if p.username:
         cred = p.username + (f":{p.password}" if p.password else "")
         netloc = f"{cred}@{netloc}"
-    path = quote(unquote(p.path), safe="/:@!$&'()*+,;=~-._")
+    path = _canon_pct_path(p.path)
     query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
     out = urlunparse((scheme, netloc, path, p.params, query, ""))
     out = out.rstrip("/")

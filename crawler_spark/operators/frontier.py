@@ -78,7 +78,8 @@ class CrawlEngine:
         """robots: optional (host, disallow_prefixes, crawl_delay_ms) rules
         table (FIXTURES.md §3). The reference has no robots handling
         (SURVEY.md §0 — README claim only); when given, the engine drops
-        disallowed URLs at enqueue time (and disallowed seeds at init), so
+        disallowed URLs from the policy's candidate list (so the policy
+        picks the best ALLOWED candidate) and disallowed seeds at init;
         reference-parity runs simply omit it."""
         self.spark = spark
         self.web_graph = web_graph
@@ -236,11 +237,16 @@ class CrawlEngine:
         candidates2 = candidates.unionByName(cand_delta)
 
         # filtered candidates: anti-join vs fragment-stripped seen set
-        # (entities.py:181-186; nofrag key subsumes the exact-match clause)
-        filtered = candidates2.join(
-            url_seen2.select("source_url", "url_nofrag"),
-            ["source_url", "url_nofrag"],
-            "left_anti",
+        # (entities.py:181-186; nofrag key subsumes the exact-match clause).
+        # Robots filtering applies HERE — before the policy — so a
+        # disallowed best candidate makes the policy pick the next-best
+        # allowed one instead of silently ending the source's crawl.
+        filtered = self._robots_ok(
+            candidates2.join(
+                url_seen2.select("source_url", "url_nofrag"),
+                ["source_url", "url_nofrag"],
+                "left_anti",
+            )
         )
 
         cand_lists = filtered.groupBy("source_url").agg(
@@ -265,7 +271,9 @@ class CrawlEngine:
             .persist()
         )
 
-        enqueue = self._robots_ok(
+        # next_link comes from the robots-filtered candidate list, so no
+        # second robots pass is needed at enqueue time.
+        enqueue = (
             chosen.filter(F.col("next_link").isNotNull())
             .join(F.broadcast(active.select("source_url", "next_enqueue_seq")), "source_url")
             .select(

@@ -17,7 +17,6 @@ mandates both explicitly, so this module builds them to spec:
 
 from __future__ import annotations
 
-from typing import Iterator
 from urllib.parse import urlparse
 
 import pandas as pd
@@ -79,22 +78,32 @@ def broadcast_robots(spark: SparkSession, robots: DataFrame):
 
 def robots_filter(df: DataFrame, robots_bcast, url_col: str = "url", keep_denied: bool = False) -> DataFrame:
     """Drop (or tag, with keep_denied) URLs whose path hits a disallow
-    prefix of their host's trie. Arrow-batched; hosts without rules pass."""
+    prefix of their host's trie. Host and path are split JVM-side
+    (``parse_url`` inside whole-stage codegen) so the Arrow UDF only does
+    the dict lookup + trie walk over two short string columns — Python
+    never re-parses the URL. Hosts without rules pass; URLs ``parse_url``
+    cannot parse fall back to Python ``urlparse`` (fail-closed: still a
+    lookup, never an exception)."""
 
-    def _allowed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    def _allowed(hosts: pd.Series, paths: pd.Series, urls: pd.Series) -> pd.Series:
         tries = robots_bcast.value["tries"]
-        for urls in it:
-            out = []
-            for u in urls:
+        out = []
+        for host, path, u in zip(hosts, paths, urls):
+            if host is None:
                 if u is None:
                     out.append(False)
                     continue
-                p = urlparse(u)
-                trie = tries.get(p.netloc)
-                out.append(True if trie is None else not trie.disallowed(p.path or "/"))
-            yield pd.Series(out, dtype=bool)
+                parsed = urlparse(u)
+                host, path = parsed.netloc, parsed.path
+            trie = tries.get(host)
+            out.append(True if trie is None else not trie.disallowed(path or "/"))
+        return pd.Series(out, dtype=bool)
 
-    allowed = F.pandas_udf(_allowed, "boolean")(F.col(url_col))
+    allowed = F.pandas_udf(_allowed, "boolean")(
+        F.parse_url(F.col(url_col), F.lit("HOST")),
+        F.parse_url(F.col(url_col), F.lit("PATH")),
+        F.col(url_col),
+    )
     if keep_denied:
         return df.withColumn("robots_allowed", allowed)
     return df.filter(allowed)

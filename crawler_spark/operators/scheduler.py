@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 from .bloom import bloom_prefilter, build_bloom
 from .politeness import robots_filter
 
-__all__ = ["schedule_batch", "drain_ordered", "build_bloom", "route_retries", "fetch_parse_digest"]
+__all__ = [
+    "schedule_batch",
+    "release_barrier",
+    "drain_ordered",
+    "build_bloom",
+    "route_retries",
+    "fetch_parse_digest",
+]
 
 
 def schedule_batch(
@@ -82,8 +89,12 @@ def schedule_batch(
     # barrier Spark would recompute the prefilter (and everything upstream)
     # once per branch — persist+count pins it, exactly like the state
     # tables would already be materialized in the engine's batch loop.
+    # The cached blocks are released by release_barrier(result) — call it
+    # once the batch's downstream action has completed, or a long
+    # multi-batch drain accumulates one leaked cache per batch.
+    barrier = None
     if bloom is not None and seen is not None:
-        tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts).persist()
+        barrier = tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts).persist()
         tagged.count()
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -104,7 +115,19 @@ def schedule_batch(
         ranked = ranked.filter(F.col("rank") <= default_k)
 
     # 4. hot-host salting: seq-contiguous subgroups
-    return ranked.withColumn("salt", ((F.col("rank") - 1) / salt_span).cast("int"))
+    result = ranked.withColumn("salt", ((F.col("rank") - 1) / salt_span).cast("int"))
+    result._schedule_barrier = barrier  # released via release_barrier()
+    return result
+
+
+def release_barrier(scheduled: DataFrame) -> None:
+    """Unpersist the plan-fork barrier cached by schedule_batch. Call after
+    the batch's downstream action completes (the cache must stay alive
+    while the scheduled DataFrame is still being computed from)."""
+    barrier = getattr(scheduled, "_schedule_barrier", None)
+    if barrier is not None:
+        barrier.unpersist()
+        scheduled._schedule_barrier = None
 
 
 _DRAIN_SUFFIX = ", fetch_order int, content_hash long"

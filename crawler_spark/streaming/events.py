@@ -13,10 +13,17 @@ Late data: watermark of ``late_threshold`` keeps per-window state bounded
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["read_event_stream", "windowed_fetch_metrics", "run_stream_to_store"]
+__all__ = [
+    "read_event_stream",
+    "windowed_fetch_metrics",
+    "run_stream_to_store",
+    "read_windowed_metrics",
+]
 
 EVENT_SCHEMA = "ts timestamp, host string, url string, ok boolean, bytes long"
 
@@ -58,13 +65,19 @@ def run_stream_to_store(
     out_path: str,
     window: str = "1 minute",
 ):
-    """Drive the stream with foreachBatch appending parquet — the same
-    exactly-once batch-id discipline the snapshot store uses (re-delivered
-    batch ids are no-ops via the sink's own transaction log)."""
+    """Drive the stream with foreachBatch writing one parquet directory
+    PER batch id (``batch_id=N/``). A replayed batch (crash between the
+    write and the checkpoint commit) overwrites its own directory instead
+    of appending a duplicate — idempotent redelivery, the same batch-id
+    discipline the snapshot store uses. outputMode('update') re-emits an
+    updated window in a LATER batch; read the sink through
+    ``read_windowed_metrics`` (keep-latest per window/host), not a raw
+    parquet scan."""
     metrics = windowed_fetch_metrics(read_event_stream(spark, in_path), window=window)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_path)
+        dest = os.path.join(out_path, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(dest)
 
     return (
         metrics.writeStream.foreachBatch(_sink)
@@ -72,4 +85,19 @@ def run_stream_to_store(
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_windowed_metrics(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the metrics sink with update-mode semantics restored: each
+    (window_start, host) keeps only its LATEST batch's row (update mode
+    re-emits a window whenever late data lands in it, so earlier emissions
+    are superseded, not additive). ``batch_id`` comes back as a hive
+    partition column from the per-batch directory layout."""
+    raw = spark.read.option("basePath", out_path).parquet(out_path)
+    w = Window.partitionBy("window_start", "host").orderBy(F.desc("batch_id"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
     )

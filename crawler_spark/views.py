@@ -35,12 +35,15 @@ def failed_job_sources(source_state: DataFrame, crawl_log: DataFrame) -> DataFra
 
 def crawled_sources(source_state: DataFrame, crawl_log: DataFrame) -> DataFrame:
     """J6: sources with a completed crawl (EXISTS on _crawl_result,
-    repositories.py:235-262) — here: budget exhausted or queue drained."""
+    repositories.py:235-262) — here: budget exhausted or queue drained.
+    The two branches filter on disjoint predicates (>= vs <), so the
+    union needs no distinct (a distinct here would be a pure-waste
+    shuffle that can never remove a row)."""
     return source_state.filter(F.col("pages_crawled") >= F.col("max_pages")).unionByName(
         source_state.filter(F.col("pages_crawled") < F.col("max_pages")).join(
             crawl_log.select("source_url"), "source_url", "left_semi"
         )
-    ).distinct()
+    )
 
 
 def discovered_sources(source_state: DataFrame, crawl_log: DataFrame) -> DataFrame:

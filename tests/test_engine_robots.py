@@ -34,6 +34,45 @@ def test_disallowed_urls_never_fetched(spark, tmp_path):
         )
 
 
+def test_policy_falls_back_to_next_allowed_candidate(spark, tmp_path):
+    """Robots filtering applies to the candidate list BEFORE the policy,
+    so when the policy's preferred link is disallowed it picks the
+    next-best allowed candidate instead of silently ending the source.
+    Expectation = the oracle run with a robots-aware lexmin policy."""
+    from urllib.parse import urlparse
+
+    from crawler_spark.oracle import crawl_many
+
+    g = make_web_graph(n_hosts=2, pages_per_host=12, seed=11, max_pages=5)
+    prefixes = ["/docs", "/blog"]
+    robots_df = spark.createDataFrame([(h, prefixes, 0) for h in g.hosts], ROBOTS)
+    tries = {h: RobotsTrie(prefixes) for h in g.hosts}
+
+    def allowed(u: str) -> bool:
+        p = urlparse(u)
+        t = tries.get(p.netloc)
+        return t is None or not t.disallowed(p.path or "/")
+
+    def robots_lexmin(cur: str, cands: list[str]) -> str | None:
+        ok = [c for c in cands if allowed(c)]
+        return min(ok) if ok else None
+
+    expect = crawl_many(g.seeds, g.web, robots_lexmin)
+
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "rf"), policy="lexmin", robots=robots_df)
+    eng.run(seeds=g.seeds)
+
+    engine_log = sorted((r.source_url, r.seq, r.url) for r in eng.crawl_log().collect())
+    oracle_log = sorted(
+        (sc.source_url, rec.seq, rec.url) for sc in expect for rec in sc.records
+    )
+    assert engine_log == oracle_log
+    # the fallback actually mattered: some crawled page had its lexmin
+    # pick filtered (i.e. a crawl longer than drop-at-enqueue would allow)
+    assert any(len(sc.records) > 1 for sc in expect)
+
+
 def test_disallowed_seed_is_dropped(spark, tmp_path):
     g = make_web_graph(n_hosts=2, pages_per_host=8, seed=12, max_pages=3)
     blocked_host = g.hosts[0]

@@ -110,3 +110,35 @@ def test_stream_windowed_metrics(spark, tmp_path):
     assert agg[("a.org", 1)] == (1, 1, 50)
     assert agg[("b.org", 0)] == (1, 1, 10)
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_stream_sink_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch (crash between sink write and checkpoint commit)
+    re-lands in its own batch_id directory — overwrite, not append — so
+    the sink holds no duplicates. read_windowed_metrics restores
+    update-mode semantics (latest batch per window/host)."""
+    from crawler_spark.streaming.events import read_windowed_metrics, run_stream_to_store
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    events = [
+        {"ts": "2026-01-01T10:00:05", "host": "a.org", "url": "https://a.org/1", "ok": True, "bytes": 100},
+        {"ts": "2026-01-01T10:00:40", "host": "b.org", "url": "https://b.org/1", "ok": True, "bytes": 10},
+    ]
+    with open(in_dir / "events.jsonl", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    run_stream_to_store(spark, str(in_dir), str(tmp_path / "ck1"), out_dir).awaitTermination(120)
+    first = sorted(
+        (r.host, r.fetches, r.bytes) for r in read_windowed_metrics(spark, out_dir).collect()
+    )
+    # replay: fresh checkpoint re-delivers the same data as the same batch id
+    run_stream_to_store(spark, str(in_dir), str(tmp_path / "ck2"), out_dir).awaitTermination(120)
+    again = sorted(
+        (r.host, r.fetches, r.bytes) for r in read_windowed_metrics(spark, out_dir).collect()
+    )
+    assert first == again == [("a.org", 1, 100), ("b.org", 1, 10)]
+    # and the raw sink itself holds no appended duplicates either
+    assert spark.read.parquet(out_dir).count() == 2

@@ -50,6 +50,21 @@ def test_canonicalize_rfc3986():
     assert canonicalize_rfc3986("http://a.org/p") is None
 
 
+def test_canonicalize_reserved_escapes_not_decoded():
+    """RFC 3986 §2.2: reserved escapes are NOT equivalent to their
+    literals — /a%2Fb and /a/b must stay distinct URLs (decoding %2F
+    would wrongly collapse them in the seen-filter)."""
+    assert canonicalize_rfc3986("https://a.org/a%2Fb") == "https://a.org/a%2Fb"
+    assert canonicalize_rfc3986("https://a.org/a%2Fb") != canonicalize_rfc3986("https://a.org/a/b")
+    # remaining escapes get uppercase hex; unreserved ones decode
+    assert canonicalize_rfc3986("https://a.org/a%2fb") == "https://a.org/a%2Fb"
+    assert canonicalize_rfc3986("https://a.org/%41%2f") == "https://a.org/A%2F"
+    # raw characters that need encoding still get encoded
+    assert canonicalize_rfc3986("https://a.org/a b") == "https://a.org/a%20b"
+    # %-escape of '%' itself survives
+    assert canonicalize_rfc3986("https://a.org/x%25y") == "https://a.org/x%25y"
+
+
 def test_url_type():
     assert url_type("https://a.org/x.PDF") == "pdf"
     assert url_type("https://a.org/x.pdf#sec") == "html"  # suffix test is literal
