@@ -449,6 +449,98 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# MinHash-LSH end-to-end near-dup dedup: the blocking shape that survives
+# 100 TB. Signatures -> band buckets -> in-bucket candidate pairs -> exact
+# Jaccard verify -> keep-min per duplicate. Planted near-dups (a mutated
+# copy of every 10th doc at doc_id + _LSH_OFFSET) guarantee the pipeline
+# exercises non-trivially: the planted pairs are NON-consecutive, so the
+# linear blocking of q_dedup_ngram_jaccard cannot find them by design.
+
+_LSH_OFFSET = 1_000_000
+_LSH_BANDS = ((0, 1), (2, 3))  # b=2 bands x r=2 rows over mh0..mh3
+_LSH_JAC_MIN = 500  # milli-Jaccard verify threshold
+
+
+def _lsh_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus a deterministic near-dup: every 10th doc re-appears
+    with one appended token (shingle sets differ by exactly one)."""
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _LSH_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup dedup. At 10^10-doc scale every
+    stage is a hash shuffle on a bounded key (band bucket / doc pair) —
+    never an all-pairs comparison: candidate generation touches only
+    docs sharing a band bucket, and the exact-Jaccard verify runs only
+    on those candidates."""
+    shingled = _with_shingles(_lsh_corpus(load(spark, sf, "documents")))
+    mh = shingled.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(sh, s -> md5(concat('{j}:', s))))").alias(f"mh{j}")
+            for j in range(4)
+        ],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(F.concat(F.col(f"mh{lo}"), F.col(f"mh{hi}"))).alias("band_key"),
+                    )
+                    for i, (lo, hi) in enumerate(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingled.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    scored = (
+        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                1000.0
+                * F.col("inter_cnt")
+                / (F.col("x.n_sh") + F.col("y.n_sh") - F.col("inter_cnt"))
+            ).cast("long").alias("jac_milli"),
+        )
+    )
+    return (
+        scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN)
+        .groupBy(F.col("doc_b").alias("dup_doc_id"))
+        .agg(F.min("doc_a").alias("keep_doc_id"), F.max("jac_milli").alias("jac_milli"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -823,6 +915,45 @@ FROM documents GROUP BY 1""",
 SELECT doc_id, {_MINHASH_COLS_DUCK}
 FROM documents WHERE len(string_split(text, ' ')) >= 3""",
     "dedup_simhash": _simhash_sql(),
+    "dedup_minhash_lsh": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_LSH_OFFSET}, text || ' zz' FROM documents WHERE doc_id % 10 = 0
+),
+mh AS (
+  SELECT doc_id, {_MINHASH_COLS_DUCK}
+  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(mh2 || mh3) AS band_key FROM mh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM corpus),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter_cnt
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(floor(1000.0 * i.inter_cnt / (x.n_sh + y.n_sh - i.inter_cnt)) AS BIGINT) AS jac_milli
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+)
+SELECT doc_b AS dup_doc_id, CAST(min(doc_a) AS BIGINT) AS keep_doc_id,
+       CAST(max(jac_milli) AS BIGINT) AS jac_milli
+FROM scored WHERE jac_milli >= {_LSH_JAC_MIN} GROUP BY doc_b""",
     "dedup_ngram_jaccard": f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
@@ -984,6 +1115,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
