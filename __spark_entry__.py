@@ -62,6 +62,142 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _review_fixture():
+    from crawler_spark.fixtures import make_web_graph
+
+    g = make_web_graph(**_E2E_FIXTURE)
+    src_a, src_b = sorted(u for u, _ in g.seeds)[:2]
+    return g, src_a, src_b
+
+
+def _review_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-workflow surface over REAL crawl state (J4/A8 + the
+    reference's approve/edit/delete mutations, services.py:317-357): run
+    the fixture crawl, approve one extract job, edit one summarize
+    summary, delete one source — then project the current jobs table
+    flat. Oracle = the same crawl + mutations simulated in pure Python."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.fixtures import web_graph_rows
+    from crawler_spark.jobs import (
+        approve_job_review_status,
+        delete_source,
+        edit_job_outcome_summary,
+        job_id_page,
+        job_id_source,
+    )
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.schemas import WEB_GRAPH
+
+    g, src_a, src_b = _review_fixture()
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    state_dir = tempfile.mkdtemp(prefix="review_wf_")
+    eng = CrawlEngine(spark, web_df, state_dir, policy=_E2E_POLICY)
+    eng.run(seeds=g.seeds)
+    approve_job_review_status(eng, job_id_page(src_a, "extract", 0))
+    edit_job_outcome_summary(eng, job_id_source(src_a, "summarize"), "edited summary")
+    delete_source(eng, src_b)
+    cur = eng.jobs()
+    return cur.select(
+        "job_id",
+        "source_url",
+        F.coalesce("page_url", F.lit("")).alias("page_url"),
+        "seq",
+        "kind",
+        "status",
+        "batch_id",
+        "revision",
+        F.coalesce(
+            F.col("extract_result.review_status"),
+            F.col("summarize_result.review_status"),
+            F.lit(""),
+        ).alias("review_status"),
+        F.coalesce(
+            F.col("extract_result.summary"), F.col("summarize_result.summary"), F.lit("")
+        ).alias("summary"),
+        F.coalesce(
+            F.col("extract_result.input_tokens"),
+            F.col("summarize_result.input_tokens"),
+            F.lit(-1),
+        ).alias("input_tokens"),
+        F.coalesce(
+            F.col("extract_result.output_tokens"),
+            F.col("summarize_result.output_tokens"),
+            F.lit(-1),
+        ).alias("output_tokens"),
+        F.coalesce(F.col("extract_result.relevancy"), F.lit("")).alias("relevancy"),
+        F.coalesce(F.col("summarize_result.data_origin"), F.lit("")).alias("data_origin"),
+        F.coalesce(F.col("extract_result.next_internal_link"), F.lit("")).alias("next_link"),
+        F.coalesce(F.col("error.message"), F.lit("")).alias("error_message"),
+        F.coalesce(F.length("scrape_result.markdown"), F.lit(-1)).alias("markdown_len"),
+    )
+
+
+def _review_workflow_oracle_sql() -> str:
+    """Pure-Python replay of _review_workflow: oracle crawl -> simulated
+    jobs -> the same three mutations -> the same flat projection, as an
+    inline VALUES table."""
+    from crawler_spark.jobs import (
+        REVIEW_APPROVED,
+        job_id_page,
+        job_id_source,
+        simulate_jobs,
+    )
+    from crawler_spark.oracle import crawl_many, make_policy
+
+    g, src_a, src_b = _review_fixture()
+    rows = simulate_jobs(crawl_many(g.seeds, g.web, make_policy(_E2E_POLICY)))
+
+    approve_id = job_id_page(src_a, "extract", 0)
+    edit_id = job_id_source(src_a, "summarize")
+    out = []
+    for r in rows:
+        if r["source_url"] == src_b:
+            continue  # deleted
+        r = dict(r)
+        if r["job_id"] == approve_id:
+            r["revision"] += 1
+            r["extract_result"] = dict(r["extract_result"], review_status=REVIEW_APPROVED)
+        if r["job_id"] == edit_id:
+            r["revision"] += 1
+            r["summarize_result"] = dict(r["summarize_result"], summary="edited summary")
+        ext, summ, err, scr = (
+            r["extract_result"], r["summarize_result"], r["error"], r["scrape_result"],
+        )
+        out.append(
+            "(%s, %s, %s, %d, %s, %s, %d, %d, %s, %s, %d, %d, %s, %s, %s, %s, %d)"
+            % (
+                _sql_str(r["job_id"]),
+                _sql_str(r["source_url"]),
+                _sql_str(r["page_url"] or ""),
+                r["seq"],
+                _sql_str(r["kind"]),
+                _sql_str(r["status"]),
+                r["batch_id"],
+                r["revision"],
+                _sql_str((ext or summ or {}).get("review_status", "")),
+                _sql_str((ext or summ or {}).get("summary", "")),
+                (ext or summ or {}).get("input_tokens", -1),
+                (ext or summ or {}).get("output_tokens", -1),
+                _sql_str(ext["relevancy"] if ext else ""),
+                _sql_str(summ["data_origin"] if summ else ""),
+                _sql_str((ext or {}).get("next_internal_link") or ""),
+                _sql_str(err["message"] if err else ""),
+                len(scr["markdown"]) if scr else -1,
+            )
+        )
+    return (
+        "SELECT job_id, source_url, page_url, CAST(seq AS BIGINT) AS seq, kind, status,\n"
+        "       CAST(batch_id AS BIGINT) AS batch_id, CAST(revision AS INT) AS revision,\n"
+        "       review_status, summary, CAST(input_tokens AS INT) AS input_tokens,\n"
+        "       CAST(output_tokens AS INT) AS output_tokens, relevancy, data_origin,\n"
+        "       next_link, error_message, CAST(markdown_len AS INT) AS markdown_len\n"
+        "FROM (VALUES\n  " + ",\n  ".join(out) + "\n) AS t(job_id, source_url, page_url, "
+        "seq, kind, status, batch_id, revision, review_status, summary, input_tokens, "
+        "output_tokens, relevancy, data_origin, next_link, error_message, markdown_len)"
+    )
+
+
 def _crawl_e2e_oracle_sql() -> str:
     """Run the dependency-free reference-loop oracle (pure Python, ~ms)
     over the crawl_e2e fixture and emit its crawl log as an inline VALUES
@@ -96,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(SPARK_QUERIES)
     out["crawl_e2e"] = _crawl_e2e
+    out["review_workflow"] = _review_workflow
     return out
 
 
@@ -104,4 +241,5 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLE_SQL)
     out["crawl_e2e"] = _crawl_e2e_oracle_sql()
+    out["review_workflow"] = _review_workflow_oracle_sql()
     return out

@@ -42,7 +42,9 @@ from ..state import SnapshotParquetStore
 
 __all__ = ["CrawlEngine"]
 
-_DELTA_TABLES = ("url_seen", "candidates", "docs", "crawl_log", "page_links")
+_DELTA_TABLES = (
+    "url_seen", "candidates", "docs", "crawl_log", "page_links", "jobs", "deleted_sources"
+)
 
 
 def _next_link_udf(policy_name: str):
@@ -352,6 +354,22 @@ class CrawlEngine:
             )
         )
 
+        # job rows for this batch: scrape (+error) / extract per pop,
+        # derived by the SAME pure field policies the oracle simulation
+        # uses (jobs.py) — tagged-union payload as nullable structs.
+        from ..jobs import build_page_jobs
+
+        jobs_delta = (
+            parsed.join(
+                chosen.select("source_url", "seq", "next_link"), ["source_url", "seq"], "left"
+            )
+            .select(
+                "source_url", "url", "seq", "ok", "markdown",
+                "internal_links", "external_links", "file_links", "next_link",
+            )
+            .mapInPandas(build_page_jobs(batch_id), schemas.JOBS)
+        )
+
         # fetched_ok / new_candidates are NOT counted here — they come free
         # from the manifest's per-table delta row counts (parquet footers),
         # read back by metrics(); two fewer Spark jobs per batch.
@@ -364,6 +382,7 @@ class CrawlEngine:
                 "docs": docs_delta,
                 "crawl_log": crawl_log_delta,
                 "page_links": page_links_delta,
+                "jobs": jobs_delta,
             },
             metrics={
                 "popped": n_popped,
@@ -387,29 +406,103 @@ class CrawlEngine:
             head = self.store.head()
         batch_id = head.batch_id
         batches = 0
+        done = False
         while batches < max_batches:
             batch_id += 1
             if self.step(batch_id) == 0:
+                done = True
                 break
             batches += 1
+        if done:
+            # reference emits CrawlJobResult + summarize job when the loop
+            # ends (entities.py:204-231) — only on completion, never on a
+            # max_batches cap mid-crawl
+            self._finalize_jobs()
         return batches
+
+    def _finalize_jobs(self) -> None:
+        """End-of-crawl jobs per source (crawl counters + summarize with
+        the keep-first top-5 external links). Idempotent: sources that
+        already have a crawl job are skipped, so a resumed run never
+        double-emits (the reference's ``if source.jobs: return`` guard,
+        services.py:291-292)."""
+        from ..jobs import build_source_jobs
+        from ..views import external_links_keepfirst
+
+        head = self.store.head()
+        batch_id = head.batch_id + 1
+        source_state = self.store.read("source_state")
+        have_crawl = (
+            self._read_or_empty("jobs")
+            .filter(F.col("kind") == "crawl")
+            .select("source_url")
+            .distinct()
+        )
+        ext_agg = (
+            external_links_keepfirst(
+                self._read_or_empty("crawl_log"), self._read_or_empty("page_links")
+            )
+            .groupBy("source_url")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("first_seq", "seq", "pos", "link"))),
+                    lambda s: s.getField("link"),
+                ).alias("ext_links")
+            )
+        )
+        fin = (
+            source_state.join(have_crawl, "source_url", "left_anti")
+            .join(ext_agg, "source_url", "left")
+            .select(
+                "source_url", "pages_crawled", "total_pages_found", "max_pages", "ext_links"
+            )
+        )
+        if fin.count() == 0:
+            return  # already finalized (resume of a completed crawl)
+        jobs_fin = fin.mapInPandas(build_source_jobs(batch_id), schemas.JOBS)
+        self.store.commit(
+            batch_id=batch_id,
+            full_tables={},
+            delta_tables={"jobs": jobs_fin},
+            metrics={"event": "finalize_jobs"},
+        )
 
     # -- result accessors ------------------------------------------------------
 
+    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read delete resolution for the append-only tables: a
+        delete_source commit adds a deleted_sources mark instead of
+        rewriting history; readers anti-join it (broadcast — the mark
+        table is O(deletes))."""
+        dels = self.store.read("deleted_sources")
+        if dels is None:
+            return df
+        return df.join(F.broadcast(dels.select("source_url")), "source_url", "left_anti")
+
     def crawl_log(self) -> DataFrame:
-        return self._read_or_empty("crawl_log")
+        return self._minus_deleted(self._read_or_empty("crawl_log"))
 
     def url_seen(self) -> DataFrame:
-        return self._read_or_empty("url_seen")
+        return self._minus_deleted(self._read_or_empty("url_seen"))
 
     def docs(self) -> DataFrame:
-        return self._read_or_empty("docs")
+        return self._minus_deleted(self._read_or_empty("docs"))
 
     def source_state(self) -> DataFrame:
         return self.store.read("source_state")
 
     def page_links(self) -> DataFrame:
-        return self._read_or_empty("page_links")
+        return self._minus_deleted(self._read_or_empty("page_links"))
+
+    def jobs_all(self) -> DataFrame:
+        """Raw jobs rows including superseded revisions and tombstones."""
+        return self._read_or_empty("jobs")
+
+    def jobs(self) -> DataFrame:
+        """Current job rows (latest revision, tombstones dropped)."""
+        from ..jobs import jobs_current
+
+        return jobs_current(self.jobs_all())
 
     def metrics(self) -> DataFrame:
         """Per-batch fetch/dedup metrics from the snapshot lineage (T6:

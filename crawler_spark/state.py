@@ -122,7 +122,10 @@ class SnapshotParquetStore:
 
         ``full_tables`` are rewritten (frontier, source_state — small or
         bucket-pruned); ``delta_tables`` append only the batch's rows and
-        inherit the parent's files. Re-committing the HEAD batch_id is a
+        inherit the parent's files. Parent tables mentioned in neither
+        dict carry forward verbatim (their files live under older
+        snapshot dirs) — a mutation commit touching one table stays
+        O(change), not O(tables). Re-committing the HEAD batch_id is a
         no-op returning the existing manifest.
         """
         head = self.head()
@@ -154,6 +157,12 @@ class SnapshotParquetStore:
                     "rows": parent_entry["rows"] + rows,
                     "delta_rows": rows,
                 }
+            if head is not None:
+                for tname, entry in head.tables.items():
+                    if tname not in tables:
+                        carried = dict(entry)
+                        carried.pop("delta_rows", None)
+                        tables[tname] = carried
             man = Manifest(snap_id, head.snapshot_id if head else None, batch_id, tables, metrics or {})
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 f.write(man.to_json())

@@ -73,8 +73,10 @@ def test_time_travel_reads_parent_snapshot(spark, tmp_path):
     n_mid = docs_mid.count() if docs_mid is not None else 0
     assert n_mid <= eng.docs().count()
     assert mid.tables["docs"]["rows"] == n_mid
-    # metrics recorded per batch
-    assert all("popped" in m.metrics for m in hist[1:])
+    # metrics recorded per batch: every drain batch has a pop count; the
+    # tail snapshot is the end-of-crawl finalize_jobs commit
+    assert all("popped" in m.metrics for m in hist[1:-1])
+    assert hist[-1].metrics.get("event") == "finalize_jobs"
 
 
 def test_crash_during_commit_leaves_head_intact(spark, tmp_path):
