@@ -38,6 +38,7 @@ __all__ = [
     "FakeDecodeBackend",
     "media_from_spans",
     "decode_metadata",
+    "image_features",
     "image_resize_features",
     "video_frame_sample",
 ]
@@ -178,41 +179,55 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def image_features(ref: str, payload: bytes | None, thumb: int, backend: DecodeBackend) -> dict | None:
+    """Per-image feature core (pure function — shared by the Spark UDF
+    and the pure-Python oracle generator in queries.py): decode -> resize
+    to a thumb x thumb grid (mean-pool) -> channel means + a 64-bit
+    average-hash (phash-style) for image near-dup detection."""
+    if payload is None:
+        return None
+    arr = backend.decode_image(payload)
+    h, w, _ = arr.shape
+    ys = (np.arange(thumb + 1) * h) // thumb
+    xs = (np.arange(thumb + 1) * w) // thumb
+    small = np.empty((thumb, thumb), dtype=np.float64)
+    for i in range(thumb):
+        for j in range(thumb):
+            small[i, j] = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (small > small.mean()).flatten()
+    phash = 0
+    for b in bits:
+        phash = (phash << 1) | int(b)
+    return {
+        "media_ref": ref,
+        "width": w,
+        "height": h,
+        "thumb_w": thumb,
+        "thumb_h": thumb,
+        "mean_r": float(arr[:, :, 0].mean()),
+        "mean_g": float(arr[:, :, 1].mean()),
+        "mean_b": float(arr[:, :, 2].mean()),
+        "phash": phash - (1 << 63),  # to signed long
+    }
+
+
 def image_resize_features(media: DataFrame, thumb: int = 8, backend: DecodeBackend | None = None) -> DataFrame:
-    """Decode -> resize to a thumb x thumb grid (mean-pool, pure numpy) ->
-    channel means + a 64-bit average-hash (phash-style) for near-dup
-    detection of images."""
+    """Arrow-batched image_features over the media table's image rows."""
     backend = backend or FakeDecodeBackend()
 
     def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_ref", "width", "height", "thumb_w", "thumb_h",
+                "mean_r", "mean_g", "mean_b", "phash")
         for pdf in it:
-            rows = {k: [] for k in ("media_ref", "width", "height", "thumb_w", "thumb_h",
-                                    "mean_r", "mean_g", "mean_b", "phash")}
-            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if payload is None:
-                    continue
-                arr = backend.decode_image(payload)
-                h, w, _ = arr.shape
-                ys = (np.arange(thumb + 1) * h) // thumb
-                xs = (np.arange(thumb + 1) * w) // thumb
-                small = np.empty((thumb, thumb), dtype=np.float64)
-                for i in range(thumb):
-                    for j in range(thumb):
-                        small[i, j] = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
-                bits = (small > small.mean()).flatten()
-                phash = 0
-                for b in bits:
-                    phash = (phash << 1) | int(b)
-                rows["media_ref"].append(ref)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["thumb_w"].append(thumb)
-                rows["thumb_h"].append(thumb)
-                rows["mean_r"].append(float(arr[:, :, 0].mean()))
-                rows["mean_g"].append(float(arr[:, :, 1].mean()))
-                rows["mean_b"].append(float(arr[:, :, 2].mean()))
-                rows["phash"].append(phash - (1 << 63))  # to signed long
-            yield pd.DataFrame(rows)
+            feats = [
+                f
+                for f in (
+                    image_features(ref, payload, thumb, backend)
+                    for ref, payload in zip(pdf["media_ref"], pdf["payload"])
+                )
+                if f is not None
+            ]
+            yield pd.DataFrame({c: [f[c] for f in feats] for c in cols})
 
     return media.filter(F.col("kind") == "image").mapInPandas(_feat, IMAGE_FEATURES_SCHEMA)
 

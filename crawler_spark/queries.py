@@ -690,6 +690,74 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: image decode -> resize -> phash over the media plumbing
+# ---------------------------------------------------------------------------
+
+N_IMAGES = 64
+
+
+def _image_refs() -> list[str]:
+    return [f"https://img.example.org/i{k}.png" for k in range(N_IMAGES)]
+
+
+def q_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal feature pipeline through the REAL Spark plumbing
+    (operators/multimodal.py): a media table of opaque binary payloads ->
+    Arrow-batched decode (FakeDecodeBackend — deterministic pure-numpy
+    synthesis; this container has no PIL/ffmpeg) -> mean-pool resize ->
+    channel means + 64-bit average-hash. The oracle precomputes the same
+    rows with the same pure function (image_features), PLANES-style."""
+    from .operators.multimodal import image_resize_features
+
+    media = spark.createDataFrame(
+        [(r, "image") for r in _image_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    feats = image_resize_features(media)
+    return feats.select(
+        "media_ref",
+        "width",
+        "height",
+        "phash",
+        F.floor(F.col("mean_r") * 1000).cast("long").alias("mean_r_milli"),
+        F.floor(F.col("mean_g") * 1000).cast("long").alias("mean_g_milli"),
+        F.floor(F.col("mean_b") * 1000).cast("long").alias("mean_b_milli"),
+    )
+
+
+def _image_phash_sql() -> str:
+    """Expected rows via the SAME pure feature function, embedded as
+    literals (numpy runs here at import, not in DuckDB)."""
+    import math
+
+    from .operators.multimodal import FakeDecodeBackend, image_features
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _image_refs():
+        payload = hashlib.md5(ref.encode()).hexdigest().encode("utf-8")
+        f = image_features(ref, payload, 8, backend)
+        rows.append(
+            "('%s', %d, %d, %d, %d, %d, %d)"
+            % (
+                ref,
+                f["width"],
+                f["height"],
+                f["phash"],
+                math.floor(f["mean_r"] * 1000),
+                math.floor(f["mean_g"] * 1000),
+                math.floor(f["mean_b"] * 1000),
+            )
+        )
+    return (
+        "SELECT media_ref, CAST(width AS INT) AS width, CAST(height AS INT) AS height,\n"
+        "       CAST(phash AS BIGINT) AS phash, CAST(mean_r_milli AS BIGINT) AS mean_r_milli,\n"
+        "       CAST(mean_g_milli AS BIGINT) AS mean_g_milli, CAST(mean_b_milli AS BIGINT) AS mean_b_milli\n"
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(media_ref, width, height, "
+        "phash, mean_r_milli, mean_g_milli, mean_b_milli)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
 
@@ -1010,6 +1078,7 @@ scored AS (
 )
 SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
+    "image_phash": _image_phash_sql(),
     "ann_lsh_search": None,  # filled below (needs the bucket expr)
     "sessionize": """
 WITH gapped AS (
@@ -1125,4 +1194,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "fingerprint": q_fingerprint,
+    "image_phash": q_image_phash,
 }

@@ -180,6 +180,30 @@ class SnapshotParquetStore:
         os.replace(head_tmp, self._head_path())
         return man
 
+    # -- compaction -----------------------------------------------------------
+
+    def compact(self, table: str, n_files: int = 1) -> Manifest:
+        """Rewrite a delta table's accumulated per-batch files into one
+        coalesced file set and commit it as a new snapshot (event:
+        compact). Bounds the file-count growth of long drains — a
+        10^4-batch crawl otherwise accumulates one directory per batch
+        per delta table. Reads are byte-identical afterwards; lineage
+        survives (the compaction is a normal child snapshot and older
+        manifests still reference the original files, so time travel
+        keeps working); subsequent delta commits append on top of the
+        compacted file set."""
+        head = self.head()
+        if head is None or table not in head.tables:
+            raise KeyError(f"no such table at HEAD: {table}")
+        df = self.read(table)
+        if df is None:  # zero files: nothing to compact
+            return head
+        return self.commit(
+            batch_id=head.batch_id + 1,
+            full_tables={table: df.coalesce(n_files)},
+            metrics={"event": "compact", "table": table},
+        )
+
     # -- read -----------------------------------------------------------------
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame | None:
