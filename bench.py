@@ -197,11 +197,15 @@ def main() -> None:
         queries[name] = round(time.monotonic() - t0, 3)
 
     # warm-up: JIT + python worker pool spin-up for the drain's stages,
-    # then best-of-2 timed runs (same discipline as tools/scaling.py —
-    # single-JVM local mode has high run-to-run JIT/GC variance)
+    # then best-of-N timed runs (same discipline as tools/scaling.py —
+    # single-JVM local mode has high run-to-run JIT/GC variance, and the
+    # sandbox host adds co-tenant noise: measured spread on IDENTICAL
+    # code is 5-12 s for the same drain, so a capability measure needs
+    # multiple reps)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     run_frontier_drain(spark, 100_000)
     drain = min(
-        (run_frontier_drain(spark, n_rows) for _ in range(2)),
+        (run_frontier_drain(spark, n_rows) for _ in range(reps)),
         key=lambda r: r["drain_sec"] + r["parse_sec"],
     )
     queries["frontier_drain"] = round(drain["drain_sec"] + drain["parse_sec"], 3)
