@@ -31,11 +31,13 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_search",
     "sessionize",
     "text_quality",
+    "image_phash",
     "topk_per_group",
     "semi_join_open_orders",
     "crawl_counters",

@@ -103,16 +103,22 @@ def schedule_batch(
     elif seen is not None:
         cand = cand.join(seen.select("url"), "url", "left_anti")
 
-    # 3. per-host priority top-K (quota-aware)
+    # 3. per-host priority top-K (quota-aware). The CONSTANT rank filter
+    # comes first so Catalyst plans a WindowGroupLimit (top-K pruned
+    # map-side BEFORE the shuffle+sort — at 10^8+ rows this is the
+    # difference between shuffling K rows per host per map partition and
+    # shuffling the whole frontier); the per-host quota (a column, not
+    # pushable) then tightens within that K. Sound because host_quotas
+    # caps every quota at default_k.
     w = Window.partitionBy("host").orderBy("priority", "seq")
-    ranked = cand.withColumn("rank", F.row_number().over(w))
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= default_k
+    )
     if quotas is not None:
         ranked = ranked.join(F.broadcast(quotas), "host", "left").withColumn(
             "quota", F.coalesce("quota", F.lit(default_k))
         )
         ranked = ranked.filter(F.col("rank") <= F.col("quota")).drop("quota")
-    else:
-        ranked = ranked.filter(F.col("rank") <= default_k)
 
     # 4. hot-host salting: seq-contiguous subgroups
     result = ranked.withColumn("salt", ((F.col("rank") - 1) / salt_span).cast("int"))

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "get_source",
+    "get_page",
     "failed_job_sources",
     "crawled_sources",
     "discovered_sources",
@@ -24,6 +26,29 @@ __all__ = [
     "external_links_keepfirst",
     "source_listing",
 ]
+
+
+def get_source(source_state: DataFrame, url_seen: DataFrame, url: str) -> DataFrame:
+    """Single-source lookup (services.py:241-247): the source row with its
+    page URLs collected — a key-equality filter Catalyst turns into a
+    pruned scan, plus one small aggregation."""
+    pages = (
+        url_seen.filter(F.col("source_url") == url)
+        .groupBy("source_url")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_seq", "url"))),
+                lambda s: s.getField("url"),
+            ).alias("page_urls")
+        )
+    )
+    return source_state.filter(F.col("source_url") == url).join(pages, "source_url", "left")
+
+
+def get_page(docs: DataFrame, url: str) -> DataFrame:
+    """Single-page lookup (services.py:249-253): the page's doc rows
+    (spans payload) by key equality."""
+    return docs.filter(F.col("doc_id") == url)
 
 
 def failed_job_sources(source_state: DataFrame, crawl_log: DataFrame) -> DataFrame:

@@ -53,6 +53,30 @@ def test_topk_window_uses_group_limit(spark):
     assert "WindowGroupLimit" in formatted_plan(q_topk_per_group(spark, SF))
 
 
+def test_schedule_topk_uses_group_limit_even_with_quotas(spark):
+    """The quota filter (rank <= quota, column vs column) is NOT pushable
+    into the window, so schedule_batch must emit the constant rank <=
+    default_k filter FIRST — Catalyst then plans a WindowGroupLimit that
+    prunes top-K map-side before the shuffle. Without it a 10^8-row
+    frontier is fully sorted per host."""
+    from crawler_spark.operators.politeness import broadcast_robots, host_quotas
+    from crawler_spark.operators.scheduler import schedule_batch
+    from crawler_spark.plans.inspect import formatted_plan
+
+    frontier = spark.createDataFrame(
+        [(f"https://q{i % 5}.org/p/{i}", f"q{i % 5}.org", 0, i, 0) for i in range(100)],
+        "url string, host string, priority int, seq long, url_hash long",
+    )
+    robots = spark.createDataFrame(
+        [("q0.org", [], 30_000)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    b = broadcast_robots(spark, robots)
+    quotas = host_quotas(spark, b, default_k=10)
+    out = schedule_batch(frontier, quotas=quotas, default_k=10)
+    assert "WindowGroupLimit" in formatted_plan(out)
+
+
 def test_scan_filter_stage_is_codegen(spark):
     df = (
         spark.read.parquet(f"{SF}/orders.parquet")

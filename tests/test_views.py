@@ -105,3 +105,21 @@ def test_source_listing_first_doc(crawl):
         if first_ok is not None:
             first_text = next((s.text for s in first_ok.spans if s.kind == "text"), None)
             assert row.first_summary == first_text
+
+
+def test_get_source_and_get_page_lookups(crawl):
+    from crawler_spark.views import get_page, get_source
+
+    g, oracle_out, eng = crawl
+    sc = oracle_out[0]
+    row = get_source(eng.source_state(), eng.url_seen(), sc.source_url).collect()
+    assert len(row) == 1
+    # page URLs in first-touch order = oracle pop order, deduped
+    seen_order = list(dict.fromkeys(sc.crawl_order))
+    assert list(row[0].page_urls) == seen_order
+    assert get_source(eng.source_state(), eng.url_seen(), "https://absent.org").count() == 0
+
+    first_ok = next(r for r in sc.records if r.ok)
+    page = get_page(eng.docs(), first_ok.url).collect()
+    assert len(page) == 1 and page[0].source_url == sc.source_url
+    assert [s.kind for s in page[0].spans] == [s.kind for s in first_ok.spans]
