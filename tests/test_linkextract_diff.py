@@ -1,0 +1,210 @@
+"""Differential guard for the vectorized-parse fast paths.
+
+The parse hot path (linkextract) is shared by the oracle AND the engine, so
+a semantics drift there would pass parity silently. This test pins the
+ORIGINAL (pre-optimization) helper implementations verbatim and checks the
+optimized module against them over an adversarial corpus + random fuzz.
+"""
+from __future__ import annotations
+
+import random
+import re
+from urllib.parse import urljoin, urlparse
+
+from crawler_spark.functions.linkextract import (
+    EXCLUDE_PATTERNS,
+    FILE_EXTENSIONS,
+    _is_excluded,
+    _is_file_url,
+    _is_internal,
+    build_spans_html,
+    classify_href,
+    extract_links,
+)
+from crawler_spark.functions.urlnorm import resolve
+
+# ---- reference (original) implementations, copied verbatim ----
+
+_EXCLUDE_RE_REF = [re.compile(p, re.IGNORECASE) for p in EXCLUDE_PATTERNS]
+
+
+def _is_excluded_ref(url: str) -> bool:
+    return any(rx.search(url) for rx in _EXCLUDE_RE_REF)
+
+
+def _is_file_url_ref(url: str) -> bool:
+    try:
+        path = urlparse(url.lower()).path
+    except ValueError:
+        return False
+    return any(path.endswith(ext) for ext in FILE_EXTENSIONS)
+
+
+def _is_internal_ref(url: str, base_url: str) -> bool:
+    try:
+        netloc = urlparse(url).netloc
+        return (not netloc) or netloc == urlparse(base_url).netloc
+    except ValueError:
+        return False
+
+
+def _resolve_ref(base_url: str, href: str) -> str:
+    try:
+        return urljoin(base_url, href)
+    except ValueError:
+        return href
+
+
+# ---- corpora ----
+
+HANDCRAFTED = [
+    "https://a.example.org/x.pdf",
+    "https://a.example.org/x.PDF",
+    "https://a.example.org/x.pdf?dl=1",
+    "https://a.example.org/x.pdf#frag",
+    "https://a.example.org/a.tar.gz",
+    "https://a.example.org/noext",
+    "https://a.example.org/dir.pdf/page",
+    "https://a.example.org/.pdf",
+    "https://a.example.org",
+    "https://a.example.org/",
+    "http://a.example.org/y.docx",
+    "ftp://files.example.org/y.zip",
+    "//protocol.relative/z.csv",
+    "/root/rel.txt",
+    "rel/path.rtf",
+    "../up/one.svg",
+    "./same.webp",
+    "?query=only",
+    "#frag-only",
+    "",
+    "https://user:pw@a.example.org:8443/p.png",
+    "https://a.example.org:443/p.jpeg",
+    "https://[::1]/v6.bmp",
+    "https://[::1:80/broken-bracket.gif",
+    "https://a.example.org/%2e%2e/traversal.ico",
+    "https://a.example.org/a%2Fb.csv",
+    "https://a.example.org/a b/c.txt",
+    "https://a.example.org/a\tb.txt",
+    "https://a.example.org/a\nb.pdf",
+    "https://A.EXAMPLE.ORG/UP.PDF",
+    "https://facebook.com/x.pdf",
+    "https://github.com/u/r/blob/main/d.pdf",
+    "https://github.com/u/r",
+    "mailto:x@y.z",
+    "tel:+123",
+    "javascript:void(0)",
+    "https://a.example.org/login",
+    "https://a.example.org/page#",
+    "https://a.example.org/./a/../b.pdf",
+    "/a/../b",
+    "/a/./b.pdf",
+    "/a/b/..",
+    "/a/b/.",
+    "/..",
+    "//",
+    "///x.pdf",
+    "a.pdf",
+    "https://other.example.net/x",
+    "https://a.example.org/x",
+    "HTTPS://a.example.org/x.pdf",
+    "https:///nohost.pdf",
+    "https://h/;params.pdf",
+    "https://h/p;v=1.pdf?b=2&a=1#f",
+]
+
+BASES = [
+    "https://a.example.org",
+    "https://a.example.org/sub/dir",
+    "https://user@b.example.net:8443",
+    "https://[::1]",
+]
+
+
+def _rand_urls(n: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    pieces = [
+        "https://", "http://", "//", "/", "./", "../", "", "h", "host.tld",
+        "a/b", ".pdf", ".ZIP", ".x", "?q=1", "#f", ":", "@", "%2F", "%zz",
+        "[", "]", " ", "\t", "..", ".", "login", "twitter.com", "#",
+        "?#", "?", "/.", "/..", ";", ";v=1", "%20", "\n",
+    ]
+    out = []
+    for _ in range(n):
+        out.append("".join(rng.choice(pieces) for _ in range(rng.randint(1, 8))))
+    return out
+
+
+CORPUS = HANDCRAFTED + _rand_urls(4000) + _rand_urls(4000, seed=23) + _rand_urls(2000, seed=101)
+
+
+def test_is_file_url_matches_reference():
+    for u in CORPUS:
+        assert _is_file_url(u) == _is_file_url_ref(u), repr(u)
+
+
+def test_is_excluded_matches_reference():
+    for u in CORPUS:
+        assert _is_excluded(u) == _is_excluded_ref(u), repr(u)
+
+
+def test_is_internal_matches_reference():
+    for b in BASES:
+        for u in CORPUS:
+            assert _is_internal(u, b) == _is_internal_ref(u, b), (repr(u), b)
+
+
+def test_resolve_matches_reference():
+    for b in BASES:
+        for u in CORPUS:
+            assert resolve(b, u) == _resolve_ref(b, u), (repr(u), b)
+
+
+def test_classify_and_extract_end_to_end():
+    """Whole-pipeline check: documents stitched from corpus hrefs produce
+    identical links + spans through the optimized path as through a
+    reconstruction using the reference helpers."""
+    for base in BASES[:2]:
+        html = "".join(
+            f'<a href="{u}">x</a><p>text {i}</p>' for i, u in enumerate(CORPUS[:400])
+        )
+        links = extract_links(html, base)
+        # reference reconstruction of the pipeline order
+        from crawler_spark.functions.urlnorm import normalize_url
+
+        ref_int, ref_ext, ref_file = [], [], []
+        seen = set()
+        for m in re.finditer(r'<a[^>]+href=["\']([^"\']+)["\'][^>]*>', html, re.I):
+            url = m.group(1).strip()
+            if not url or url == "#" or url.startswith("#"):
+                continue
+            if _is_excluded_ref(url):
+                continue
+            if not url.startswith(("http://", "https://")):
+                url = _resolve_ref(base, url)
+            if url in seen:
+                continue
+            seen.add(url)
+            normalized = normalize_url(url)
+            if normalized is None:
+                continue
+            if _is_file_url_ref(url):
+                ref_file.append(normalized)
+            elif _is_internal_ref(url, base):
+                ref_int.append(normalized)
+            else:
+                ref_ext.append(normalized)
+        assert links.internal == ref_int
+        assert links.external == ref_ext
+        assert links.file == ref_file
+        # spans still deterministic + offsets monotonic
+        spans, _ = build_spans_html(html, base)
+        offs = [s.offset for s in spans]
+        assert offs == sorted(offs)
+
+
+def test_classify_href_agrees_with_extract():
+    base = "https://a.example.org"
+    for u in CORPUS[:800]:
+        cat, norm = classify_href(u, base)
+        assert (cat is None) == (norm is None)
