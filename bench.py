@@ -35,6 +35,8 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_search",
+    "ann_ivf_search",
+    "dedup_embedding_lsh",
     "sessionize",
     "text_quality",
     "image_phash",

@@ -667,6 +667,88 @@ def q_ann_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
 
 
+def _cos_milli_col(va: str, vb: str):
+    """Integer-exact fixed-point cosine (milli) between two array<float>
+    columns — order-independent, so Spark and DuckDB agree bit-for-bit."""
+    dot = (
+        f"aggregate(zip_with({va}, {vb}, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return F.floor(
+        1000.0
+        * F.expr(dot)
+        / F.sqrt(
+            F.expr(_NORM_SQ.format(col=va)).cast("double")
+            * F.expr(_NORM_SQ.format(col=vb)).cast("double")
+        )
+    ).cast("long")
+
+
+_EMB_LSH_COS_MIN = 900  # milli-cosine verify threshold for near-dup
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup dedup, LSH-bucketed END-TO-END (the scale path
+    that replaces q_dedup_embedding_cosine's linear blocking): hyperplane
+    sign bucket -> in-bucket candidate pairs -> exact fixed-point cosine
+    verify -> keep min(vec_id) per duplicate. Planted dups (every 10th
+    vector re-appears at vec_id + 1e6) are NON-consecutive by construction,
+    so only bucket blocking can find them. At 10^10 scale each stage is a
+    hash shuffle on the bucket/pair key — candidate generation never
+    compares across buckets, and identical vectors provably share a bucket."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _LSH_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted).withColumn("bucket", F.expr(_bucket_expr_spark()))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+    return (
+        scored.filter(F.col("cos_milli") >= _EMB_LSH_COS_MIN)
+        .groupBy(F.col("id_b").alias("dup_vec_id"))
+        .agg(F.min("id_a").alias("keep_vec_id"), F.max("cos_milli").alias("cos_milli"))
+    )
+
+
+_IVF_NLIST = 8  # coarse centroids; nlist ~ sqrt(N) and nprobe>1 at scale
+
+
+def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN search: deterministic coarse centroids (first nlist
+    vectors by vec_id — a fixed coarse quantizer, the role k-means plays in
+    production IVF), every vector assigned to its max-cosine centroid via a
+    BROADCAST join (map-side, no shuffle), then the query probes ONLY its
+    own inverted list (nprobe=1) and ranks exact fixed-point cosine top-5.
+    At 10^10 scale the list id is the partition key: assignment is one
+    write shuffle, a probe reads one list instead of the corpus."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_NLIST)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
+        .withColumn("ark", F.row_number().over(w_assign))
+        .filter("ark = 1")
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = (
+        assigned.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qe"), F.col("cent_id").alias("qcent"))
+    )
+    probe = assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
+    scored = probe.select("vec_id", "cent_id", _cos_milli_col("embedding", "qe").alias("cos_milli"))
+    w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: per-user session ids from >30-minute inactivity
     gaps (lag + cumulative sum window), with per-session aggregates —
@@ -1164,6 +1246,74 @@ FROM scored QUALIFY rk <= 5"""
 ORACLE_SQL["ann_lsh_search"] = _lsh_search_sql()
 
 
+def _cos_milli_duck(va: str, vb: str) -> str:
+    """DuckDB spelling of _cos_milli_col (same fixed-point integers)."""
+    fixed = "CAST(floor(CAST({v}[i] AS DOUBLE) * 1000) AS BIGINT)"
+    rng = f"range(1, {EMB_DIM + 1})"
+    dot = f"list_sum(list_transform({rng}, i -> {fixed.format(v=va)} * {fixed.format(v=vb)}))"
+    na = f"list_sum(list_transform({rng}, i -> {fixed.format(v=va)} * {fixed.format(v=va)}))"
+    nb = f"list_sum(list_transform({rng}, i -> {fixed.format(v=vb)} * {fixed.format(v=vb)}))"
+    return f"CAST(floor(1000.0 * {dot} / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))) AS BIGINT)"
+
+
+def _bucket_sql_duck(col: str = "embedding") -> str:
+    """DuckDB spelling of _bucket_expr_spark (hyperplane sign bits)."""
+    bits = []
+    for j, signs in enumerate(PLANES):
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST(floor(CAST({col}[i] AS DOUBLE) * 1000) AS BIGINT) * ({arr}::BIGINT[])[i]))"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_LSH_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+bucketed AS (SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (SELECT id_a, id_b, {_cos_milli_duck("ea", "eb")} AS cos_milli FROM pairs)
+SELECT id_b AS dup_vec_id, CAST(min(id_a) AS BIGINT) AS keep_vec_id,
+       CAST(max(cos_milli) AS BIGINT) AS cos_milli
+FROM scored WHERE cos_milli >= {_EMB_LSH_COS_MIN} GROUP BY id_b"""
+
+
+def _ann_ivf_sql() -> str:
+    cosc = _cos_milli_duck("embedding", "ce")
+    cosq = _cos_milli_duck("embedding", "qe")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_NLIST}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {cosc} DESC, cent_id ASC) AS ark
+  FROM embeddings, cents
+  QUALIFY ark = 1
+),
+q AS (SELECT embedding AS qe, cent_id AS qcent FROM assigned ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT a.vec_id, a.cent_id, {cosq} AS cos_milli
+  FROM assigned a, q WHERE a.cent_id = q.qcent
+)
+SELECT vec_id, cent_id, cos_milli,
+       CAST(row_number() OVER (ORDER BY cos_milli DESC, vec_id ASC) AS INT) AS rk
+FROM scored QUALIFY rk <= 5"""
+
+
+ORACLE_SQL["dedup_embedding_lsh"] = _dedup_embedding_lsh_sql()
+ORACLE_SQL["ann_ivf_search"] = _ann_ivf_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_open_orders": q_semi_join_open_orders,
     "anti_join_no_orders": q_anti_join_no_orders,
@@ -1189,6 +1339,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_search": q_ann_lsh_search,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "ann_ivf_search": q_ann_ivf_search,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,

@@ -1,0 +1,90 @@
+"""Embedding near-dup via LSH buckets + IVF-flat ANN — the two
+bucketed-not-all-pairs similarity shapes over the embeddings table."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import (
+    _EMB_LSH_COS_MIN,
+    _IVF_NLIST,
+    _LSH_OFFSET,
+    load,
+    q_ann_ivf_search,
+    q_ann_lsh_search,
+    q_cosine_topk,
+    q_dedup_embedding_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_embedding_lsh_recovers_all_planted_dups(spark):
+    out = {r.dup_vec_id: r for r in q_dedup_embedding_lsh(spark, SF).collect()}
+    n_vecs = load(spark, SF, "embeddings").count()
+    planted_ids = list(range(0, n_vecs, 10))
+    # identical vectors share every hyperplane sign => guaranteed same
+    # bucket => 100% recall on planted dups (unlike minhash, no luck term)
+    for v in planted_ids:
+        r = out.get(v + _LSH_OFFSET)
+        assert r is not None, f"planted dup of vec {v} not recovered"
+        assert r.keep_vec_id <= v
+        assert r.cos_milli >= _EMB_LSH_COS_MIN
+    # and the verify gate keeps cosine honest for every emitted row
+    assert all(r.cos_milli >= _EMB_LSH_COS_MIN for r in out.values())
+
+
+def test_ivf_probe_is_subset_of_bruteforce_order(spark):
+    ivf = q_ann_ivf_search(spark, SF).collect()
+    assert [r.rk for r in ivf] == list(range(1, len(ivf) + 1))
+    # all results come from ONE inverted list (nprobe=1)
+    assert len({r.cent_id for r in ivf}) == 1
+    # the query vector (vec_id 0, a centroid itself) must rank first with
+    # cosine 1000 against itself
+    assert ivf[0].vec_id == 0 and ivf[0].cos_milli == 1000
+    # every IVF hit's cosine matches the brute-force score for that vec
+    brute = {r.vec_id: r.cos_milli for r in q_cosine_topk(spark, SF).collect()}
+    for r in ivf:
+        if r.vec_id in brute:
+            assert brute[r.vec_id] == r.cos_milli
+
+
+def test_ivf_assignment_covers_corpus_once(spark):
+    # rebuild the assignment stage standalone: every vector lands in
+    # exactly one inverted list and lists cover the corpus
+    from pyspark.sql import Window
+
+    from crawler_spark.queries import _cos_milli_col
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_NLIST)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
+        .withColumn("ark", F.row_number().over(w))
+        .filter("ark = 1")
+    )
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    # a centroid is its own nearest centroid (cos 1000 to itself)
+    own = assigned.filter(F.col("vec_id") < _IVF_NLIST)
+    assert all(r.cent_id == r.vec_id for r in own.collect())
+
+
+def test_lsh_bucket_join_plan_is_broadcast_free_shuffle_on_bucket(spark):
+    # the candidate join must hash-partition on the bucket key, never
+    # build an all-pairs cartesian
+    plan = q_dedup_embedding_lsh(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_queries_agree_on_top1(spark):
+    # LSH probe and IVF probe disagree on candidate sets but both must
+    # return the query vector itself as rank 1
+    lsh = q_ann_lsh_search(spark, SF).collect()
+    ivf = q_ann_ivf_search(spark, SF).collect()
+    assert lsh[0].vec_id == ivf[0].vec_id == 0
