@@ -23,6 +23,8 @@ __all__ = [
     "windowed_fetch_metrics",
     "run_stream_to_store",
     "read_windowed_metrics",
+    "streaming_host_sessions",
+    "run_session_stream",
 ]
 
 EVENT_SCHEMA = "ts timestamp, host string, url string, ok boolean, bytes long"
@@ -100,4 +102,125 @@ def read_windowed_metrics(spark: SparkSession, out_path: str) -> DataFrame:
         raw.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host crawl sessions (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "host string, session_start timestamp, session_end timestamp, "
+    "n_events long, ok_count long, bytes long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, okc long, byt long"
+
+
+def streaming_host_sessions(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    late_threshold: str = "2 minutes",
+) -> DataFrame:
+    """Per-host crawl sessionization as a CUSTOM STATEFUL streaming
+    operator (`applyInPandasWithState`) — the semantics no built-in
+    windowed agg expresses: a session is a maximal run of fetch events
+    with inter-event gaps <= ``gap_sec``, closed either by a larger gap
+    inside the data or by an EVENT-TIME TIMEOUT once the watermark passes
+    last_event + gap (so an idle host's open session flushes without
+    waiting for its next fetch, and state stays bounded).
+
+    Batch twin: queries.q_sessionize (lag + cumsum windows) — identical
+    boundary rule, cross-checked in tests. State per key is one 5-field
+    tuple: at 10^7 live hosts that is ~400 MB across the cluster, hash
+    partitioned by host, no shuffle beyond the groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _emit(host: str, st: tuple) -> "pd.DataFrame":
+        start, last, n, okc, byt = st
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "session_start": [pd.to_datetime(start, unit="s")],
+                "session_end": [pd.to_datetime(last, unit="s")],
+                "n_events": [n],
+                "ok_count": [okc],
+                "bytes": [byt],
+            }
+        )
+
+    def _fn(key, pdf_iter, state: "GroupState"):
+        host = key[0]
+        if state.hasTimedOut:
+            st = tuple(state.get)
+            state.remove()
+            yield _emit(host, st)
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+        open_s = tuple(state.get) if state.exists else None
+        for ts_ns, ok, byt in zip(
+            rows["ts"].astype("int64"), rows["ok"], rows["bytes"]
+        ):
+            ts = int(ts_ns) // 1_000_000_000
+            okv, bv = int(bool(ok)), int(byt)
+            if open_s is None:
+                open_s = (ts, ts, 1, okv, bv)
+            elif ts - open_s[1] > gap_sec:
+                yield _emit(host, open_s)
+                open_s = (ts, ts, 1, okv, bv)
+            else:
+                open_s = (
+                    open_s[0],
+                    max(open_s[1], ts),
+                    open_s[2] + 1,
+                    open_s[3] + okv,
+                    open_s[4] + bv,
+                )
+        state.update(open_s)
+        # flush the open session when the watermark passes last + gap;
+        # Spark requires the timeout to sit beyond the current watermark
+        state.setTimeoutTimestamp(
+            max((open_s[1] + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy("host")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    in_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    gap_sec: int = 1800,
+    max_files_per_trigger: int | None = None,
+):
+    """Drive streaming_host_sessions from a file source into the same
+    idempotent batch_id-directory sink run_stream_to_store uses.
+    ``max_files_per_trigger`` forces multi-batch execution so event-time
+    timeouts (which fire on the NEXT batch's watermark) are exercised."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sessions = streaming_host_sessions(reader.json(in_path), gap_sec=gap_sec)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(out_path, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(dest)
+
+    return (
+        sessions.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )

@@ -166,3 +166,130 @@ def test_stream_sink_replay_is_idempotent(spark, tmp_path):
     assert first == again == [("a.org", 1, 100), ("b.org", 1, 10)]
     # and the raw sink itself holds no appended duplicates either
     assert spark.read.parquet(out_dir).count() == 2
+
+
+def test_streaming_host_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes a
+    session; the event-time timeout flushes an idle host's open session
+    on a LATER batch once the watermark passes last_event + gap."""
+    import os as _os
+
+    from crawler_spark.streaming.events import run_session_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = [
+        {"ts": "2026-01-01T10:00:00", "host": "a.org", "url": "u1", "ok": True, "bytes": 100},
+        {"ts": "2026-01-01T10:00:10", "host": "a.org", "url": "u2", "ok": False, "bytes": 0},
+        {"ts": "2026-01-01T11:00:00", "host": "a.org", "url": "u3", "ok": True, "bytes": 50},
+        # sentinel pushes the watermark far past a.org's open session
+        {"ts": "2026-01-01T20:00:00", "host": "z.org", "url": "z1", "ok": True, "bytes": 1},
+    ]
+    batch2 = [
+        {"ts": "2026-01-01T20:00:30", "host": "z.org", "url": "z2", "ok": True, "bytes": 1},
+    ]
+    for name, rows, mtime in (("00.jsonl", batch1, 1000), ("01.jsonl", batch2, 2000)):
+        p = in_dir / name
+        with open(p, "w") as f:
+            for e in rows:
+                f.write(json.dumps(e) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    out_dir = str(tmp_path / "out")
+    q = run_session_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt"), out_dir,
+        gap_sec=1800, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r.session_start
+    )
+    a_rows = [r for r in rows if r.host == "a.org"]
+    # session 1 closed by the in-data gap: 2 events, 1 ok, 100 bytes
+    assert (
+        a_rows[0].session_start.strftime("%H:%M:%S"),
+        a_rows[0].session_end.strftime("%H:%M:%S"),
+        a_rows[0].n_events,
+        a_rows[0].ok_count,
+        a_rows[0].bytes,
+    ) == ("10:00:00", "10:00:10", 2, 1, 100)
+    # session 2 flushed by the event-time TIMEOUT on batch 2 (no further
+    # a.org data arrived — only the watermark moved)
+    assert (
+        a_rows[1].session_start.strftime("%H:%M:%S"),
+        a_rows[1].n_events,
+        a_rows[1].bytes,
+    ) == ("11:00:00", 1, 50)
+    assert len(a_rows) == 2
+    # z.org's session stays open (watermark never passes 20:00:30 + gap)
+    assert not [r for r in rows if r.host == "z.org"]
+
+
+def test_streaming_sessions_match_batch_boundary_rule(spark, tmp_path):
+    """The stateful operator's closed sessions obey the same >gap boundary
+    rule as the batch lag+cumsum sessionizer (queries.q_sessionize)."""
+    import os as _os
+
+    from crawler_spark.streaming.events import run_session_stream
+
+    rng_events = []
+    ts = 0
+    # deterministic gap pattern around the 60 s threshold
+    for k, gap in enumerate([10, 20, 100, 5, 61, 30, 600, 10, 59, 62]):
+        ts += gap
+        rng_events.append(
+            {
+                "ts": f"2026-01-01T10:{ts // 60:02d}:{ts % 60:02d}",
+                "host": "h.org",
+                "url": f"u{k}",
+                "ok": True,
+                "bytes": 1,
+            }
+        )
+    sentinel = {"ts": "2026-01-01T23:00:00", "host": "z.org", "url": "z", "ok": True, "bytes": 1}
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows, mtime in (
+        ("00.jsonl", rng_events + [sentinel], 1000),
+        ("01.jsonl", [dict(sentinel, url="z2", ts="2026-01-01T23:00:01")], 2000),
+    ):
+        p = in_dir / name
+        with open(p, "w") as f:
+            for e in rows:
+                f.write(json.dumps(e) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    out_dir = str(tmp_path / "out")
+    q = run_session_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt"), out_dir,
+        gap_sec=60, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.session_start.strftime("%H:%M:%S"), r.n_events)
+        for r in sorted(
+            spark.read.parquet(out_dir).filter("host = 'h.org'").collect(),
+            key=lambda r: r.session_start,
+        )
+    ]
+
+    # batch twin: lag + cumsum over the same rows
+    import pandas as pd
+
+    ts_list = []
+    t = 0
+    for gap in [10, 20, 100, 5, 61, 30, 600, 10, 59, 62]:
+        t += gap
+        ts_list.append(t)
+    s = pd.Series(ts_list)
+    new_sess = (s.diff() > 60).fillna(False).astype(int)
+    sess_id = new_sess.cumsum()
+    expected = [
+        (
+            f"10:{s[grp.index[0]] // 60:02d}:{s[grp.index[0]] % 60:02d}",
+            len(grp),
+        )
+        for _, grp in s.groupby(sess_id)
+    ]
+    assert got == expected
