@@ -46,6 +46,46 @@ def _parquet_rows(path: str) -> int:
         pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(path, "*.parquet"))
     )
 
+
+def _jsonable(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def _dir_stats(path: str) -> dict:
+    """Zone-map column stats for one parquet directory, harvested from the
+    footers Spark already wrote — min/max per top-level primitive column,
+    merged across files and row groups. No Spark job, no data read."""
+    stats: dict[str, list] = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested (spans etc.) — no zone map
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                if mn is None or mx is None:
+                    continue
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+    return stats
+
 __all__ = ["SnapshotParquetStore", "Manifest"]
 
 
@@ -142,20 +182,30 @@ class SnapshotParquetStore:
                 path = os.path.join(tmp, tname)
                 df.write.mode("overwrite").parquet(path)
                 rows = _parquet_rows(path)
-                tables[tname] = {"mode": "full", "files": [os.path.join(name, tname)], "rows": rows}
+                rel = os.path.join(name, tname)
+                tables[tname] = {
+                    "mode": "full",
+                    "files": [rel],
+                    "rows": rows,
+                    "stats": {rel: _dir_stats(path)},
+                }
             for tname, df in (delta_tables or {}).items():
                 parent_entry = (head.tables.get(tname) if head else None) or {"files": [], "rows": 0}
                 path = os.path.join(tmp, tname)
                 df.write.mode("overwrite").parquet(path)
                 rows = _parquet_rows(path)
                 files = list(parent_entry["files"])
+                stats = dict(parent_entry.get("stats", {}))
                 if rows > 0:
-                    files.append(os.path.join(name, tname))
+                    rel = os.path.join(name, tname)
+                    files.append(rel)
+                    stats[rel] = _dir_stats(path)
                 tables[tname] = {
                     "mode": "delta",
                     "files": files,
                     "rows": parent_entry["rows"] + rows,
                     "delta_rows": rows,
+                    "stats": stats,
                 }
             if head is not None:
                 for tname, entry in head.tables.items():
@@ -216,6 +266,54 @@ class SnapshotParquetStore:
             return None
         paths = [os.path.join(self.root, "snapshots", p) for p in entry["files"]]
         return self.spark.read.parquet(*paths)
+
+    def pruned_files(
+        self,
+        table: str,
+        col: str,
+        lo,
+        hi,
+        snapshot_id: int | None = None,
+    ) -> list[str] | None:
+        """Manifest-level zone-map pruning: the subset of a table's file
+        groups whose [min, max] for ``col`` overlaps [lo, hi]. Groups with
+        no recorded stats for the column are kept (conservative). None if
+        the table is absent."""
+        man = self.head() if snapshot_id is None else self.manifest(snapshot_id)
+        if man is None or table not in man.tables:
+            return None
+        entry = man.tables[table]
+        stats = entry.get("stats", {})
+        kept = []
+        for rel in entry["files"]:
+            rng = stats.get(rel, {}).get(col)
+            if rng is None or not (hi < rng[0] or lo > rng[1]):
+                kept.append(rel)
+        return kept
+
+    def read_pruned(
+        self,
+        table: str,
+        col: str,
+        lo,
+        hi,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Read only the file groups that can contain ``col BETWEEN lo AND
+        hi``, with the residual filter applied. At 10^4 delta batches a
+        point lookup (e.g. one url_hash bucket, one batch_id) opens the
+        matching directories instead of every batch's — the manifest is
+        the index, exactly the role Iceberg manifests play; parquet
+        row-group stats then prune further inside each file. Returns None
+        when no group can match (callers treat as empty, same contract as
+        an empty delta table)."""
+        from pyspark.sql import functions as F
+
+        rels = self.pruned_files(table, col, lo, hi, snapshot_id)
+        if not rels:
+            return None
+        paths = [os.path.join(self.root, "snapshots", p) for p in rels]
+        return self.spark.read.parquet(*paths).filter(F.col(col).between(lo, hi))
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

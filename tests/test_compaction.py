@@ -75,3 +75,71 @@ def test_long_drain_with_periodic_compaction_bounds_file_count(spark, tmp_path):
             assert len(store.head().tables["deleted_sources"]["files"]) == 1
     assert max_files <= K + 1
     assert len(_rows(store)) == 60
+
+
+# --- zone-map pruning (manifest min/max stats -> file skipping) ---
+
+
+def _seq_delta(spark, store, batch_id, lo, hi):
+    rows = [(f"https://h{i}.org/p", i, batch_id) for i in range(lo, hi)]
+    df = spark.createDataFrame(rows, "url string, seq long, batch_id long")
+    store.commit(batch_id=batch_id, full_tables={}, delta_tables={"crawl_log": df})
+
+
+def test_zone_map_prunes_to_single_file_group(spark, tmp_path):
+    store = SnapshotParquetStore(spark, str(tmp_path / "z1"))
+    for b in range(8):
+        _seq_delta(spark, store, b, b * 100, b * 100 + 100)
+    head = store.head()
+    entry = head.tables["crawl_log"]
+    assert len(entry["files"]) == 8
+    # every file group carries harvested footer stats for the scalar cols
+    for rel in entry["files"]:
+        st = entry["stats"][rel]
+        assert "seq" in st and "url" in st and "batch_id" in st
+
+    # point range inside batch 3's [300, 400) touches exactly one group
+    kept = store.pruned_files("crawl_log", "seq", 350, 360)
+    assert len(kept) == 1 and "v000004" in kept[0]
+
+    got = sorted(r.seq for r in store.read_pruned("crawl_log", "seq", 350, 360).collect())
+    want = sorted(
+        r.seq for r in store.read("crawl_log").filter("seq between 350 and 360").collect()
+    )
+    assert got == want == list(range(350, 361))
+
+    # boundary-spanning range keeps both adjacent groups, no more
+    assert len(store.pruned_files("crawl_log", "seq", 195, 205)) == 2
+    # out-of-range probe proves the no-match contract
+    assert store.pruned_files("crawl_log", "seq", 10_000, 10_001) == []
+    assert store.read_pruned("crawl_log", "seq", 10_000, 10_001) is None
+
+
+def test_zone_map_string_and_missing_stats_are_conservative(spark, tmp_path):
+    store = SnapshotParquetStore(spark, str(tmp_path / "z2"))
+    _seq_delta(spark, store, 0, 0, 10)
+    # string zone maps work too (url min/max recorded)
+    kept = store.pruned_files("crawl_log", "url", "https://h0.org/p", "https://h1.org/p")
+    assert kept == store.head().tables["crawl_log"]["files"]
+    # a column with no recorded stats keeps every group (conservative)
+    assert (
+        store.pruned_files("crawl_log", "no_such_col", 0, 1)
+        == store.head().tables["crawl_log"]["files"]
+    )
+
+
+def test_zone_map_survives_compaction(spark, tmp_path):
+    store = SnapshotParquetStore(spark, str(tmp_path / "z3"))
+    for b in range(6):
+        _seq_delta(spark, store, b, b * 10, b * 10 + 10)
+    store.compact("crawl_log")
+    entry = store.head().tables["crawl_log"]
+    assert len(entry["files"]) == 1
+    # the compacted group's stats span the whole range, so pruning still
+    # answers correctly (one group kept, rows filtered by the residual)
+    assert store.pruned_files("crawl_log", "seq", 25, 26) == entry["files"]
+    got = sorted(r.seq for r in store.read_pruned("crawl_log", "seq", 25, 26).collect())
+    assert got == [25, 26]
+    # appends after compaction get their own stats and prune again
+    _seq_delta(spark, store, 100, 1000, 1010)
+    assert len(store.pruned_files("crawl_log", "seq", 1005, 1006)) == 1
