@@ -40,6 +40,7 @@ HEADLINE = [
     "sessionize",
     "text_quality",
     "image_phash",
+    "video_frames",
     "topk_per_group",
     "semi_join_open_orders",
     "crawl_counters",

@@ -839,6 +839,58 @@ def _image_phash_sql() -> str:
     )
 
 
+N_VIDEOS = 32
+_FRAME_EVERY_N = 4
+
+
+def _video_refs() -> list[str]:
+    return [f"https://vid.example.org/v{k}.mp4" for k in range(N_VIDEOS)]
+
+
+def q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling through the real multimodal plumbing
+    (operators/multimodal.py::video_frame_sample): binary payloads ->
+    Arrow-batched decode (FakeDecodeBackend) -> every-Nth-frame sample ->
+    one row per sampled frame with its mean luminance (UDTF shape:
+    1 video -> F frame rows). Oracle = the same pure function as VALUES
+    literals, like image_phash."""
+    from .operators.multimodal import video_frame_sample
+
+    media = spark.createDataFrame(
+        [(r, "video") for r in _video_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    frames = video_frame_sample(media, every_n=_FRAME_EVERY_N)
+    return frames.select(
+        "media_ref",
+        "frame_idx",
+        F.floor(F.col("mean_lum") * 1000).cast("long").alias("mean_lum_milli"),
+    )
+
+
+def _video_frames_sql() -> str:
+    """Expected frame rows via the SAME deterministic decode, embedded as
+    literals (numpy runs here at import, not in DuckDB)."""
+    import math
+
+    from .operators.multimodal import FakeDecodeBackend
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _video_refs():
+        payload = hashlib.md5(ref.encode()).hexdigest().encode("utf-8")
+        frames = backend.decode_video_frames(payload, _FRAME_EVERY_N)
+        for i, fr in enumerate(frames):
+            rows.append(
+                "('%s', %d, %d)"
+                % (ref, i * _FRAME_EVERY_N, math.floor(float(fr.mean()) * 1000))
+            )
+    return (
+        "SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx,\n"
+        "       CAST(mean_lum_milli AS BIGINT) AS mean_lum_milli\n"
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(media_ref, frame_idx, mean_lum_milli)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -1161,6 +1213,7 @@ scored AS (
 SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
     "image_phash": _image_phash_sql(),
+    "video_frames": _video_frames_sql(),
     "ann_lsh_search": None,  # filled below (needs the bucket expr)
     "sessionize": """
 WITH gapped AS (
@@ -1347,4 +1400,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "fingerprint": q_fingerprint,
     "image_phash": q_image_phash,
+    "video_frames": q_video_frames,
 }
