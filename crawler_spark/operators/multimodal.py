@@ -254,3 +254,51 @@ def video_frame_sample(media: DataFrame, every_n: int = 4, backend: DecodeBacken
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, sample_rate int, n_samples int, duration_ms int, "
+    "mean_abs_milli long, zero_crossings int"
+)
+
+
+def audio_features(ref: str, payload: bytes | None, backend: DecodeBackend) -> dict | None:
+    """Per-clip audio feature core (pure function — shared by the Spark
+    UDF and the oracle literal generator): decode -> duration + mean
+    absolute amplitude (fixed-point milli) + zero-crossing count."""
+    if payload is None:
+        return None
+    samples, rate = backend.decode_audio(payload)
+    s = samples.astype(np.float64)
+    mean_abs = float(np.abs(s).mean()) if len(s) else 0.0
+    zc = int(np.sum(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0
+    return {
+        "media_ref": ref,
+        "sample_rate": int(rate),
+        "n_samples": int(len(s)),
+        "duration_ms": int(1000 * len(s) / rate),
+        "mean_abs_milli": int(np.floor(mean_abs * 1000)),
+        "zero_crossings": zc,
+    }
+
+
+def audio_feature_stats(media: DataFrame, backend: DecodeBackend | None = None) -> DataFrame:
+    """Arrow-batched audio_features over the media table's audio rows
+    (narrow — no shuffle, like the image/video stages)."""
+    backend = backend or FakeDecodeBackend()
+
+    def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_ref", "sample_rate", "n_samples", "duration_ms",
+                "mean_abs_milli", "zero_crossings")
+        for pdf in it:
+            feats = [
+                f
+                for f in (
+                    audio_features(ref, payload, backend)
+                    for ref, payload in zip(pdf["media_ref"], pdf["payload"])
+                )
+                if f is not None
+            ]
+            yield pd.DataFrame({c: [f[c] for f in feats] for c in cols})
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)

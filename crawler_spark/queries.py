@@ -896,6 +896,54 @@ def _video_frames_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+N_AUDIO = 32
+
+
+def _audio_refs() -> list[str]:
+    return [f"https://aud.example.org/a{k}.wav" for k in range(N_AUDIO)]
+
+
+def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature extraction through the real multimodal plumbing
+    (operators/multimodal.py::audio_feature_stats): binary payloads ->
+    Arrow-batched decode -> duration / amplitude / zero-crossing stats.
+    Completes the image/video/audio driver-checked trio; oracle = same
+    pure function as VALUES literals."""
+    from .operators.multimodal import audio_feature_stats
+
+    media = spark.createDataFrame(
+        [(r, "audio") for r in _audio_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    return audio_feature_stats(media).select(
+        "media_ref", "sample_rate", "n_samples", "duration_ms",
+        F.col("mean_abs_milli").cast("long").alias("mean_abs_milli"),
+        "zero_crossings",
+    )
+
+
+def _audio_stats_sql() -> str:
+    from .operators.multimodal import FakeDecodeBackend, audio_features
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _audio_refs():
+        payload = hashlib.md5(ref.encode()).hexdigest().encode("utf-8")
+        f = audio_features(ref, payload, backend)
+        rows.append(
+            "('%s', %d, %d, %d, %d, %d)"
+            % (ref, f["sample_rate"], f["n_samples"], f["duration_ms"],
+               f["mean_abs_milli"], f["zero_crossings"])
+        )
+    return (
+        "SELECT media_ref, CAST(sample_rate AS INT) AS sample_rate,\n"
+        "       CAST(n_samples AS INT) AS n_samples, CAST(duration_ms AS INT) AS duration_ms,\n"
+        "       CAST(mean_abs_milli AS BIGINT) AS mean_abs_milli,\n"
+        "       CAST(zero_crossings AS INT) AS zero_crossings\n"
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(media_ref, sample_rate, "
+        "n_samples, duration_ms, mean_abs_milli, zero_crossings)"
+    )
+
+
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting + char stats (whitespace tokenizer)."""
     docs = load(spark, sf, "documents")
@@ -1214,6 +1262,7 @@ SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
     "image_phash": _image_phash_sql(),
     "video_frames": _video_frames_sql(),
+    "audio_stats": _audio_stats_sql(),
     "ann_lsh_search": None,  # filled below (needs the bucket expr)
     "sessionize": """
 WITH gapped AS (
@@ -1401,4 +1450,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "image_phash": q_image_phash,
     "video_frames": q_video_frames,
+    "audio_stats": q_audio_stats,
 }

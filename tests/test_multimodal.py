@@ -94,3 +94,20 @@ def test_unknown_codec_backend_raises():
 
     with pytest.raises(NotImplementedError):
         DecodeBackend().decode_image(b"x")
+
+
+def test_audio_feature_stats(media):
+    from crawler_spark.operators.multimodal import audio_feature_stats, audio_features
+
+    rows = {r.media_ref: r for r in audio_feature_stats(media).collect()}
+    assert len(rows) == 10  # only the kind == 'audio' rows
+    assert all(".wav" in ref for ref in rows)
+    backend = FakeDecodeBackend()
+    for i in range(1, 30, 3):  # the audio rows of the fixture
+        ref = f"https://m.example.org/x{i}.wav"
+        exp = audio_features(ref, f"payload-{i}".encode(), backend)
+        got = rows[ref]
+        assert (got.sample_rate, got.n_samples, got.duration_ms,
+                got.mean_abs_milli, got.zero_crossings) == (
+            exp["sample_rate"], exp["n_samples"], exp["duration_ms"],
+            exp["mean_abs_milli"], exp["zero_crossings"])
