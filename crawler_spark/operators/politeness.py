@@ -23,7 +23,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RobotsTrie", "broadcast_robots", "robots_filter", "host_quotas"]
+__all__ = [
+    "RobotsTrie",
+    "broadcast_robots",
+    "robots_filter",
+    "host_quotas",
+    "parse_robots_txt",
+    "robots_rules_from_bodies",
+]
 
 
 class _TrieNode(dict):
@@ -124,3 +131,105 @@ def host_quotas(
         for h, d in delay.items()
     ]
     return spark.createDataFrame(rows or [("__none__", default_k)], "host string, quota int")
+
+
+# ---------------------------------------------------------------------------
+# raw robots.txt -> rules rows (closes the loop: fetched robots bodies ->
+# rules table -> broadcast tries)
+# ---------------------------------------------------------------------------
+
+ROBOTS_RULES_SCHEMA = (
+    "host string, disallow_prefixes array<string>, crawl_delay_ms int"
+)
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[list[str], int]:
+    """Parse one robots.txt body into (disallow_prefixes, crawl_delay_ms)
+    for ``user_agent``.
+
+    Deterministic simplified REP (RFC 9309 flavor): lines are grouped into
+    records by consecutive User-agent lines; the record with the MOST
+    SPECIFIC matching agent wins (exact match beats substring match beats
+    '*'; ties broken by longer agent token). Comments (#) and blank lines
+    stripped; empty Disallow values mean allow-all and are dropped;
+    Crawl-delay is seconds (int or decimal) -> ms, 0 when absent."""
+    # one record per User-agent block: (agents, disallows, delays) — a
+    # block with no rules is still a record (most-specific match with no
+    # rules = allow-all, RFC 9309 §2.2.1)
+    groups: list[tuple[list[str], list[str], list[float]]] = []
+    cur: tuple[list[str], list[str], list[float]] | None = None
+    expecting_agents = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            # blank line ends a record (classic REP): a following
+            # User-agent starts a NEW group, so an agents-only block
+            # stands alone as allow-all instead of absorbing the next
+            expecting_agents = False
+            continue
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not expecting_agents:
+                cur = ([], [], [])
+                groups.append(cur)
+            cur[0].append(val.lower())
+            expecting_agents = True
+            continue
+        expecting_agents = False
+        if cur is None:
+            continue  # rule lines before any User-agent: ignored
+        if key == "disallow" and val:
+            cur[1].append(val)
+        elif key == "crawl-delay":
+            try:
+                cur[2].append(float(val))
+            except ValueError:
+                pass
+
+    ua = user_agent.lower()
+    best: tuple[int, int] | None = None  # (specificity, agent_len)
+    best_group = None
+    for g_agents, dis, delays in groups:
+        for a in g_agents:
+            if a == ua:
+                spec = 2
+            elif a != "*" and a in ua:
+                spec = 1
+            elif a == "*":
+                spec = 0
+            else:
+                continue
+            key2 = (spec, len(a))
+            if best is None or key2 > best:
+                best = key2
+                best_group = (dis, delays)
+    if best_group is None:
+        return [], 0
+    dis, delays = best_group
+    delay_ms = int(delays[0] * 1000) if delays else 0
+    return list(dis), delay_ms
+
+
+def robots_rules_from_bodies(
+    bodies: DataFrame, user_agent: str = "*"
+) -> DataFrame:
+    """Distributed parse of fetched robots.txt bodies: (host, robots_txt)
+    -> ROBOTS_RULES_SCHEMA rows ready for broadcast_robots. Narrow
+    mapInPandas — at 10^7 hosts the parse is embarrassingly parallel and
+    only the resulting O(hosts-with-rules) table is collected."""
+
+    def _parse(it):
+        for pdf in it:
+            out = {"host": [], "disallow_prefixes": [], "crawl_delay_ms": []}
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                dis, delay = parse_robots_txt(body or "", user_agent)
+                out["host"].append(host)
+                out["disallow_prefixes"].append(dis)
+                out["crawl_delay_ms"].append(delay)
+            yield pd.DataFrame(out)
+
+    return bodies.mapInPandas(_parse, ROBOTS_RULES_SCHEMA)

@@ -85,3 +85,82 @@ def test_disallowed_seed_is_dropped(spark, tmp_path):
     hosts_fetched = {r.host for r in eng.crawl_log().collect()}
     assert blocked_host not in hosts_fetched
     assert hosts_fetched  # the unblocked source still crawled
+
+
+# --- raw robots.txt parsing -> rules rows -> tries (loop closed) ---
+
+
+def test_parse_robots_txt_groups_and_specificity():
+    from crawler_spark.operators.politeness import parse_robots_txt
+
+    body = """
+# comment-only line
+User-agent: *
+Disallow: /private
+Disallow:           # empty value = allow-all marker, dropped
+Crawl-delay: 2
+
+User-agent: crawlzilla
+User-agent: otherbot
+Disallow: /tmp
+Crawl-delay: 0.5
+
+User-agent: crawl
+Disallow: /only-substring
+"""
+    # generic agent -> the * group
+    assert parse_robots_txt(body, "someone") == (["/private"], 2000)
+    # exact match beats substring and *
+    assert parse_robots_txt(body, "crawlzilla") == (["/tmp"], 500)
+    # substring match ('crawl' in 'crawler9000') beats *
+    assert parse_robots_txt(body, "crawler9000") == (["/only-substring"], 0)
+    # second agent of a shared block gets the same rules
+    assert parse_robots_txt(body, "otherbot") == (["/tmp"], 500)
+
+
+def test_parse_robots_txt_empty_group_is_allow_all():
+    from crawler_spark.operators.politeness import parse_robots_txt
+
+    body = """
+User-agent: luckybot
+
+User-agent: *
+Disallow: /
+"""
+    # most specific match has no rules -> allow-all, NOT the * fallback
+    assert parse_robots_txt(body, "luckybot") == ([], 0)
+    assert parse_robots_txt(body, "anyone") == (["/"], 0)
+    # no groups at all / rules before any User-agent
+    assert parse_robots_txt("", "x") == ([], 0)
+    assert parse_robots_txt("Disallow: /loose\n", "x") == ([], 0)
+
+
+def test_robots_rules_from_bodies_feeds_filter(spark):
+    from crawler_spark.operators.politeness import (
+        broadcast_robots,
+        robots_filter,
+        robots_rules_from_bodies,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.org", "User-agent: *\nDisallow: /admin\nCrawl-delay: 1\n"),
+            ("b.org", None),  # fetch failed -> no rules
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_from_bodies(bodies)
+    got = {r.host: (list(r.disallow_prefixes), r.crawl_delay_ms) for r in rules.collect()}
+    assert got == {"a.org": (["/admin"], 1000), "b.org": ([], 0)}
+
+    bcast = broadcast_robots(spark, rules)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.org/admin/panel",),
+            ("https://a.org/public",),
+            ("https://b.org/anything",),
+        ],
+        "url string",
+    )
+    kept = sorted(r.url for r in robots_filter(urls, bcast).collect())
+    assert kept == ["https://a.org/public", "https://b.org/anything"]
