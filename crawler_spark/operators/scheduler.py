@@ -56,6 +56,7 @@ def schedule_batch(
     salt_span: int = 1000,
     n_bloom_parts: int = 64,
     canonicalize: bool = False,
+    seen_filter: str = "bloom",
 ) -> DataFrame:
     """Select this micro-batch's fetch set from the frontier.
 
@@ -68,6 +69,12 @@ def schedule_batch(
     re-deriving url_hash/host from the canonical form. Off by default —
     the engine canonicalizes at enqueue time, so drain-time input is
     normally already canonical.
+
+    seen_filter selects the prefilter blob kind carried in ``bloom``:
+    'bloom' (default) or 'cuckoo' (operators/cuckoo.py — same partition
+    contract, supports deletion so delete_source need not rebuild it).
+    Either way the exact anti-join resolves maybe-seens, so the scheduled
+    set is identical (test_schedule_with_cuckoo_filter_matches_bloom).
     """
     cand = frontier
     if canonicalize:
@@ -94,7 +101,11 @@ def schedule_batch(
     # multi-batch drain accumulates one leaked cache per batch.
     barrier = None
     if bloom is not None and seen is not None:
-        barrier = tagged = bloom_prefilter(cand, bloom, n_parts=n_bloom_parts).persist()
+        if seen_filter == "cuckoo":  # deletable variant, same blob contract
+            from .cuckoo import cuckoo_prefilter as _prefilter
+        else:
+            _prefilter = bloom_prefilter
+        barrier = tagged = _prefilter(cand, bloom, n_parts=n_bloom_parts).persist()
         tagged.count()
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -196,3 +196,36 @@ def test_drain_bucketed_equals_per_host(spark):
     per_host = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched).collect()}
     bucketed = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched, n_buckets=3).collect()}
     assert per_host == bucketed
+
+
+def test_schedule_with_cuckoo_filter_matches_bloom(spark):
+    """seen_filter='cuckoo' is a drop-in for the Bloom prefilter: the
+    exact anti-join resolves maybe-seens either way, so the scheduled
+    set is identical."""
+    from crawler_spark.operators.cuckoo import build_cuckoo
+
+    rows = []
+    for h in range(4):
+        for i in range(30):
+            rows.append((f"https://h{h}.org/p/{i}", f"h{h}.org", i % 3, h * 1000 + i))
+    frontier = _frontier_df(spark, rows)
+    seen = spark.createDataFrame(
+        [(f"https://h{h}.org/p/{i}",) for h in range(4) for i in range(0, 30, 2)],
+        "url string",
+    )
+    bloom = build_bloom(seen, n_parts=4, m_bits_per_part=1 << 16)
+    cuckoo = build_cuckoo(seen, n_parts=4)
+    via_bloom = {
+        (r.url, r.rank, r.salt)
+        for r in schedule_batch(
+            frontier, seen=seen, bloom=bloom, default_k=5, salt_span=2, n_bloom_parts=4
+        ).collect()
+    }
+    via_cuckoo = {
+        (r.url, r.rank, r.salt)
+        for r in schedule_batch(
+            frontier, seen=seen, bloom=cuckoo, default_k=5, salt_span=2,
+            n_bloom_parts=4, seen_filter="cuckoo",
+        ).collect()
+    }
+    assert via_cuckoo == via_bloom and via_bloom
