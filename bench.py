@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "image_phash",
     "video_frames",
+    "audio_stats",
     "topk_per_group",
     "semi_join_open_orders",
     "crawl_counters",
