@@ -42,12 +42,26 @@ class _TrieNode(dict):
 
 
 class RobotsTrie:
-    """Character-level prefix trie over a host's disallow prefixes.
-    A path is disallowed iff some disallow prefix is a prefix of it."""
+    """Character-level prefix trie over a host's disallow prefixes, plus
+    RFC 9309 wildcard rules: a Disallow value containing ``*`` (match any
+    run of chars) or ending in ``$`` (anchor at path end) compiles to a
+    regex checked after the trie. Plain prefixes stay on the O(|path|)
+    trie walk; wildcard rules are rare in real robots.txt, so the regex
+    list stays short. A path is disallowed iff some prefix rule prefixes
+    it or some wildcard rule matches it."""
 
     def __init__(self, prefixes: list[str]):
+        import re as _re
+
         self.root = _TrieNode()
+        self.wild: list = []
         for p in prefixes:
+            if "*" in p or p.endswith("$"):
+                anchored = p.endswith("$")
+                body = p[:-1] if anchored else p
+                pat = ".*".join(_re.escape(seg) for seg in body.split("*"))
+                self.wild.append(_re.compile(pat + ("$" if anchored else "")))
+                continue
             node = self.root
             for ch in p:
                 node = node.setdefault(ch, _TrieNode())
@@ -60,10 +74,10 @@ class RobotsTrie:
         for ch in path:
             node = node.get(ch)
             if node is None:
-                return False
+                break
             if node.terminal:
                 return True
-        return False
+        return any(rx.match(path) for rx in self.wild)
 
 
 def build_tries(robots_rows: list[dict]) -> dict[str, RobotsTrie]:

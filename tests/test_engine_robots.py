@@ -164,3 +164,22 @@ def test_robots_rules_from_bodies_feeds_filter(spark):
     )
     kept = sorted(r.url for r in robots_filter(urls, bcast).collect())
     assert kept == ["https://a.org/public", "https://b.org/anything"]
+
+
+def test_robots_wildcard_and_anchor_rules():
+    from crawler_spark.operators.politeness import RobotsTrie
+
+    t = RobotsTrie(["/private", "/*.php$", "/tmp*cache", "/exact$"])
+    # plain prefix still works
+    assert t.disallowed("/private/x") and not t.disallowed("/pub")
+    # '*.php$' blocks any path ending in .php, nothing else
+    assert t.disallowed("/a/b.php") and t.disallowed("/index.php")
+    assert not t.disallowed("/a/b.php5") and not t.disallowed("/a/php")
+    # mid-pattern wildcard
+    assert t.disallowed("/tmp/deep/cache") and t.disallowed("/tmpcache")
+    assert not t.disallowed("/tmp/deep/cach")
+    # '$' anchors an exact path
+    assert t.disallowed("/exact") and not t.disallowed("/exact/sub")
+    # regex metacharacters in rules are literal (escaped)
+    t2 = RobotsTrie(["/a.b*([x$"])
+    assert t2.disallowed("/a.bZZZ([x") and not t2.disallowed("/aXbZZZ([x")
