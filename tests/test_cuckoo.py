@@ -88,3 +88,39 @@ def test_delete_from_cuckoo_evicts_a_sources_urls(spark):
     assert all(survivors), "deletion created a false negative"
     evicted = np.mean([tagged[u] for (u,) in _urls(0, 300)])
     assert evicted < 0.05, evicted
+
+
+def test_deleted_source_urls_become_schedulable_again(spark):
+    """The operational story behind cuckoo deletion: delete_source evicts
+    a source's URLs from the seen prefilter AND the exact seen table, and
+    the next schedule_batch offers them again — no prefilter rebuild."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.scheduler import schedule_batch
+
+    all_urls = _urls(0, 400)
+    seen = spark.createDataFrame(all_urls, "url string")
+    blobs = build_cuckoo(seen, n_parts=N_PARTS)
+    frontier = (
+        spark.createDataFrame(
+            [(u, u.split("/")[2], 0, i) for i, (u,) in enumerate(all_urls)],
+            "url string, host string, priority int, seq long",
+        ).withColumn("url_hash", F.xxhash64("url"))
+    )
+    # everything seen: nothing scheduled
+    none = schedule_batch(
+        frontier, seen=seen, bloom=blobs, default_k=100,
+        n_bloom_parts=N_PARTS, seen_filter="cuckoo",
+    )
+    assert none.count() == 0
+
+    # delete_source semantics: drop source's URLs from seen + evict blobs
+    victims = spark.createDataFrame(_urls(0, 100), "url string")
+    seen_after = seen.join(victims, "url", "left_anti")
+    blobs_after = delete_from_cuckoo(blobs, victims, n_parts=N_PARTS)
+    again = schedule_batch(
+        frontier, seen=seen_after, bloom=blobs_after, default_k=100,
+        n_bloom_parts=N_PARTS, seen_filter="cuckoo",
+    )
+    rescheduled = {r.url for r in again.collect()}
+    assert rescheduled == {u for (u,) in _urls(0, 100)}

@@ -88,3 +88,28 @@ def test_ann_queries_agree_on_top1(spark):
     lsh = q_ann_lsh_search(spark, SF).collect()
     ivf = q_ann_ivf_search(spark, SF).collect()
     assert lsh[0].vec_id == ivf[0].vec_id == 0
+
+
+def test_ivf_plan_broadcasts_centroids_and_query(spark):
+    """The centroid-assignment join and the probe join must both be
+    broadcasts (small side = nlist centroids / 1 query row) — the
+    corpus-side scan is never shuffled for assignment."""
+    from crawler_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q_ann_ivf_search(spark, SF))
+    assert "Broadcast" in plan  # nested-loop broadcast for the free joins
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_plan_joins_on_bucket_key(spark):
+    """Candidate generation must be an EQUI hash join keyed on the bucket
+    (the blocking shape that scales) — never a cartesian/nested-loop
+    over the corpus. At test scale Catalyst picks BroadcastHashJoin for
+    the tiny side (correct size-based choice); past the broadcast
+    threshold the same plan becomes a shuffle join on the same key."""
+    from crawler_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q_dedup_embedding_lsh(spark, SF))
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin/SortMerge
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
