@@ -267,6 +267,55 @@ class SnapshotParquetStore:
         paths = [os.path.join(self.root, "snapshots", p) for p in entry["files"]]
         return self.spark.read.parquet(*paths)
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Iceberg-style snapshot retention: keep the most recent
+        ``keep_last`` manifests (HEAD's ancestry) and delete older
+        snapshot DIRECTORIES that no kept manifest references.
+
+        Delta tables make this subtle: a kept manifest's file list spans
+        many older snapshot dirs (each delta commit's files live under
+        its own dir), so expiration computes the union of files
+        referenced by every KEPT manifest and only removes dirs outside
+        it — time travel within the kept window keeps working, reads are
+        untouched, and a compaction followed by expire_snapshots
+        reclaims the pre-compaction delta dirs' space. Returns
+        {"kept": n, "deleted_dirs": [...]}. Resume-safe: HEAD and its
+        manifest chain are rewired so history() stops at the oldest kept
+        snapshot."""
+        history = self.history()
+        if len(history) <= keep_last:
+            return {"kept": len(history), "deleted_dirs": []}
+        kept = history[-keep_last:]
+        referenced: set[str] = set()
+        for man in kept:
+            name = f"v{man.snapshot_id:06d}"
+            referenced.add(name)
+            for entry in man.tables.values():
+                for rel in entry["files"]:
+                    referenced.add(rel.split(os.sep, 1)[0])
+        # oldest kept manifest becomes the new root of the chain
+        oldest = kept[0]
+        if oldest.parent_id is not None:
+            oldest = Manifest(
+                oldest.snapshot_id, None, oldest.batch_id, oldest.tables, oldest.metrics
+            )
+            mpath = os.path.join(
+                self.root, "snapshots", f"v{oldest.snapshot_id:06d}", "manifest.json"
+            )
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(oldest.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, mpath)
+        deleted = []
+        snap_root = os.path.join(self.root, "snapshots")
+        for d in sorted(os.listdir(snap_root)):
+            if d.startswith("v") and d not in referenced:
+                shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
+                deleted.append(d)
+        return {"kept": len(kept), "deleted_dirs": deleted}
+
     def pruned_files(
         self,
         table: str,

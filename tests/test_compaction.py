@@ -143,3 +143,42 @@ def test_zone_map_survives_compaction(spark, tmp_path):
     # appends after compaction get their own stats and prune again
     _seq_delta(spark, store, 100, 1000, 1010)
     assert len(store.pruned_files("crawl_log", "seq", 1005, 1006)) == 1
+
+
+# --- snapshot expiration (retention) ---
+
+
+def test_expire_snapshots_keeps_referenced_delta_dirs(spark, tmp_path):
+    """Old snapshot dirs referenced by kept delta manifests must survive
+    expiration; unreferenced ones are reclaimed; reads are unchanged."""
+    store = SnapshotParquetStore(spark, str(tmp_path / "e1"))
+    for b in range(10):
+        _delta(spark, store, b, [(f"https://s{b}.org", b)])
+    before = _rows(store)
+
+    out = store.expire_snapshots(keep_last=3)
+    assert out["kept"] == 3
+    # every delta dir is referenced by HEAD's file list -> NOTHING deletable
+    assert out["deleted_dirs"] == []
+    assert _rows(store) == before
+    # history is truncated to the kept window
+    hist = store.history()
+    assert len(hist) == 3 and hist[0].parent_id is None
+
+
+def test_expire_after_compaction_reclaims_old_dirs(spark, tmp_path):
+    store = SnapshotParquetStore(spark, str(tmp_path / "e2"))
+    for b in range(10):
+        _delta(spark, store, b, [(f"https://s{b}.org", b)])
+    before = _rows(store)
+    store.compact("deleted_sources")  # one coalesced file set at HEAD
+
+    out = store.expire_snapshots(keep_last=1)
+    # the compaction snapshot holds ALL rows itself, so none of the 10
+    # pre-compaction delta dirs is referenced: all reclaimed
+    assert len(out["deleted_dirs"]) == 10
+    assert _rows(store) == before
+    assert len(store.history()) == 1
+    # further commits work on the expired store
+    _delta(spark, store, 99, [("https://s99.org", 99)])
+    assert ("https://s99.org", 99) in _rows(store)
