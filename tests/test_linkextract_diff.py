@@ -208,3 +208,15 @@ def test_classify_href_agrees_with_extract():
     for u in CORPUS[:800]:
         cat, norm = classify_href(u, base)
         assert (cat is None) == (norm is None)
+
+
+def test_ws_collapse_fast_form_matches_original():
+    """The {2,}-run whitespace regex must produce byte-identical output to
+    the original [ \\t\\r\\f\\v]+ form on any input."""
+    from crawler_spark.functions.linkextract import _WS_RE, _WS_RE_REF
+
+    rng = random.Random(99)
+    pieces = [" ", "  ", "\t", "\r", "\f", "\v", "a", "bc", "\n", " \t ", ""]
+    for _ in range(5000):
+        s = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+        assert _WS_RE.sub(" ", s) == _WS_RE_REF.sub(" ", s), repr(s)
