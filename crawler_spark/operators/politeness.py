@@ -41,48 +41,96 @@ class _TrieNode(dict):
         self.terminal = False
 
 
+def _compile_wild(p: str):
+    import re as _re
+
+    anchored = p.endswith("$")
+    body = p[:-1] if anchored else p
+    pat = ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return _re.compile(pat + ("$" if anchored else ""))
+
+
 class RobotsTrie:
     """Character-level prefix trie over a host's disallow prefixes, plus
-    RFC 9309 wildcard rules: a Disallow value containing ``*`` (match any
-    run of chars) or ending in ``$`` (anchor at path end) compiles to a
-    regex checked after the trie. Plain prefixes stay on the O(|path|)
-    trie walk; wildcard rules are rare in real robots.txt, so the regex
-    list stays short. A path is disallowed iff some prefix rule prefixes
-    it or some wildcard rule matches it."""
+    RFC 9309 wildcard rules (``*`` = any run, trailing ``$`` = end
+    anchor) and ``Allow`` rules with longest-rule-wins precedence
+    (§2.2.2: the matching rule with the longest pattern wins; Allow wins
+    length ties).
 
-    def __init__(self, prefixes: list[str]):
-        import re as _re
+    Fast path (no allow rules): plain prefixes stay on the O(|path|)
+    trie walk with wildcard regexes checked after — any disallow hit
+    decides. With allow rules present the walk instead tracks the
+    LONGEST matching disallow (trie depth of the deepest terminal /
+    pattern length of wildcard hits) and compares it against the longest
+    matching allow."""
 
+    def __init__(self, prefixes: list[str], allow: list[str] | None = None):
         self.root = _TrieNode()
-        self.wild: list = []
+        self.wild: list = []  # (regex, pattern_len)
         for p in prefixes:
             if "*" in p or p.endswith("$"):
-                anchored = p.endswith("$")
-                body = p[:-1] if anchored else p
-                pat = ".*".join(_re.escape(seg) for seg in body.split("*"))
-                self.wild.append(_re.compile(pat + ("$" if anchored else "")))
+                self.wild.append((_compile_wild(p), len(p)))
                 continue
             node = self.root
             for ch in p:
                 node = node.setdefault(ch, _TrieNode())
             node.terminal = True
+        self.allow: list = []  # (matcher_kind, value/regex, pattern_len)
+        for p in allow or []:
+            if "*" in p or p.endswith("$"):
+                self.allow.append(("re", _compile_wild(p), len(p)))
+            else:
+                self.allow.append(("prefix", p, len(p)))
 
-    def disallowed(self, path: str) -> bool:
+    def _longest_disallow(self, path: str) -> int:
+        best = -1
         node = self.root
         if node.terminal:
-            return True
-        for ch in path:
+            best = 0
+        for depth, ch in enumerate(path, start=1):
             node = node.get(ch)
             if node is None:
                 break
             if node.terminal:
+                best = depth
+        for rx, plen in self.wild:
+            if rx.match(path) and plen > best:
+                best = plen
+        return best
+
+    def disallowed(self, path: str) -> bool:
+        if not self.allow:  # fast path: any disallow hit decides
+            node = self.root
+            if node.terminal:
                 return True
-        return any(rx.match(path) for rx in self.wild)
+            for ch in path:
+                node = node.get(ch)
+                if node is None:
+                    break
+                if node.terminal:
+                    return True
+            return any(rx.match(path) for rx, _ in self.wild)
+        dis = self._longest_disallow(path)
+        if dis < 0:
+            return False
+        best_allow = -1
+        for kind, m, plen in self.allow:
+            if plen > best_allow and (
+                path.startswith(m) if kind == "prefix" else m.match(path)
+            ):
+                best_allow = plen
+        return dis > best_allow  # tie -> Allow wins
 
 
 def build_tries(robots_rows: list[dict]) -> dict[str, RobotsTrie]:
-    """rows: {host, disallow_prefixes: list[str], crawl_delay_ms: int}."""
-    return {r["host"]: RobotsTrie(list(r["disallow_prefixes"])) for r in robots_rows}
+    """rows: {host, disallow_prefixes: list[str], crawl_delay_ms: int,
+    allow_prefixes?: list[str]} (allow optional for older tables)."""
+    return {
+        r["host"]: RobotsTrie(
+            list(r["disallow_prefixes"]), list(r.get("allow_prefixes") or [])
+        )
+        for r in robots_rows
+    }
 
 
 def broadcast_robots(spark: SparkSession, robots: DataFrame):
@@ -153,25 +201,28 @@ def host_quotas(
 # ---------------------------------------------------------------------------
 
 ROBOTS_RULES_SCHEMA = (
-    "host string, disallow_prefixes array<string>, crawl_delay_ms int"
+    "host string, disallow_prefixes array<string>, allow_prefixes array<string>, crawl_delay_ms int"
 )
 
 
-def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[list[str], int]:
-    """Parse one robots.txt body into (disallow_prefixes, crawl_delay_ms)
-    for ``user_agent``.
+def parse_robots_txt(
+    text: str, user_agent: str = "*"
+) -> tuple[list[str], list[str], int]:
+    """Parse one robots.txt body into (disallow_prefixes,
+    allow_prefixes, crawl_delay_ms) for ``user_agent``.
 
     Deterministic simplified REP (RFC 9309 flavor): lines are grouped into
     records by consecutive User-agent lines; the record with the MOST
     SPECIFIC matching agent wins (exact match beats substring match beats
     '*'; ties broken by longer agent token). Comments (#) and blank lines
-    stripped; empty Disallow values mean allow-all and are dropped;
+    stripped; empty Disallow/Allow values are dropped;
     Crawl-delay is seconds (int or decimal) -> ms, 0 when absent."""
-    # one record per User-agent block: (agents, disallows, delays) — a
+    # one record per User-agent block: (agents, disallows, allows,
+    # delays) — a
     # block with no rules is still a record (most-specific match with no
     # rules = allow-all, RFC 9309 §2.2.1)
-    groups: list[tuple[list[str], list[str], list[float]]] = []
-    cur: tuple[list[str], list[str], list[float]] | None = None
+    groups: list[tuple[list[str], list[str], list[str], list[float]]] = []
+    cur: tuple[list[str], list[str], list[str], list[float]] | None = None
     expecting_agents = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -188,7 +239,7 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[list[str], int]:
         val = val.strip()
         if key == "user-agent":
             if not expecting_agents:
-                cur = ([], [], [])
+                cur = ([], [], [], [])
                 groups.append(cur)
             cur[0].append(val.lower())
             expecting_agents = True
@@ -198,16 +249,18 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[list[str], int]:
             continue  # rule lines before any User-agent: ignored
         if key == "disallow" and val:
             cur[1].append(val)
+        elif key == "allow" and val:
+            cur[2].append(val)
         elif key == "crawl-delay":
             try:
-                cur[2].append(float(val))
+                cur[3].append(float(val))
             except ValueError:
                 pass
 
     ua = user_agent.lower()
     best: tuple[int, int] | None = None  # (specificity, agent_len)
     best_group = None
-    for g_agents, dis, delays in groups:
+    for g_agents, dis, allow, delays in groups:
         for a in g_agents:
             if a == ua:
                 spec = 2
@@ -220,12 +273,12 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[list[str], int]:
             key2 = (spec, len(a))
             if best is None or key2 > best:
                 best = key2
-                best_group = (dis, delays)
+                best_group = (dis, allow, delays)
     if best_group is None:
-        return [], 0
-    dis, delays = best_group
+        return [], [], 0
+    dis, allow, delays = best_group
     delay_ms = int(delays[0] * 1000) if delays else 0
-    return list(dis), delay_ms
+    return list(dis), list(allow), delay_ms
 
 
 def robots_rules_from_bodies(
@@ -238,11 +291,13 @@ def robots_rules_from_bodies(
 
     def _parse(it):
         for pdf in it:
-            out = {"host": [], "disallow_prefixes": [], "crawl_delay_ms": []}
+            out = {"host": [], "disallow_prefixes": [], "allow_prefixes": [],
+                   "crawl_delay_ms": []}
             for host, body in zip(pdf["host"], pdf["robots_txt"]):
-                dis, delay = parse_robots_txt(body or "", user_agent)
+                dis, allow, delay = parse_robots_txt(body or "", user_agent)
                 out["host"].append(host)
                 out["disallow_prefixes"].append(dis)
+                out["allow_prefixes"].append(allow)
                 out["crawl_delay_ms"].append(delay)
             yield pd.DataFrame(out)
 

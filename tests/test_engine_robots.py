@@ -109,13 +109,13 @@ User-agent: crawl
 Disallow: /only-substring
 """
     # generic agent -> the * group
-    assert parse_robots_txt(body, "someone") == (["/private"], 2000)
+    assert parse_robots_txt(body, "someone") == (["/private"], [], 2000)
     # exact match beats substring and *
-    assert parse_robots_txt(body, "crawlzilla") == (["/tmp"], 500)
+    assert parse_robots_txt(body, "crawlzilla") == (["/tmp"], [], 500)
     # substring match ('crawl' in 'crawler9000') beats *
-    assert parse_robots_txt(body, "crawler9000") == (["/only-substring"], 0)
+    assert parse_robots_txt(body, "crawler9000") == (["/only-substring"], [], 0)
     # second agent of a shared block gets the same rules
-    assert parse_robots_txt(body, "otherbot") == (["/tmp"], 500)
+    assert parse_robots_txt(body, "otherbot") == (["/tmp"], [], 500)
 
 
 def test_parse_robots_txt_empty_group_is_allow_all():
@@ -128,11 +128,11 @@ User-agent: *
 Disallow: /
 """
     # most specific match has no rules -> allow-all, NOT the * fallback
-    assert parse_robots_txt(body, "luckybot") == ([], 0)
-    assert parse_robots_txt(body, "anyone") == (["/"], 0)
+    assert parse_robots_txt(body, "luckybot") == ([], [], 0)
+    assert parse_robots_txt(body, "anyone") == (["/"], [], 0)
     # no groups at all / rules before any User-agent
-    assert parse_robots_txt("", "x") == ([], 0)
-    assert parse_robots_txt("Disallow: /loose\n", "x") == ([], 0)
+    assert parse_robots_txt("", "x") == ([], [], 0)
+    assert parse_robots_txt("Disallow: /loose\n", "x") == ([], [], 0)
 
 
 def test_robots_rules_from_bodies_feeds_filter(spark):
@@ -150,8 +150,11 @@ def test_robots_rules_from_bodies_feeds_filter(spark):
         "host string, robots_txt string",
     )
     rules = robots_rules_from_bodies(bodies)
-    got = {r.host: (list(r.disallow_prefixes), r.crawl_delay_ms) for r in rules.collect()}
-    assert got == {"a.org": (["/admin"], 1000), "b.org": ([], 0)}
+    got = {
+        r.host: (list(r.disallow_prefixes), list(r.allow_prefixes), r.crawl_delay_ms)
+        for r in rules.collect()
+    }
+    assert got == {"a.org": (["/admin"], [], 1000), "b.org": ([], [], 0)}
 
     bcast = broadcast_robots(spark, rules)
     urls = spark.createDataFrame(
@@ -183,3 +186,42 @@ def test_robots_wildcard_and_anchor_rules():
     # regex metacharacters in rules are literal (escaped)
     t2 = RobotsTrie(["/a.b*([x$"])
     assert t2.disallowed("/a.bZZZ([x") and not t2.disallowed("/aXbZZZ([x")
+
+
+def test_robots_allow_longest_match_precedence():
+    from crawler_spark.operators.politeness import RobotsTrie
+
+    t = RobotsTrie(["/private"], allow=["/private/public"])
+    assert t.disallowed("/private/x")
+    assert not t.disallowed("/private/public/x")  # longer Allow wins
+    assert not t.disallowed("/open")
+    # equal length -> Allow wins the tie (RFC 9309 §2.2.2)
+    t2 = RobotsTrie(["/a"], allow=["/a"])
+    assert not t2.disallowed("/a/x")
+    # longer Disallow beats shorter Allow
+    t3 = RobotsTrie(["/a/secret"], allow=["/a"])
+    assert t3.disallowed("/a/secret/x") and not t3.disallowed("/a/open")
+    # wildcard interplay: pattern LENGTH decides, not match length
+    t4 = RobotsTrie(["/*.php$"], allow=["/api/*.php$"])
+    assert t4.disallowed("/x.php") and not t4.disallowed("/api/v1.php")
+
+
+def test_robots_allow_parsed_from_body_end_to_end(spark):
+    from crawler_spark.operators.politeness import (
+        broadcast_robots,
+        robots_filter,
+        robots_rules_from_bodies,
+    )
+
+    bodies = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /docs\nAllow: /docs/public\n")],
+        "host string, robots_txt string",
+    )
+    bcast = broadcast_robots(spark, robots_rules_from_bodies(bodies))
+    urls = spark.createDataFrame(
+        [("https://a.org/docs/internal",), ("https://a.org/docs/public/x",),
+         ("https://a.org/home",)],
+        "url string",
+    )
+    kept = sorted(r.url for r in robots_filter(urls, bcast).collect())
+    assert kept == ["https://a.org/docs/public/x", "https://a.org/home"]
