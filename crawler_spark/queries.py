@@ -896,6 +896,62 @@ def _video_frames_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+N_ROBOTS = 40
+
+
+def _robots_body(k: int) -> str:
+    """Deterministic synthetic robots.txt body #k — covers plain
+    prefixes, Allow precedence, crawl-delay, wildcard rules, and an
+    agent-specific trailing group the '*' selection must skip."""
+    lines = ["# synthetic robots", "User-agent: *", f"Disallow: /private{k}"]
+    if k % 3 == 0:
+        lines.append(f"Allow: /private{k}/pub")
+    if k % 4 == 0:
+        lines.append("Crawl-delay: 2")
+    if k % 6 == 0:
+        lines.append("Disallow: /*.tmp$")
+    if k % 5 == 0:
+        lines += ["", "User-agent: specialbot", "Disallow: /"]
+    return "\n".join(lines)
+
+
+def q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed robots.txt parsing through the real politeness
+    plumbing (operators/politeness.py::robots_rules_from_bodies):
+    (host, body) rows -> per-host disallow/allow prefix lists +
+    crawl-delay, flattened to '|'-joined strings for the hash compare.
+    Oracle = the same pure parse function as VALUES literals."""
+    from .operators.politeness import robots_rules_from_bodies
+
+    bodies = spark.createDataFrame(
+        [(f"h{k}.example.org", _robots_body(k)) for k in range(N_ROBOTS)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_from_bodies(bodies)
+    return rules.select(
+        "host",
+        F.concat_ws("|", "disallow_prefixes").alias("disallow"),
+        F.concat_ws("|", "allow_prefixes").alias("allow"),
+        "crawl_delay_ms",
+    )
+
+
+def _robots_rules_sql() -> str:
+    from .operators.politeness import parse_robots_txt
+
+    rows = []
+    for k in range(N_ROBOTS):
+        dis, allow, delay = parse_robots_txt(_robots_body(k))
+        rows.append(
+            "('h%d.example.org', '%s', '%s', %d)"
+            % (k, "|".join(dis), "|".join(allow), delay)
+        )
+    return (
+        "SELECT host, disallow, allow, CAST(crawl_delay_ms AS INT) AS crawl_delay_ms\n"
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(host, disallow, allow, crawl_delay_ms)"
+    )
+
+
 N_AUDIO = 32
 
 
@@ -1263,6 +1319,7 @@ SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "image_phash": _image_phash_sql(),
     "video_frames": _video_frames_sql(),
     "audio_stats": _audio_stats_sql(),
+    "robots_rules": _robots_rules_sql(),
     "ann_lsh_search": None,  # filled below (needs the bucket expr)
     "sessionize": """
 WITH gapped AS (
@@ -1451,4 +1508,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash": q_image_phash,
     "video_frames": q_video_frames,
     "audio_stats": q_audio_stats,
+    "robots_rules": q_robots_rules,
 }
