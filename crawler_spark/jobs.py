@@ -346,10 +346,13 @@ def simulate_jobs(source_crawls) -> list[dict]:
 
 
 def jobs_current(jobs: DataFrame) -> DataFrame:
-    """Merge-on-read resolution: latest revision per job_id, tombstones
-    dropped. One window shuffle on job_id — the key is unique-per-job so
-    never skewed."""
-    w = Window.partitionBy("job_id").orderBy(F.desc("revision"))
+    """Merge-on-read resolution: latest (batch_id, revision) per job_id,
+    tombstones dropped. One window shuffle on job_id — the key is
+    unique-per-job so never skewed. batch_id leads the ordering so a
+    re-added source's fresh revision-0 jobs (written at a later batch)
+    shadow the old life's delete tombstones — job ids are deterministic
+    (md5 of source|kind|seq) and therefore collide across lives."""
+    w = Window.partitionBy("job_id").orderBy(F.desc("batch_id"), F.desc("revision"))
     return (
         jobs.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")

@@ -139,6 +139,60 @@ class CrawlEngine:
             metrics={"event": "init", "sources": len(seeds)},
         )
 
+    def add_sources(self, seeds: list[tuple[str, int]]) -> int:
+        """MERGE-style source add to EXISTING state (J9,
+        /root/reference/backend/service/services.py:28-39,304-311):
+        sources already present are skipped; new ones are seeded into the
+        frontier + source_state in one commit. Re-adding a previously
+        DELETED source is supported: the batch-scoped deleted_sources
+        mark hides only its old rows, so the new life crawls from a clean
+        slate (test_jobs.py::test_delete_then_readd_recrawls_cleanly).
+        Returns the number of sources actually added."""
+        head = self.store.head()
+        if head is None:
+            self.init_state(seeds)
+            return len(seeds)
+        spark = self.spark
+        batch_id = head.batch_id + 1
+        seed_df = spark.createDataFrame(
+            [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
+        )
+        state = self.store.read("source_state")
+        new = seed_df.join(state.select("source_url"), "source_url", "left_anti").persist()
+        n_new = new.count()
+        if n_new == 0:
+            new.unpersist()
+            return 0
+        frontier_new = self._robots_ok(
+            new.select(
+                F.col("source_url"),
+                F.col("source_url").alias("url"),
+                F.xxhash64("source_url").alias("url_hash"),
+                host_udf("source_url").alias("host"),
+                F.lit(0).alias("priority"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        state_new = new.select(
+            "source_url",
+            host_udf("source_url").alias("host"),
+            "max_pages",
+            F.lit(0).alias("pages_crawled"),
+            F.lit(1).cast("long").alias("total_pages_found"),
+            F.lit(1).cast("long").alias("next_enqueue_seq"),
+        )
+        self.store.commit(
+            batch_id=batch_id,
+            full_tables={
+                "frontier": self.store.read("frontier").unionByName(frontier_new),
+                "source_state": state.unionByName(state_new),
+            },
+            metrics={"event": "add_sources", "sources": n_new},
+        )
+        new.unpersist()
+        return n_new
+
     def _read_or_empty(self, table: str) -> DataFrame:
         df = self.store.read(table)
         if df is None:
@@ -155,8 +209,10 @@ class CrawlEngine:
 
         frontier = store.read("frontier")
         source_state = store.read("source_state")
-        url_seen = self._read_or_empty("url_seen")
-        candidates = self._read_or_empty("candidates")
+        # delete-RESOLVED reads: a re-added source must not be blocked by
+        # the stale seen/candidate rows of its deleted former life
+        url_seen = self.url_seen()
+        candidates = self.candidates()
 
         active = source_state.filter(F.col("pages_crawled") < F.col("max_pages"))
 
@@ -191,6 +247,7 @@ class CrawlEngine:
                 strip_fragment_udf("url").alias("url_nofrag"),
                 F.col("url_hash"),
                 F.col("pop_seq").alias("first_seq"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
             )
             .join(url_seen.select("source_url", "url"), ["source_url", "url"], "left_anti")
         )
@@ -233,6 +290,7 @@ class CrawlEngine:
                 F.col("link").alias("url"),
                 strip_fragment_udf("link").alias("url_nofrag"),
                 (F.coalesce(F.col("max_seq"), F.lit(-1)) + F.col("rank")).alias("cand_seq"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
             )
             .persist()
         )
@@ -319,7 +377,8 @@ class CrawlEngine:
 
         # output deltas
         docs_delta = ok.select(
-            F.col("url").alias("doc_id"), "source_url", "seq", "host", "spans"
+            F.col("url").alias("doc_id"), "source_url", "seq", "host", "spans",
+            F.lit(batch_id).cast("long").alias("batch_id"),
         )
         crawl_log_delta = (
             heads.select("source_url", F.col("pop_seq").alias("seq"), "url", "host")
@@ -352,6 +411,7 @@ class CrawlEngine:
                 F.col("z.category").alias("category"),
                 F.posexplode("z.links").alias("pos", "link"),
             )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
 
         # job rows for this batch: scrape (+error) / extract per pop,
@@ -426,22 +486,22 @@ class CrawlEngine:
         already have a crawl job are skipped, so a resumed run never
         double-emits (the reference's ``if source.jobs: return`` guard,
         services.py:291-292)."""
-        from ..jobs import build_source_jobs
+        from ..jobs import build_source_jobs, jobs_current
         from ..views import external_links_keepfirst
 
         head = self.store.head()
         batch_id = head.batch_id + 1
         source_state = self.store.read("source_state")
+        # jobs_current, not raw: a deleted source's tombstoned crawl job
+        # must not suppress finalize jobs for its re-added successor
         have_crawl = (
-            self._read_or_empty("jobs")
+            jobs_current(self._read_or_empty("jobs"))
             .filter(F.col("kind") == "crawl")
             .select("source_url")
             .distinct()
         )
         ext_agg = (
-            external_links_keepfirst(
-                self._read_or_empty("crawl_log"), self._read_or_empty("page_links")
-            )
+            external_links_keepfirst(self.crawl_log(), self.page_links())
             .groupBy("source_url")
             .agg(
                 F.transform(
@@ -472,12 +532,20 @@ class CrawlEngine:
     def _minus_deleted(self, df: DataFrame) -> DataFrame:
         """Merge-on-read delete resolution for the append-only tables: a
         delete_source commit adds a deleted_sources mark instead of
-        rewriting history; readers anti-join it (broadcast — the mark
-        table is O(deletes))."""
+        rewriting history; readers resolve it (broadcast — the mark table
+        is O(deletes)). The mark is BATCH-SCOPED: it hides only rows
+        written at or before the delete (row.batch_id <= mark.batch_id),
+        so a source deleted and later re-added (add_sources) keeps its
+        new life's rows visible while the old life stays tombstoned."""
         dels = self.store.read("deleted_sources")
         if dels is None:
             return df
-        return df.join(F.broadcast(dels.select("source_url")), "source_url", "left_anti")
+        cutoff = dels.groupBy("source_url").agg(F.max("batch_id").alias("_del_batch"))
+        return (
+            df.join(F.broadcast(cutoff), "source_url", "left")
+            .filter(F.col("_del_batch").isNull() | (F.col("batch_id") > F.col("_del_batch")))
+            .drop("_del_batch")
+        )
 
     def crawl_log(self) -> DataFrame:
         return self._minus_deleted(self._read_or_empty("crawl_log"))
@@ -487,6 +555,9 @@ class CrawlEngine:
 
     def docs(self) -> DataFrame:
         return self._minus_deleted(self._read_or_empty("docs"))
+
+    def candidates(self) -> DataFrame:
+        return self._minus_deleted(self._read_or_empty("candidates"))
 
     def source_state(self) -> DataFrame:
         return self.store.read("source_state")

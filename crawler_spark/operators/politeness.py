@@ -17,7 +17,7 @@ mandates both explicitly, so this module builds them to spec:
 
 from __future__ import annotations
 
-from urllib.parse import urlparse
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -162,14 +162,20 @@ def robots_filter(df: DataFrame, robots_bcast, url_col: str = "url", keep_denied
                 if u is None:
                     out.append(False)
                     continue
-                parsed = urlparse(u)
+                # urlsplit, not urlparse: .path keeps ';params', matching
+                # JVM parse_url PATH on the fast branch
+                parsed = urlsplit(u)
                 host, path = parsed.netloc, parsed.path
             trie = tries.get(host)
             out.append(True if trie is None else not trie.disallowed(path or "/"))
         return pd.Series(out, dtype=bool)
 
+    # AUTHORITY (= userinfo@host:port) matches urlparse().netloc — the key
+    # every robots table in this engine is built with (host_of()).  HOST
+    # would strip port/userinfo and silently fail-open for URLs carrying
+    # either.
     allowed = F.pandas_udf(_allowed, "boolean")(
-        F.parse_url(F.col(url_col), F.lit("HOST")),
+        F.parse_url(F.col(url_col), F.lit("AUTHORITY")),
         F.parse_url(F.col(url_col), F.lit("PATH")),
         F.col(url_col),
     )

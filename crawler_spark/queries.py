@@ -471,13 +471,45 @@ def _lsh_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(mutated)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup dedup. At 10^10-doc scale every
-    stage is a hash shuffle on a bounded key (band bucket / doc pair) —
-    never an all-pairs comparison: candidate generation touches only
-    docs sharing a band bucket, and the exact-Jaccard verify runs only
-    on those candidates."""
-    shingled = _with_shingles(_lsh_corpus(load(spark, sf, "documents")))
+def _lsh_expand_groups(members: DataFrame, edges: DataFrame) -> DataFrame:
+    """Lossless expansion of group-level verified pairs back to members.
+
+    ``members``: (doc_id, rep_id); ``edges``: directed rows
+    (rep_id, partner_min, score) meaning "every member of group rep_id is
+    a verified near-dup of every member of group partner_min", where
+    partner_min is that group's MINIMUM doc_id (= its rep). Exactness:
+    for member b, the naive all-members output is
+    min/max over qualifying partners a < b; within one partner group the
+    smallest member IS partner_min, so min(doc_a) = min of the partner
+    mins below b, and max(score) ranges over exactly the partner groups
+    whose min is below b. Row count is members x partner-groups — linear
+    in members, never quadratic in a group's size."""
+    return (
+        members.join(edges, "rep_id")
+        .filter(F.col("partner_min") < F.col("doc_id"))
+        .groupBy(F.col("doc_id").alias("dup_id"))
+        .agg(F.min("partner_min").alias("keep_id"), F.max("score").alias("score"))
+    )
+
+
+def _minhash_rep_pairs(docs: DataFrame):
+    """Candidate generation with the HOT-BUCKET GUARD: exact-duplicate
+    texts collapse to one representative (min doc_id per md5(text))
+    BEFORE the band self-join, so a degenerate bucket of N identical docs
+    contributes ONE rep instead of N^2/2 in-bucket pairs — the classic
+    LSH skew failure (boilerplate-heavy corpora) is structurally
+    impossible for identical payloads, with zero recall loss (the
+    expansion in _lsh_expand_groups is exact, nothing is capped or
+    dropped). Returns (members, groups, sizes, scored_rep_pairs)."""
+    keyed = docs.withColumn("ekey", F.md5("text"))
+    groups = keyed.groupBy("ekey").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("grp_n")
+    )
+    members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select("doc_id", "rep_id")
+    reps = keyed.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    shingled = _with_shingles(reps)
     mh = shingled.select(
         "doc_id",
         *[
@@ -534,10 +566,49 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("jac_milli"),
         )
     )
-    return (
-        scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN)
-        .groupBy(F.col("doc_b").alias("dup_doc_id"))
-        .agg(F.min("doc_a").alias("keep_doc_id"), F.max("jac_milli").alias("jac_milli"))
+    return members, groups, sizes, scored
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup dedup. At 10^10-doc scale every
+    stage is a hash shuffle on a bounded key (band bucket / doc pair) —
+    never an all-pairs comparison: candidate generation touches only
+    docs sharing a band bucket, the exact-Jaccard verify runs only on
+    those candidates, and the hot-bucket guard (_minhash_rep_pairs)
+    collapses identical texts to one representative so degenerate
+    buckets stay linear (tests/test_dedup_lsh.py::test_degenerate_bucket
+    plants 10^3 identical docs and counts candidate pairs)."""
+    members, groups, sizes, scored = _minhash_rep_pairs(
+        _lsh_corpus(load(spark, sf, "documents"))
+    )
+    ok_pairs = scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN)
+    edges = ok_pairs.select(
+        F.col("doc_a").alias("rep_id"),
+        F.col("doc_b").alias("partner_min"),
+        F.col("jac_milli").alias("score"),
+    ).unionByName(
+        ok_pairs.select(
+            F.col("doc_b").alias("rep_id"),
+            F.col("doc_a").alias("partner_min"),
+            F.col("jac_milli").alias("score"),
+        )
+    )
+    # within-group edges: identical shingle sets have Jaccard exactly
+    # 1000; the sizes inner join gates on >= 1 shingle (empty-shingle
+    # docs never share a band bucket in the naive pipeline either)
+    self_edges = (
+        groups.filter(F.col("grp_n") >= 2)
+        .join(sizes, groups.rep_id == sizes.doc_id, "left_semi")
+        .select(
+            "rep_id",
+            F.col("rep_id").alias("partner_min"),
+            F.lit(1000).cast("long").alias("score"),
+        )
+    )
+    return _lsh_expand_groups(members, edges.unionByName(self_edges)).select(
+        F.col("dup_id").alias("dup_doc_id"),
+        F.col("keep_id").alias("keep_doc_id"),
+        F.col("score").alias("jac_milli"),
     )
 
 
@@ -573,8 +644,14 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
         ).cast("long").alias("cos_milli"),
     )
+    # orderBy().limit() plans TakeOrderedAndProject — per-partition top-k
+    # merged on the driver, never a single-partition sort of the corpus
+    # (a global Window.orderBy would funnel every scored row through one
+    # task; plan asserted in test_plans_sources_streaming.py). rk is then
+    # ranked over the k surviving rows only.
+    top = scored.orderBy(F.desc("cos_milli"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 10")
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -663,8 +740,11 @@ def q_ann_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
             1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
         ).cast("long").alias("cos_milli"),
     )
+    # TakeOrderedAndProject, not a global window: even one bucket of a
+    # 10^10 corpus (~1/256) is far too big for a single-partition sort
+    top = scored.orderBy(F.desc("cos_milli"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def _cos_milli_col(va: str, vb: str):
@@ -701,15 +781,57 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + _LSH_OFFSET).alias("vec_id"), "embedding"
     )
-    corpus = emb.unionByName(planted).withColumn("bucket", F.expr(_bucket_expr_spark()))
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    corpus = emb.unionByName(planted)
+    # hot-bucket guard, same shape as _minhash_rep_pairs: identical
+    # vectors collapse to one representative before the bucket self-join,
+    # then _lsh_expand_groups restores member-level results losslessly
+    keyed = corpus.withColumn("ekey", F.md5(F.col("embedding").cast("string")))
+    groups = keyed.groupBy("ekey").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("grp_n")
+    )
+    members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select(
+        F.col("vec_id").alias("doc_id"), "rep_id"
+    )
+    reps = (
+        keyed.withColumnRenamed("vec_id", "doc_id")
+        .join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", "embedding")
+        .withColumn("bucket", F.expr(_bucket_expr_spark()))
+    )
+    a = reps.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = reps.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
-    return (
-        scored.filter(F.col("cos_milli") >= _EMB_LSH_COS_MIN)
-        .groupBy(F.col("id_b").alias("dup_vec_id"))
-        .agg(F.min("id_a").alias("keep_vec_id"), F.max("cos_milli").alias("cos_milli"))
+    ok_pairs = scored.filter(F.col("cos_milli") >= _EMB_LSH_COS_MIN)
+    edges = ok_pairs.select(
+        F.col("id_a").alias("rep_id"),
+        F.col("id_b").alias("partner_min"),
+        F.col("cos_milli").alias("score"),
+    ).unionByName(
+        ok_pairs.select(
+            F.col("id_b").alias("rep_id"),
+            F.col("id_a").alias("partner_min"),
+            F.col("cos_milli").alias("score"),
+        )
+    )
+    # within-group score via the SAME fixed-point formula (self-cosine:
+    # exactly what the naive pipeline computes for an identical pair —
+    # not hardcoded, so sqrt rounding matches bit-for-bit; zero vectors
+    # yield NULL and drop, as in the naive pipeline)
+    self_edges = (
+        groups.filter(F.col("grp_n") >= 2)
+        .join(reps.withColumnRenamed("doc_id", "rep_id").select("rep_id", "embedding"), "rep_id")
+        .select(
+            "rep_id",
+            F.col("rep_id").alias("partner_min"),
+            _cos_milli_col("embedding", "embedding").alias("score"),
+        )
+        .filter(F.col("score") >= _EMB_LSH_COS_MIN)
+    )
+    return _lsh_expand_groups(members, edges.unionByName(self_edges)).select(
+        F.col("dup_id").alias("dup_vec_id"),
+        F.col("keep_id").alias("keep_vec_id"),
+        F.col("score").alias("cos_milli"),
     )
 
 
@@ -745,8 +867,11 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     )
     probe = assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
     scored = probe.select("vec_id", "cent_id", _cos_milli_col("embedding", "qe").alias("cos_milli"))
+    # TakeOrderedAndProject over the probed inverted list — a 10^10/nlist
+    # list (~40 M rows) must never sort in one task
+    top = scored.orderBy(F.desc("cos_milli"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.desc("cos_milli"), F.asc("vec_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:

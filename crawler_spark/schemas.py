@@ -45,6 +45,7 @@ URL_SEEN = T.StructType(
         T.StructField("url_nofrag", T.StringType(), False),
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("first_seq", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -54,6 +55,7 @@ CANDIDATES = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("url_nofrag", T.StringType(), False),
         T.StructField("cand_seq", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -75,6 +77,7 @@ DOCS = T.StructType(
         T.StructField("seq", T.LongType(), False),
         T.StructField("host", T.StringType(), False),
         T.StructField("spans", SPANS_TYPE, False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -100,6 +103,7 @@ PAGE_LINKS = T.StructType(
         T.StructField("category", T.StringType(), False),  # internal|external|file
         T.StructField("pos", T.IntegerType(), False),
         T.StructField("link", T.StringType(), False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -191,7 +195,9 @@ JOBS = T.StructType(
 # merge-on-read delete marks for the delta-mode state tables (url_seen,
 # docs, crawl_log, page_links, candidates): a deleted source's rows are
 # filtered out at read time; frontier/source_state (full tables) are
-# rewritten at delete time.
+# rewritten at delete time. The mark is BATCH-SCOPED: it hides only rows
+# with batch_id <= the delete's batch_id, so a source re-added after a
+# delete (add_sources) gets a clean slate and its new rows stay visible.
 DELETED_SOURCES = T.StructType(
     [
         T.StructField("source_url", T.StringType(), False),

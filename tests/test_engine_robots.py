@@ -169,6 +169,42 @@ def test_robots_rules_from_bodies_feeds_filter(spark):
     assert kept == ["https://a.org/public", "https://b.org/anything"]
 
 
+def test_robots_filter_port_userinfo_and_params(spark):
+    """Lookup key = urlsplit().netloc (keeps port + userinfo), the same
+    key host_of() builds robots tables with; path keeps ';params'.
+    Regression: keying on parse_url HOST silently fail-opened for URLs
+    with an explicit port or userinfo."""
+    from crawler_spark.operators.politeness import broadcast_robots, robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.org:8080", ["/admin"], [], 0),
+            ("user@b.org", ["/priv"], [], 0),
+            ("c.org", ["/item;v=2"], [], 0),
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms int",
+    )
+    bcast = broadcast_robots(spark, rules)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.org:8080/admin/x",),   # port host: blocked
+            ("https://a.org/admin/x",),        # portless host: no rules
+            ("https://user@b.org/priv/y",),    # userinfo host: blocked
+            ("https://b.org/priv/y",),         # bare host: no rules
+            ("https://c.org/item;v=2/z",),     # ;params kept in path: blocked
+            ("https://c.org/item",),           # without params: allowed
+        ],
+        "url string",
+    )
+    kept = sorted(r.url for r in robots_filter(urls, bcast).collect())
+    assert kept == [
+        "https://a.org/admin/x",
+        "https://b.org/priv/y",
+        "https://c.org/item",
+    ]
+
+
 def test_robots_wildcard_and_anchor_rules():
     from crawler_spark.operators.politeness import RobotsTrie
 

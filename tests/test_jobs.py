@@ -168,3 +168,53 @@ def test_delete_source_cascades_and_survives_resume(spark, tmp_path):
     eng2.run()
     assert {r.source_url for r in eng2.source_state().collect()} == {survivor}
     assert victim not in {r.source_url for r in eng2.jobs().collect()}
+
+
+def test_delete_then_readd_recrawls_cleanly(spark, tmp_path):
+    """Batch-scoped delete marks: a source deleted and then RE-ADDED
+    (add_sources) recrawls from a clean slate — its new rows are visible,
+    its old life stays hidden, and finalize jobs are emitted again
+    despite the tombstoned crawl job sharing the same deterministic
+    job_id (jobs_current orders by batch_id before revision)."""
+    g = make_web_graph(n_hosts=2, pages_per_host=8, seed=5, max_pages=3)
+    web = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web, str(tmp_path / "readd"), policy="lexmin")
+    eng.run(seeds=g.seeds)
+    victim, victim_mp = g.seeds[0]
+
+    baseline = sorted(
+        (r.source_url, r.seq, r.url, r.ok)
+        for r in eng.crawl_log().collect()
+        if r.source_url == victim
+    )
+    base_jobs = {
+        (r.job_id, r.kind) for r in eng.jobs().collect() if r.source_url == victim
+    }
+    assert baseline and base_jobs
+
+    delete_source(eng, victim)
+    assert victim not in {r.source_url for r in eng.crawl_log().collect()}
+
+    # re-add: MERGE semantics (existing survivor is skipped), then recrawl
+    assert eng.add_sources(g.seeds) == 1
+    eng.run()
+
+    # the recrawl reproduces the first life exactly (same graph, same
+    # policy) and every table shows ONLY the new life's rows — no
+    # duplicates from the hidden old life, no rows lost to the mark
+    relog = sorted(
+        (r.source_url, r.seq, r.url, r.ok)
+        for r in eng.crawl_log().collect()
+        if r.source_url == victim
+    )
+    assert relog == baseline
+    seen_urls = [r.url for r in eng.url_seen().collect() if r.source_url == victim]
+    assert len(seen_urls) == len(set(seen_urls))
+    re_jobs = {
+        (r.job_id, r.kind) for r in eng.jobs().collect() if r.source_url == victim
+    }
+    assert re_jobs == base_jobs  # crawl+summarize finalize jobs included
+    # the other source kept exactly one life throughout
+    survivor = g.seeds[1][0]
+    sv = [r for r in eng.jobs().collect() if r.source_url == survivor and r.kind == "crawl"]
+    assert len(sv) == 1

@@ -77,6 +77,20 @@ def test_schedule_topk_uses_group_limit_even_with_quotas(spark):
     assert "WindowGroupLimit" in formatted_plan(out)
 
 
+def test_global_topk_uses_take_ordered(spark):
+    """The three global top-k queries (brute-force cosine, LSH bucket
+    probe, IVF list probe) must plan TakeOrderedAndProject — per-partition
+    top-k merged on the driver — NOT a global Window sort that funnels the
+    whole scored set (corpus / bucket / inverted list) through one task.
+    The only Window left in each plan runs AFTER the k-row limit."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_ann_ivf_search, q_ann_lsh_search, q_cosine_topk
+
+    for fn in (q_cosine_topk, q_ann_lsh_search, q_ann_ivf_search):
+        plan = formatted_plan(fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{fn.__name__}:\n{plan}"
+
+
 def test_scan_filter_stage_is_codegen(spark):
     df = (
         spark.read.parquet(f"{SF}/orders.parquet")
