@@ -133,7 +133,7 @@ def run_frontier_drain(
     t_bloom = time.monotonic() - t0
 
     t1 = time.monotonic()
-    scheduled = schedule_batch(
+    scheduled, barrier = schedule_batch(
         frontier,
         seen=seen,
         bloom=bloom,
@@ -144,7 +144,7 @@ def run_frontier_drain(
     )
     drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4).persist()
     n_scheduled = drained.count()
-    release_barrier(scheduled)  # drained is materialized; drop the fork cache
+    release_barrier(barrier)  # drained is materialized; drop the fork cache
     t_drain = time.monotonic() - t1
 
     # fetch+parse the drained batch: the engine's real span/link extraction

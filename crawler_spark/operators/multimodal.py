@@ -36,6 +36,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "DecodeBackend",
     "FakeDecodeBackend",
+    "CodecDecodeBackend",
     "media_from_spans",
     "decode_metadata",
     "image_features",
@@ -81,6 +82,76 @@ class DecodeBackend:
 
     def decode_video_frames(self, payload: bytes, every_n: int) -> np.ndarray:  # (F, H, W, C)
         raise NotImplementedError("no video codec in this environment")
+
+
+class CodecDecodeBackend(DecodeBackend):
+    """Real-codec backend, validated against the committed golden vectors
+    in tests/golden/media_vectors.json (tools/make_media_golden.py):
+
+    - images: PIL (``decode_image`` raises NotImplementedError when PIL is
+      absent — this sandbox — and the golden test skips; a production
+      environment runs it for real);
+    - audio: 16-bit PCM WAV via the stdlib ``wave`` module (no external
+      codec needed — validates everywhere). Contract: float32 samples in
+      [-1, 1) as int16/32768, channels mean-downmixed;
+    - video: YUV4MPEG2 (y4m) via a pure parser. Contract: grayscale
+      passthrough — frames are emitted as RGB with R=G=B=Y (the golden
+      clips carry U=V=128, where every YCbCr matrix agrees); a production
+      ffmpeg backend must use the same convention to match the vectors.
+
+    Each method covers its own format subset; anything else raises
+    NotImplementedError so environments validate exactly the subset they
+    can decode.
+    """
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - sandbox has no PIL
+            raise NotImplementedError("PIL not available") from e
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+            width, ch = w.getsampwidth(), w.getnchannels()
+        if width != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if ch > 1:
+            arr = arr.reshape(-1, ch).mean(axis=1).astype(np.float32)
+        return arr, rate
+
+    def decode_video_frames(self, payload: bytes, every_n: int) -> np.ndarray:
+        if not payload.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError("only y4m video is supported")
+        header, _, body = payload.partition(b"\n")
+        params = dict(
+            (p[:1], p[1:]) for p in header.split(b" ")[1:] if p
+        )
+        w, h = int(params[b"W"]), int(params[b"H"])
+        chroma = params.get(b"C", b"420jpeg")
+        y_len = w * h
+        c_len = 0 if chroma.startswith(b"mono") else (
+            y_len if chroma.startswith(b"444") else y_len // 4
+        )
+        frame_len = y_len + 2 * c_len
+        frames = []
+        pos = 0
+        while pos < len(body):
+            nl = body.index(b"\n", pos)  # FRAME marker line
+            data = body[nl + 1 : nl + 1 + frame_len]
+            y = np.frombuffer(data[:y_len], dtype=np.uint8).reshape(h, w)
+            frames.append(np.repeat(y[:, :, None], 3, axis=2))
+            pos = nl + 1 + frame_len
+        return np.stack(frames)[::every_n]
 
 
 class FakeDecodeBackend(DecodeBackend):

@@ -57,12 +57,17 @@ def schedule_batch(
     n_bloom_parts: int = 64,
     canonicalize: bool = False,
     seen_filter: str = "bloom",
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """Select this micro-batch's fetch set from the frontier.
 
     frontier: (url, url_hash, host, priority, seq, ...).
-    Returns the scheduled rows + (rank, salt) — per-host order preserved:
-    rank is the host-FIFO position, salt = (rank-1) // salt_span.
+    Returns ``(scheduled, barrier)``: the scheduled rows + (rank, salt) —
+    per-host order preserved: rank is the host-FIFO position,
+    salt = (rank-1) // salt_span — plus the persisted plan-fork barrier
+    (or None). Pass the barrier to ``release_barrier`` once the batch's
+    downstream action completes; returning it explicitly (instead of a
+    private attribute on the DataFrame) survives any transformation of
+    the result and makes the release obligation visible at the call site.
 
     canonicalize=True runs the RFC 3986 canonicalizer first (north rule:
     canonicalize -> xxhash64 -> seen filter), dropping invalid URLs and
@@ -96,7 +101,7 @@ def schedule_batch(
     # barrier Spark would recompute the prefilter (and everything upstream)
     # once per branch — persist+count pins it, exactly like the state
     # tables would already be materialized in the engine's batch loop.
-    # The cached blocks are released by release_barrier(result) — call it
+    # The cached blocks are released by release_barrier(barrier) — call it
     # once the batch's downstream action has completed, or a long
     # multi-batch drain accumulates one leaked cache per batch.
     barrier = None
@@ -119,11 +124,18 @@ def schedule_batch(
     # map-side BEFORE the shuffle+sort — at 10^8+ rows this is the
     # difference between shuffling K rows per host per map partition and
     # shuffling the whole frontier); the per-host quota (a column, not
-    # pushable) then tightens within that K. Sound because host_quotas
-    # caps every quota at default_k.
+    # pushable) then tightens within that K. The constant is
+    # max(default_k, max quota) — one tiny aggregation over the O(hosts-
+    # with-rules) quota table — so a caller-supplied quota above
+    # default_k is honored instead of silently truncated.
+    k_cap = default_k
+    if quotas is not None:
+        max_quota = quotas.agg(F.max("quota")).first()[0]
+        if max_quota is not None:
+            k_cap = max(default_k, int(max_quota))
     w = Window.partitionBy("host").orderBy("priority", "seq")
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= default_k
+        F.col("rank") <= k_cap
     )
     if quotas is not None:
         ranked = ranked.join(F.broadcast(quotas), "host", "left").withColumn(
@@ -133,18 +145,16 @@ def schedule_batch(
 
     # 4. hot-host salting: seq-contiguous subgroups
     result = ranked.withColumn("salt", ((F.col("rank") - 1) / salt_span).cast("int"))
-    result._schedule_barrier = barrier  # released via release_barrier()
-    return result
+    return result, barrier
 
 
-def release_barrier(scheduled: DataFrame) -> None:
-    """Unpersist the plan-fork barrier cached by schedule_batch. Call after
-    the batch's downstream action completes (the cache must stay alive
-    while the scheduled DataFrame is still being computed from)."""
-    barrier = getattr(scheduled, "_schedule_barrier", None)
+def release_barrier(barrier: DataFrame | None) -> None:
+    """Unpersist the plan-fork barrier returned by schedule_batch. Call
+    after the batch's downstream action completes (the cache must stay
+    alive while the scheduled DataFrame is still being computed from).
+    None (no prefilter configured) is a no-op."""
     if barrier is not None:
         barrier.unpersist()
-        scheduled._schedule_barrier = None
 
 
 _DRAIN_SUFFIX = ", fetch_order int, content_hash long"

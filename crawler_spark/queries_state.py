@@ -1,0 +1,561 @@
+"""Driver-checked queries over REAL crawl state — the SURVEY.md §2 view
+surface (J5/J6/J7/J8, A4/A5, A6/A7), retry routing (T5), and streaming
+sessionization, each as a `queries()` entry with a DuckDB-checkable oracle.
+
+Pattern (same as `review_workflow` in __spark_entry__.py): run the shared
+deterministic fixture crawl ONCE per Spark session (cached), evaluate the
+DataFrame view over its state tables, and emit the expectation as an
+inline VALUES table produced by a pure-Python replay of the same fixture
+through the reference-loop oracle (crawler_spark/oracle.py) plus the same
+pure field policies (jobs.extract_fields / summarize_fields) the engine
+uses — so the driver's rows+schema+hash compare applies to every view.
+
+Reference parity targets:
+- failed/crawled/discovered/in-progress views:
+  /root/reference/backend/database/repositories.py:184-318
+- page summaries + external-link keep-first:
+  /root/reference/backend/domain/entities.py:214-261
+- chat listing/read_sources:
+  /root/reference/backend/service/chatbot_service.py:13-109
+- retry routing: the reference's 3-attempt retry loop,
+  /root/reference/backend/nlp_processing/structured_completion.py:19-36
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from datetime import datetime, timezone
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE = dict(n_hosts=6, pages_per_host=10, seed=11, max_pages=4)
+POLICY = "lexmin"
+# added AFTER the crawl completes and never stepped: exercises the
+# discovered (J7) / in-progress (J8) branches with a jobless source
+ADDED_SOURCE = "https://added.example.org"
+ADDED_MAX_PAGES = 5
+
+_ENGINE_CACHE: dict[int, object] = {}
+
+
+def fixture_engine(spark: SparkSession):
+    """The shared fixture crawl, run once per Spark session. Read-only
+    consumers only — mutation queries (review_workflow) use their own
+    state dir."""
+    key = id(spark)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        from .fixtures import make_web_graph, web_graph_rows
+        from .operators.frontier import CrawlEngine
+        from .schemas import WEB_GRAPH
+
+        g = make_web_graph(**FIXTURE)
+        web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+        eng = CrawlEngine(
+            spark, web_df, tempfile.mkdtemp(prefix="viewsfx_"), policy=POLICY
+        )
+        eng.run(seeds=g.seeds)
+        eng.add_sources([(ADDED_SOURCE, ADDED_MAX_PAGES)])
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
+@lru_cache(maxsize=1)
+def _oracle_run():
+    from .fixtures import make_web_graph
+    from .oracle import crawl_many, make_policy
+
+    g = make_web_graph(**FIXTURE)
+    return g, crawl_many(g.seeds, g.web, make_policy(POLICY))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# J5/J6/J7/J8 — source_state-shaped views
+# ---------------------------------------------------------------------------
+
+_STATE_COLS = (
+    "source_url", "host", "max_pages", "pages_crawled",
+    "total_pages_found", "next_enqueue_seq",
+)
+
+
+def _source_state_replay() -> list[dict]:
+    """source_state after the fixture run + add_sources, via the oracle:
+    pages_crawled = pops, next_enqueue_seq = 1 + enqueues."""
+    from .functions.urlnorm import host_of
+
+    g, crawls = _oracle_run()
+    rows = []
+    for sc in crawls:
+        rows.append(
+            {
+                "source_url": sc.source_url,
+                "host": host_of(sc.source_url),
+                "max_pages": sc.max_pages,
+                "pages_crawled": sc.pages_crawled,
+                "total_pages_found": sc.total_pages_found,
+                "next_enqueue_seq": 1 + sum(1 for r in sc.records if r.next_link),
+                "_any_failed": any(not r.ok for r in sc.records),
+                "_any_log": bool(sc.records),
+            }
+        )
+    rows.append(
+        {
+            "source_url": ADDED_SOURCE,
+            "host": host_of(ADDED_SOURCE),
+            "max_pages": ADDED_MAX_PAGES,
+            "pages_crawled": 0,
+            "total_pages_found": 1,
+            "next_enqueue_seq": 1,
+            "_any_failed": False,
+            "_any_log": False,
+        }
+    )
+    return rows
+
+
+def _state_values_sql(rows: list[dict]) -> str:
+    vals = [
+        "(%s, %s, %d, %d, %d, %d)"
+        % (
+            _sql_str(r["source_url"]), _sql_str(r["host"]), r["max_pages"],
+            r["pages_crawled"], r["total_pages_found"], r["next_enqueue_seq"],
+        )
+        for r in rows
+    ]
+    if not vals:  # an all-columns empty relation with the right types
+        vals = ["('', '', 0, 0, 0, 0)"]
+        where = "\nWHERE 1 = 0"
+    else:
+        where = ""
+    return (
+        "SELECT source_url, host, CAST(max_pages AS INT) AS max_pages,\n"
+        "       CAST(pages_crawled AS INT) AS pages_crawled,\n"
+        "       CAST(total_pages_found AS BIGINT) AS total_pages_found,\n"
+        "       CAST(next_enqueue_seq AS BIGINT) AS next_enqueue_seq\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals) + "\n) AS t(" + ", ".join(_STATE_COLS) + ")"
+        + where
+    )
+
+
+def q_failed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: sources with >= 1 failed fetch (repositories.py:184-233)."""
+    from .views import failed_job_sources
+
+    eng = fixture_engine(spark)
+    return failed_job_sources(eng.source_state(), eng.crawl_log())
+
+
+def failed_sources_oracle_sql() -> str:
+    return _state_values_sql([r for r in _source_state_replay() if r["_any_failed"]])
+
+
+def q_crawled_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: sources with a crawl (budget exhausted or any crawl_log row,
+    repositories.py:235-262)."""
+    from .views import crawled_sources
+
+    eng = fixture_engine(spark)
+    return crawled_sources(eng.source_state(), eng.crawl_log())
+
+
+def crawled_sources_oracle_sql() -> str:
+    return _state_values_sql(
+        [
+            r
+            for r in _source_state_replay()
+            if r["pages_crawled"] >= r["max_pages"] or r["_any_log"]
+        ]
+    )
+
+
+def q_discovered_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 over real state: sources never crawled (repositories.py:264-285)
+    — the added-after-completion source."""
+    from .views import discovered_sources
+
+    eng = fixture_engine(spark)
+    return discovered_sources(eng.source_state(), eng.crawl_log())
+
+
+def discovered_sources_oracle_sql() -> str:
+    return _state_values_sql([r for r in _source_state_replay() if not r["_any_log"]])
+
+
+def q_in_progress_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: budget not exhausted (repositories.py:287-318)."""
+    from .views import in_progress_sources
+
+    eng = fixture_engine(spark)
+    return in_progress_sources(eng.source_state())
+
+
+def in_progress_sources_oracle_sql() -> str:
+    return _state_values_sql(
+        [r for r in _source_state_replay() if r["pages_crawled"] < r["max_pages"]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — per-source page-summaries concat; A5 — external-link keep-first
+# ---------------------------------------------------------------------------
+
+
+def q_page_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (entities.py:214-229): first doc per page in crawl order, first
+    text span as the page summary, '\\n\\n'-joined per source."""
+    from .views import source_page_summaries
+
+    eng = fixture_engine(spark)
+    return source_page_summaries(eng.docs(), strip_markdown=False)
+
+
+def page_summaries_oracle_sql() -> str:
+    _, crawls = _oracle_run()
+    vals = []
+    for sc in crawls:
+        first: dict[str, tuple[int, str | None]] = {}
+        for rec in sc.records:
+            if rec.ok and rec.url not in first:
+                texts = [s.text for s in rec.spans if s.kind == "text"]
+                first[rec.url] = (rec.seq, texts[0] if texts else None)
+        if not first:
+            continue  # groupBy over docs: a source with no docs has no row
+        items = sorted(first.values())
+        joined = "\n\n".join(t for _, t in items if t is not None)
+        vals.append(
+            "(%s, %s, %d)" % (_sql_str(sc.source_url), _sql_str(joined), len(first))
+        )
+    return (
+        "SELECT source_url, page_summaries, CAST(n_pages AS BIGINT) AS n_pages\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(source_url, page_summaries, n_pages)"
+    )
+
+
+def q_external_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (entities.py:248-261): global keep-first dedup of external links
+    per source in first-touch page order."""
+    from .views import external_links_keepfirst
+
+    eng = fixture_engine(spark)
+    return external_links_keepfirst(eng.crawl_log(), eng.page_links())
+
+
+def external_links_oracle_sql() -> str:
+    _, crawls = _oracle_run()
+    vals = []
+    for sc in crawls:
+        first_touch: dict[str, int] = {}
+        for rec in sc.records:
+            first_touch.setdefault(rec.url, rec.seq)
+        best: dict[str, tuple[int, int, int]] = {}
+        for rec in sc.records:
+            if not rec.ok:
+                continue
+            for pos, link in enumerate(rec.external_links):
+                cand = (first_touch[rec.url], rec.seq, pos)
+                if link not in best or cand < best[link]:
+                    best[link] = cand
+        for link, (fs, seq, pos) in best.items():
+            vals.append(
+                "(%s, %s, %d, %d, %d)"
+                % (_sql_str(sc.source_url), _sql_str(link), fs, seq, pos)
+            )
+    return (
+        "SELECT source_url, link, CAST(first_seq AS BIGINT) AS first_seq,\n"
+        "       CAST(seq AS BIGINT) AS seq, CAST(pos AS INT) AS pos\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(source_url, link, first_seq, seq, pos)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — chat-service views over the real jobs table
+# ---------------------------------------------------------------------------
+
+
+def q_chat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (chatbot_service.py:13-40): each source's first summarize job
+    projected to the chat listing 6-tuple."""
+    from .jobs import chat_source_listing
+
+    eng = fixture_engine(spark)
+    return chat_source_listing(eng.jobs_all())
+
+
+def chat_sources_oracle_sql() -> str:
+    from .jobs import summarize_fields
+
+    _, crawls = _oracle_run()
+    vals = []
+    for sc in crawls:
+        f = summarize_fields(
+            sc.source_url, sc.pages_crawled, sc.total_pages_found,
+            sc.max_pages, sc.unique_external_links,
+        )
+        vals.append(
+            "(%s, %s, %s, %s, %s, %s)"
+            % (
+                _sql_str(sc.source_url), _sql_str(f["summary"]),
+                _sql_str(f["data_origin"]), _sql_str(f["source_format"]),
+                _sql_str(f["focus_area"]), _sql_str(f["dataset_presence"]),
+            )
+        )
+    return (
+        "SELECT source_url, summary, data_origin, source_format, focus_area,"
+        " dataset_presence\nFROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(source_url, summary, data_origin, source_format,"
+        " focus_area, dataset_presence)"
+    )
+
+
+def q_chat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (chatbot_service.py:42-109): labeled '\\n\\n'-joined concat of
+    key facts/quotes/figures — source summary first, then pages in crawl
+    order."""
+    from .jobs import chat_read_sources
+
+    eng = fixture_engine(spark)
+    return chat_read_sources(eng.jobs_all())
+
+
+def chat_read_oracle_sql() -> str:
+    from .jobs import extract_fields, summarize_fields
+
+    _, crawls = _oracle_run()
+    cols = ("key_facts", "key_quotes", "key_figures")
+    defaults = {
+        "key_facts": "No key facts found",
+        "key_quotes": "No key quotes found",
+        "key_figures": "No key figures found",
+    }
+    vals = []
+    for sc in crawls:
+        parts: dict[str, list[tuple[int, str]]] = {c: [] for c in cols}
+        sfields = summarize_fields(
+            sc.source_url, sc.pages_crawled, sc.total_pages_found,
+            sc.max_pages, sc.unique_external_links,
+        )
+        for c in cols:
+            v = sfields[c]
+            # F.trim strips SPACES only — mirror that, not Python strip()
+            if v.strip(" "):
+                parts[c].append((-1, "Source Summary:\n" + v))
+        for rec in sc.records:
+            if not rec.ok:
+                continue
+            ef = extract_fields(rec.url, rec.markdown, rec.next_link)
+            for c in cols:
+                v = ef[c]
+                if v.strip(" "):
+                    parts[c].append((rec.seq, f"Page ({rec.url}):\n{v}"))
+        joined = {
+            c: "\n\n".join(p for _, p in sorted(parts[c])) or defaults[c]
+            for c in cols
+        }
+        vals.append(
+            "(%s, %s, %s, %s)"
+            % (
+                _sql_str(sc.source_url), _sql_str(joined["key_facts"]),
+                _sql_str(joined["key_quotes"]), _sql_str(joined["key_figures"]),
+            )
+        )
+    return (
+        "SELECT source_url, key_facts, key_quotes, key_figures\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(source_url, key_facts, key_quotes, key_figures)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 — retry routing
+# ---------------------------------------------------------------------------
+
+_RETRY_MAX_ATTEMPTS = 3
+
+
+def _retry_fixture_rows() -> list[tuple]:
+    """(url, url_hash, host, priority, seq, attempt, ok) — deterministic,
+    covering ok rows (dropped), retryable failures, and dead letters."""
+    return [
+        (
+            f"https://r{i % 4}.org/p/{i}",
+            7919 * i - 31337,
+            f"r{i % 4}.org",
+            i % 2,
+            i,
+            i % 5,
+            i % 3 == 0,
+        )
+        for i in range(60)
+    ]
+
+
+def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: failed fetches re-enter the frontier with attempt+1 and a
+    priority penalty; rows out of attempts go to the dead-letter side
+    (operators/scheduler.py::route_retries)."""
+    from .operators.scheduler import route_retries
+
+    results = spark.createDataFrame(
+        _retry_fixture_rows(),
+        "url string, url_hash long, host string, priority int, seq long, "
+        "attempt int, ok boolean",
+    )
+    retry, dead = route_retries(results, max_attempts=_RETRY_MAX_ATTEMPTS)
+    return retry.withColumn("route", F.lit("retry")).unionByName(
+        dead.withColumn("route", F.lit("dead"))
+    )
+
+
+def retry_routing_oracle_sql() -> str:
+    vals = []
+    for url, url_hash, host, priority, seq, attempt, ok in _retry_fixture_rows():
+        if ok:
+            continue
+        bumped = attempt + 1
+        route = "retry" if bumped < _RETRY_MAX_ATTEMPTS else "dead"
+        vals.append(
+            "(%s, %d, %s, %d, %d, %d, %s)"
+            % (_sql_str(url), url_hash, _sql_str(host), priority + 1, seq, bumped,
+               _sql_str(route))
+        )
+    return (
+        "SELECT url, CAST(url_hash AS BIGINT) AS url_hash, host,\n"
+        "       CAST(priority AS INT) AS priority, CAST(seq AS BIGINT) AS seq,\n"
+        "       CAST(attempt AS INT) AS attempt, route\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(url, url_hash, host, priority, seq, attempt, route)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (the custom stateful operator, driver-checked)
+# ---------------------------------------------------------------------------
+
+_STREAM_GAP_SEC = 1800
+_STREAM_BASE = 1_770_000_000  # 2026-02-02 02:40:00 UTC
+
+
+def _stream_events() -> list[dict]:
+    """3 hosts x 3 sessions: intra-session gaps <= gap, inter-session
+    gaps > gap. The LAST session per host stays open (availableNow ends
+    before any later watermark could flush it), so the deterministic
+    expectation is every session except each host's final one."""
+    evs = []
+    for h in range(3):
+        t = _STREAM_BASE + h * 17
+        for s in range(3):
+            for i in range(2 + (h + s) % 3):
+                evs.append(
+                    {
+                        "ts": datetime.fromtimestamp(t, tz=timezone.utc).strftime(
+                            "%Y-%m-%dT%H:%M:%S"
+                        ),
+                        "host": f"h{h}.org",
+                        "url": f"https://h{h}.org/p{s}-{i}",
+                        "ok": (i + s + h) % 3 != 0,
+                        "bytes": 100 * (i + 1) + 10 * s + h,
+                        "_epoch": t,
+                    }
+                )
+                t += 60 * (i % 2 + 1)
+            t += _STREAM_GAP_SEC + 600
+    return evs
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator end-to-end: per-host
+    sessionization via applyInPandasWithState (streaming/events.py),
+    driven with availableNow over a deterministic JSONL fixture into the
+    idempotent batch_id-directory sink, then read back. Oracle = the same
+    gap rule replayed in pure Python (the batch twin's boundary rule)."""
+    from .streaming.events import run_session_stream
+
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "events.jsonl"), "w") as f:
+        for e in _stream_events():
+            f.write(json.dumps({k: v for k, v in e.items() if k != "_epoch"}) + "\n")
+    out_dir = os.path.join(work, "out")
+    q = run_session_stream(
+        spark, in_dir, os.path.join(work, "ckpt"), out_dir, gap_sec=_STREAM_GAP_SEC
+    )
+    q.awaitTermination(300)
+    return spark.read.option("basePath", out_dir).parquet(out_dir).select(
+        "host", "session_start", "session_end", "n_events", "ok_count", "bytes"
+    )
+
+
+def sessionize_stream_oracle_sql() -> str:
+    by_host: dict[str, list[dict]] = {}
+    for e in sorted(_stream_events(), key=lambda e: (e["host"], e["_epoch"])):
+        by_host.setdefault(e["host"], []).append(e)
+    vals = []
+    for host, evs in by_host.items():
+        sessions: list[list[dict]] = []
+        for e in evs:
+            if sessions and e["_epoch"] - sessions[-1][-1]["_epoch"] <= _STREAM_GAP_SEC:
+                sessions[-1].append(e)
+            else:
+                sessions.append([e])
+        for sess in sessions[:-1]:  # final session stays open, never emitted
+            start, end = sess[0]["_epoch"], sess[-1]["_epoch"]
+            vals.append(
+                "(%s, CAST(%s AS TIMESTAMP), CAST(%s AS TIMESTAMP), %d, %d, %d)"
+                % (
+                    _sql_str(host),
+                    _sql_str(datetime.fromtimestamp(start, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")),
+                    _sql_str(datetime.fromtimestamp(end, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")),
+                    len(sess),
+                    sum(1 for e in sess if e["ok"]),
+                    sum(e["bytes"] for e in sess),
+                )
+            )
+    return (
+        "SELECT host, session_start, session_end,\n"
+        "       CAST(n_events AS BIGINT) AS n_events,\n"
+        "       CAST(ok_count AS BIGINT) AS ok_count,\n"
+        "       CAST(bytes AS BIGINT) AS bytes\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(host, session_start, session_end, n_events, ok_count, bytes)"
+    )
+
+
+STATE_QUERIES = {
+    "failed_sources": q_failed_sources,
+    "crawled_sources_view": q_crawled_sources,
+    "discovered_sources_view": q_discovered_sources,
+    "in_progress_sources": q_in_progress_sources,
+    "page_summaries": q_page_summaries,
+    "external_links": q_external_links,
+    "chat_sources": q_chat_sources,
+    "chat_read": q_chat_read,
+    "retry_routing": q_retry_routing,
+    "sessionize_stream": q_sessionize_stream,
+}
+
+
+def state_oracle_sql() -> dict[str, str]:
+    return {
+        "failed_sources": failed_sources_oracle_sql(),
+        "crawled_sources_view": crawled_sources_oracle_sql(),
+        "discovered_sources_view": discovered_sources_oracle_sql(),
+        "in_progress_sources": in_progress_sources_oracle_sql(),
+        "page_summaries": page_summaries_oracle_sql(),
+        "external_links": external_links_oracle_sql(),
+        "chat_sources": chat_sources_oracle_sql(),
+        "chat_read": chat_read_oracle_sql(),
+        "retry_routing": retry_routing_oracle_sql(),
+        "sessionize_stream": sessionize_stream_oracle_sql(),
+    }

@@ -130,7 +130,12 @@ def streaming_host_sessions(
     waiting for its next fetch, and state stays bounded).
 
     Batch twin: queries.q_sessionize (lag + cumsum windows) — identical
-    boundary rule, cross-checked in tests. State per key is one 5-field
+    boundary rule, cross-checked in tests. Late-data caveat (append mode):
+    a late in-watermark event merging into the OPEN session is handled
+    exactly (including min() on session_start when it precedes the start);
+    a late event whose session was already emitted in an earlier batch
+    cannot retro-split or bridge it — the batch twin, which sorts the full
+    history first, is the authority there. State per key is one 5-field
     tuple: at 10^7 live hosts that is ~400 MB across the cluster, hash
     partitioned by host, no shuffle beyond the groupBy."""
     import pandas as pd
@@ -169,8 +174,12 @@ def streaming_host_sessions(
                 yield _emit(host, open_s)
                 open_s = (ts, ts, 1, okv, bv)
             else:
+                # min() on start: a late in-watermark event that precedes
+                # the open session's start still extends the session
+                # backwards, keeping session_start consistent with the
+                # batch twin (which sorts globally before sessionizing)
                 open_s = (
-                    open_s[0],
+                    min(open_s[0], ts),
                     max(open_s[1], ts),
                     open_s[2] + 1,
                     open_s[3] + okv,

@@ -108,7 +108,7 @@ def test_deleted_source_urls_become_schedulable_again(spark):
         ).withColumn("url_hash", F.xxhash64("url"))
     )
     # everything seen: nothing scheduled
-    none = schedule_batch(
+    none, _ = schedule_batch(
         frontier, seen=seen, bloom=blobs, default_k=100,
         n_bloom_parts=N_PARTS, seen_filter="cuckoo",
     )
@@ -118,7 +118,7 @@ def test_deleted_source_urls_become_schedulable_again(spark):
     victims = spark.createDataFrame(_urls(0, 100), "url string")
     seen_after = seen.join(victims, "url", "left_anti")
     blobs_after = delete_from_cuckoo(blobs, victims, n_parts=N_PARTS)
-    again = schedule_batch(
+    again, _ = schedule_batch(
         frontier, seen=seen_after, bloom=blobs_after, default_k=100,
         n_bloom_parts=N_PARTS, seen_filter="cuckoo",
     )

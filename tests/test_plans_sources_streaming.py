@@ -73,7 +73,7 @@ def test_schedule_topk_uses_group_limit_even_with_quotas(spark):
     )
     b = broadcast_robots(spark, robots)
     quotas = host_quotas(spark, b, default_k=10)
-    out = schedule_batch(frontier, quotas=quotas, default_k=10)
+    out, _ = schedule_batch(frontier, quotas=quotas, default_k=10)
     assert "WindowGroupLimit" in formatted_plan(out)
 
 

@@ -49,7 +49,7 @@ def test_schedule_matches_naive(spark):
     bloom = build_bloom(seen, n_parts=4, m_bits_per_part=1 << 16)
     out = schedule_batch(
         frontier, seen=seen, bloom=bloom, default_k=5, salt_span=2, n_bloom_parts=4
-    ).collect()
+    )[0].collect()
 
     # naive expectation: odd i survive dedup; top-5 per host by (priority, seq)
     expect = {}
@@ -95,7 +95,7 @@ def test_quota_respected_in_schedule(spark):
     )
     b = broadcast_robots(spark, robots)
     quotas = host_quotas(spark, b, default_k=100, batch_window_ms=60_000)
-    out = schedule_batch(frontier, robots_bcast=b, quotas=quotas, default_k=100).collect()
+    out = schedule_batch(frontier, robots_bcast=b, quotas=quotas, default_k=100)[0].collect()
     assert len(out) == 3  # floor(60000/20000)
     assert sorted(r.seq for r in out) == [0, 1, 2]  # FIFO head
 
@@ -106,7 +106,7 @@ def test_drain_ordered_per_host_fifo(spark):
         for i in range(20):
             rows.append((f"https://d{h}.org/p/{i}", f"d{h}.org", 0, h * 100 + i))
     frontier = _frontier_df(spark, rows)
-    sched = schedule_batch(frontier, default_k=20, salt_span=6)
+    sched, _ = schedule_batch(frontier, default_k=20, salt_span=6)
     drained = drain_ordered(sched).collect()
     by_host = {}
     for r in drained:
@@ -130,7 +130,7 @@ def test_zipf_skew_salting_spreads_hot_host(spark):
     rows = [(f"https://hot.org/p/{i}", "hot.org", 0, i) for i in range(5000)]
     rows += [(f"https://cold{j}.org/p", f"cold{j}.org", 0, j) for j in range(20)]
     frontier = _frontier_df(spark, rows)
-    sched = schedule_batch(frontier, default_k=2000, salt_span=250)
+    sched, _ = schedule_batch(frontier, default_k=2000, salt_span=250)
     drained = drain_ordered(sched).collect()
     hot = [r for r in drained if r.host == "hot.org"]
     assert len(hot) == 2000  # quota enforced on the hot host
@@ -156,7 +156,7 @@ def test_schedule_canonicalize_stage(spark):
         ("https://c.org/q/", "c.org", 0, 3),
     ]
     frontier = _frontier_df(spark, rows)
-    out = schedule_batch(frontier, default_k=10, canonicalize=True).collect()
+    out = schedule_batch(frontier, default_k=10, canonicalize=True)[0].collect()
     urls = sorted(r.url for r in out)
     assert urls == sorted(["https://c.org/p?a=1&b=2", "https://c.org/p?a=1&b=2", "https://c.org/q"])
     assert all(r.host == "c.org" for r in out)
@@ -192,7 +192,7 @@ def test_drain_bucketed_equals_per_host(spark):
         for i in range(15):
             rows.append((f"https://b{h}.org/p/{i}", f"b{h}.org", i % 2, h * 100 + i))
     frontier = _frontier_df(spark, rows)
-    sched = schedule_batch(frontier, default_k=15, salt_span=4)
+    sched, _ = schedule_batch(frontier, default_k=15, salt_span=4)
     per_host = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched).collect()}
     bucketed = {(r.url): (r.salt, r.fetch_order) for r in drain_ordered(sched, n_buckets=3).collect()}
     assert per_host == bucketed
@@ -219,13 +219,25 @@ def test_schedule_with_cuckoo_filter_matches_bloom(spark):
         (r.url, r.rank, r.salt)
         for r in schedule_batch(
             frontier, seen=seen, bloom=bloom, default_k=5, salt_span=2, n_bloom_parts=4
-        ).collect()
+        )[0].collect()
     }
     via_cuckoo = {
         (r.url, r.rank, r.salt)
         for r in schedule_batch(
             frontier, seen=seen, bloom=cuckoo, default_k=5, salt_span=2,
             n_bloom_parts=4, seen_filter="cuckoo",
-        ).collect()
+        )[0].collect()
     }
     assert via_cuckoo == via_bloom and via_bloom
+
+
+def test_caller_quota_above_default_k_is_honored(spark):
+    """Regression: the constant WindowGroupLimit rank cap is
+    max(default_k, max quota), so a caller-supplied quota larger than
+    default_k schedules that many rows instead of silently truncating."""
+    rows = [(f"https://bigq.org/p/{i}", "bigq.org", 0, i) for i in range(40)]
+    frontier = _frontier_df(spark, rows)
+    quotas = spark.createDataFrame([("bigq.org", 30)], "host string, quota int")
+    out = schedule_batch(frontier, quotas=quotas, default_k=10)[0].collect()
+    assert len(out) == 30
+    assert sorted(r.seq for r in out) == list(range(30))
