@@ -31,7 +31,7 @@ import re
 from dataclasses import dataclass, field
 from functools import lru_cache
 
-from .urlnorm import host_of, normalize_url, resolve
+from .urlnorm import host_of, normalize_url, resolve, resolve_with_provenance
 
 __all__ = [
     "FILE_EXTENSIONS",
@@ -223,18 +223,64 @@ def extract_links(html: str, base_url: str) -> ExtractedLinks:
     out = ExtractedLinks()
     seen: set[str] = set()
     for m in _HREF_RE.finditer(html):
-        url = m.group(1).strip()
-        if not url or url == "#" or url.startswith("#"):
+        href = m.group(1).strip()
+        if not href or href == "#" or href.startswith("#"):
             continue
-        if _is_excluded(url):
+        if _is_excluded(href):
             continue
-        if not url.startswith(("http://", "https://")):
-            url = resolve(base_url, url)
+        if href.startswith(("http://", "https://")):
+            url, fast_joined = href, False
+        else:
+            url, fast_joined = resolve_with_provenance(base_url, href)
         if url in seen:
             continue
         seen.add(url)
         normalized = normalize_url(url)
         if normalized is None:
+            continue
+        # Classification fast paths (each proven equivalent to the
+        # _is_file_url/_is_internal pair; fuzz-guarded in
+        # tests/test_linkextract_diff.py::test_classify_and_extract_end_to_end):
+        #
+        # 1. fast_joined ⟹ url = scheme://base-netloc + href, so its netloc
+        #    IS the base's netloc (→ internal unless a file extension hits)
+        #    and its urlparse path is exactly href up to the first '?'/'#'
+        #    (the join guard already excluded ';' there, and lower() never
+        #    moves the '/?#' boundaries _split_netloc_path keys on).
+        # 2. otherwise one _split_netloc_path serves BOTH the extension test
+        #    (on the lowered path — identical to splitting the lowered url,
+        #    since lower() maps none of '/?#;') and the netloc comparison,
+        #    replacing the two independent parses of the slow pair.
+        if fast_joined:
+            cut = len(href)
+            for ch in "?#":
+                j = href.find(ch)
+                if 0 <= j < cut:
+                    cut = j
+            path = href[:cut].lower()
+            dot = path.rfind(".")
+            if dot >= 0 and path[dot:] in FILE_EXTENSIONS:
+                out.file.append(normalized)
+                out.file_offsets.append((m.start(), normalized))
+            else:
+                out.internal.append(normalized)
+            continue
+        fast = _split_netloc_path(url)
+        if fast is not None:
+            netloc, path = fast
+            lp = path.lower()
+            dot = lp.rfind(".")
+            if dot >= 0 and lp[dot:] in FILE_EXTENSIONS:
+                out.file.append(normalized)
+                out.file_offsets.append((m.start(), normalized))
+            elif not netloc:
+                out.internal.append(normalized)
+            else:
+                bn = _base_netloc(base_url)
+                if bn is not _BASE_NETLOC_FAIL and netloc == bn:
+                    out.internal.append(normalized)
+                else:
+                    out.external.append(normalized)
             continue
         if _is_file_url(url):
             out.file.append(normalized)
@@ -274,7 +320,17 @@ def html_to_markdown(html: str) -> str:
     """Deterministic, dependency-free HTML->markdown-ish text. Stable across
     generator / oracle / engine; not a markdownify port."""
     text = html
-    for rx, repl in _TAG_SUBS:
+    # Presence prefilter for the script/style pass: its pattern requires the
+    # literal word "script" or "style" (case-insensitive), so a lowercased
+    # substring probe is a sound skip — the DOTALL alternation scan is the
+    # most expensive of the five passes and almost never matches in links-
+    # and-text pages. The remaining passes keep their original order
+    # (merging the two "\n" passes is NOT output-equivalent: pass 3's
+    # replacement can enable a pass-4 match, e.g. '<p</h1>>').
+    low = html.lower()
+    if "script" in low or "style" in low:
+        text = _TAG_SUBS[0][0].sub(_TAG_SUBS[0][1], text)
+    for rx, repl in _TAG_SUBS[1:]:
         text = rx.sub(repl, text)
     for ent, ch in _ENTITY_SUBS:
         text = text.replace(ent, ch)

@@ -75,16 +75,12 @@ def _base_prefix(base_url: str) -> str | None:
     return s.scheme + "://" + s.netloc
 
 
-def resolve(base_url: str, href: str) -> str:
-    """Relative->absolute resolution (urljoin), as the reference applies it
-    to hrefs that do not start with http:// or https://.
-
-    Fast path (hot loop: ~40% of parse time was urljoin): a root-relative
-    href with no dot segments and none of the \\t\\r\\n bytes urlsplit
-    strips resolves to scheme://netloc + href verbatim — one cached base
-    parse + a concat instead of two urlsplits and remove_dot_segments per
-    href. Anything else falls back to urljoin (guarded by
-    tests/test_linkextract_diff.py against the verbatim original)."""
+def resolve_with_provenance(base_url: str, href: str) -> tuple[str, bool]:
+    """``(resolved, fast_joined)`` — the resolution itself is identical to
+    ``resolve``; the flag records that the fast root-relative join applied,
+    which PROVES the result is ``scheme://netloc-of-base + href`` with the
+    href's ';'-free path ending at its first '?' or '#'. Callers
+    (extract_links) use that proof to classify without re-parsing."""
     if (
         href.startswith("/")
         and not href.startswith("//")
@@ -110,11 +106,24 @@ def resolve(base_url: str, href: str) -> str:
         if ";" not in href[:cut] and not href.endswith(("/..", "/."), 0, cut):
             prefix = _base_prefix(base_url)
             if prefix is not None:
-                return prefix + href
+                return prefix + href, True
     try:
-        return urljoin(base_url, href)
+        return urljoin(base_url, href), False
     except ValueError:
-        return href
+        return href, False
+
+
+def resolve(base_url: str, href: str) -> str:
+    """Relative->absolute resolution (urljoin), as the reference applies it
+    to hrefs that do not start with http:// or https://.
+
+    Fast path (hot loop: ~40% of parse time was urljoin): a root-relative
+    href with no dot segments and none of the \\t\\r\\n bytes urlsplit
+    strips resolves to scheme://netloc + href verbatim — one cached base
+    parse + a concat instead of two urlsplits and remove_dot_segments per
+    href. Anything else falls back to urljoin (guarded by
+    tests/test_linkextract_diff.py against the verbatim original)."""
+    return resolve_with_provenance(base_url, href)[0]
 
 
 def url_type(url: str) -> str:

@@ -210,6 +210,58 @@ def test_classify_href_agrees_with_extract():
         assert (cat is None) == (norm is None)
 
 
+def test_html_to_markdown_prefilter_matches_original():
+    """The script/style presence prefilter must be output-identical to the
+    unconditional 5-pass pipeline on any input (the pass can only match
+    strings containing the literal word, so skipping it otherwise is a
+    no-op — fuzz-verified here, including mixed case and spaced tags)."""
+    from crawler_spark.functions.linkextract import (
+        _ENTITY_SUBS,
+        _NL_RE,
+        _TAG_SUBS,
+        _WS_RE,
+        html_to_markdown,
+    )
+
+    def md_ref(html: str) -> str:  # pinned original: no prefilter
+        text = html
+        for rx, repl in _TAG_SUBS:
+            text = rx.sub(repl, text)
+        for ent, ch in _ENTITY_SUBS:
+            text = text.replace(ent, ch)
+        text = _WS_RE.sub(" ", text)
+        text = _NL_RE.sub("\n\n", text)
+        return text.strip()
+
+    handcrafted = [
+        "",
+        "plain text",
+        "<script>a<p>b</script>c",
+        "<ScRiPt>x</sCrIpT>ok",
+        "< script type='t' >s</ script >t",
+        "<style>.c{}</style>u",
+        "< sTyLe >s</style>",
+        "<script>unterminated",
+        "scripted prose, no tags",
+        "word style here <p>x</p>",
+        "<h1>t</h1><p>p</p><div>d</div><li>l</li><br/>",
+        "<p</h1>>",
+        "&amp;&lt;&nbsp;  x\t\ty\n\n\nz",
+    ]
+    rng = random.Random(41)
+    pieces = [
+        "<script>", "</script>", "<style>", "</style>", "< script >",
+        "<h1>", "</h2>", "<p>", "<div class='x'>", "<br/>", "<", ">",
+        "text", "SCRIPT", "Style", " ", "\n", "&amp;", "<a href='/x'>y</a>",
+    ]
+    fuzz = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 10)))
+        for _ in range(3000)
+    ]
+    for s in handcrafted + fuzz:
+        assert html_to_markdown(s) == md_ref(s), repr(s)
+
+
 def test_ws_collapse_fast_form_matches_original():
     """The {2,}-run whitespace regex must produce byte-identical output to
     the original [ \\t\\r\\f\\v]+ form on any input."""
