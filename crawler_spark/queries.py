@@ -1195,6 +1195,73 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (training-data quality filter):
+    lexical diversity (distinct-token fraction) and the most-frequent-
+    bigram mass fraction. One explode + per-doc hash aggregation —
+    shuffle key is doc_id, so at 100 TB this is an embarrassingly
+    parallel per-document pass with no skewed key (every doc contributes
+    n_tokens-1 rows)."""
+    docs = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("distinct_milli"),
+        F.expr(
+            # sequence(0, -1) DESCENDS in Spark, so guard the 1-token case
+            "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+            " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) END"
+        ).alias("bigrams"),
+    )
+    bg = base.select("doc_id", "n_tokens", "distinct_milli", F.explode("bigrams").alias("bg"))
+    per_bg = bg.groupBy("doc_id", "n_tokens", "distinct_milli", "bg").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_bg.groupBy("doc_id", "n_tokens", "distinct_milli").agg(
+        F.floor(1000.0 * F.max("cnt") / F.sum("cnt")).cast("long").alias("top_bigram_milli")
+    )
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b word boundaries.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def q_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): count + mask emails and
+    phone numbers, entirely JVM-side (regexp_extract_all /
+    regexp_replace — no UDF, stays inside whole-stage codegen). The
+    corpus carries no PII, so a deterministic doc_id-derived contact
+    line is appended to every 3rd document first; both engine and
+    oracle apply the identical construction."""
+    docs = load(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    ).otherwise(F.col("text"))
+    masked = F.regexp_replace(
+        F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(masked).alias("masked_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1464,6 +1531,38 @@ SELECT user_id, session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM sess GROUP BY user_id, session_id""",
+    "text_repetition": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(floor(1000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS distinct_milli,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM base
+), bg AS (
+  SELECT doc_id, n_tokens, distinct_milli, unnest(bigrams) AS bg FROM stats
+), per_bg AS (
+  SELECT doc_id, n_tokens, distinct_milli, bg, count(*) AS cnt FROM bg GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, distinct_milli,
+       CAST(floor(1000.0 * max(cnt) / sum(cnt)) AS BIGINT) AS top_bigram_milli
+FROM per_bg GROUP BY 1, 2, 3""",
+    "pii_mask": f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or 555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS masked_fp
+FROM inj""",
     "text_stats": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -1628,6 +1727,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "pii_mask": q_pii_mask,
     "text_langid": q_text_langid,
     "fingerprint": q_fingerprint,
     "image_phash": q_image_phash,
