@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sessionize",
     "text_quality",
+    "text_repetition",
+    "pii_mask",
     "image_phash",
     "video_frames",
     "audio_stats",
