@@ -188,7 +188,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "2000000"))
 
-    from crawler_spark.queries import SPARK_QUERIES
+    from crawler_spark.queries import SPARK_QUERIES, release_query_barriers
     from crawler_spark.session import get_spark
 
     spark = get_spark("crawler_spark_bench", cores=cpus)
@@ -202,6 +202,7 @@ def main() -> None:
         t0 = time.monotonic()
         df = SPARK_QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        release_query_barriers()
         queries[name] = round(time.monotonic() - t0, 3)
 
     # warm-up: JIT + python worker pool spin-up for the drain's stages,

@@ -22,17 +22,40 @@ import hashlib
 from typing import Callable, Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.linkextract import build_spans_html, extract_links
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "load"]
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "load", "release_query_barriers"]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Persist barriers for multiply-consumed intermediates (forked plans).
+# Without one, every downstream branch recomputes the whole upstream —
+# e.g. the LSH rep corpus is shingled once but consumed by the band join,
+# the shingle-size agg and BOTH sides of the intersection join. Callers
+# that materialize a query (bench.py, tools/selfcheck.py) release after
+# the action; a caller that never releases leaks at most a few small
+# cached rep/shingle tables per LSH query, freed on session stop.
+_QUERY_BARRIERS: list[DataFrame] = []
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _QUERY_BARRIERS.append(df)
+    return df
+
+
+def release_query_barriers() -> None:
+    """Unpersist every barrier registered since the last release."""
+    while _QUERY_BARRIERS:
+        _QUERY_BARRIERS.pop().unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -501,7 +524,7 @@ def _minhash_rep_pairs(docs: DataFrame):
     impossible for identical payloads, with zero recall loss (the
     expansion in _lsh_expand_groups is exact, nothing is capped or
     dropped). Returns (members, groups, sizes, scored_rep_pairs)."""
-    keyed = docs.withColumn("ekey", F.md5("text"))
+    keyed = _barrier(docs.withColumn("ekey", F.md5("text")))
     groups = keyed.groupBy("ekey").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("grp_n")
     )
@@ -509,7 +532,7 @@ def _minhash_rep_pairs(docs: DataFrame):
     reps = keyed.join(
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "text")
-    shingled = _with_shingles(reps)
+    shingled = _barrier(_with_shingles(reps))
     mh = shingled.select(
         "doc_id",
         *[
@@ -542,7 +565,7 @@ def _minhash_rep_pairs(docs: DataFrame):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingled.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    sh = _barrier(shingled.select("doc_id", F.explode(F.array_distinct("sh")).alias("s")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
@@ -785,14 +808,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # hot-bucket guard, same shape as _minhash_rep_pairs: identical
     # vectors collapse to one representative before the bucket self-join,
     # then _lsh_expand_groups restores member-level results losslessly
-    keyed = corpus.withColumn("ekey", F.md5(F.col("embedding").cast("string")))
+    keyed = _barrier(corpus.withColumn("ekey", F.md5(F.col("embedding").cast("string"))))
     groups = keyed.groupBy("ekey").agg(
         F.min("vec_id").alias("rep_id"), F.count("*").alias("grp_n")
     )
     members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select(
         F.col("vec_id").alias("doc_id"), "rep_id"
     )
-    reps = (
+    reps = _barrier(
         keyed.withColumnRenamed("vec_id", "doc_id")
         .join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
         .select("doc_id", "embedding")
@@ -1198,31 +1221,43 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals (training-data quality filter):
     lexical diversity (distinct-token fraction) and the most-frequent-
-    bigram mass fraction. One explode + per-doc hash aggregation —
-    shuffle key is doc_id, so at 100 TB this is an embarrassingly
-    parallel per-document pass with no skewed key (every doc contributes
-    n_tokens-1 rows)."""
+    bigram mass fraction. Fully NARROW: tokens are split once into a
+    named column (CollapseProject keeps multi-referenced non-cheap
+    aliases materialized), and the top-bigram count is a run-length
+    scan over the sorted bigram array via `aggregate` — a per-document
+    statistic needs no explode and no shuffle, so at 100 TB this is an
+    embarrassingly parallel map-only pass."""
     docs = load(spark, sf, "documents")
-    toks = F.split("text", " ")
-    base = docs.select(
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    base = toked.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        F.size("toks").alias("n_tokens"),
+        F.floor(1000.0 * F.size(F.array_distinct("toks")) / F.size("toks"))
         .cast("long")
         .alias("distinct_milli"),
         F.expr(
             # sequence(0, -1) DESCENDS in Spark, so guard the 1-token case
-            "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
-            " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
-            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) END"
+            "CASE WHEN size(toks) < 2 THEN array()"
+            " ELSE transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1])) END"
         ).alias("bigrams"),
     )
-    bg = base.select("doc_id", "n_tokens", "distinct_milli", F.explode("bigrams").alias("bg"))
-    per_bg = bg.groupBy("doc_id", "n_tokens", "distinct_milli", "bg").agg(
-        F.count("*").alias("cnt")
+    # max bigram multiplicity == longest equal run in the sorted array
+    best_run = F.expr(
+        "aggregate(array_sort(bigrams),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
+        "              'best', CAST(0 AS BIGINT)),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
+        " a -> a.best)"
     )
-    return per_bg.groupBy("doc_id", "n_tokens", "distinct_milli").agg(
-        F.floor(1000.0 * F.max("cnt") / F.sum("cnt")).cast("long").alias("top_bigram_milli")
+    return base.where(F.size("bigrams") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_milli",
+        F.floor(1000.0 * best_run / F.size("bigrams")).cast("long").alias("top_bigram_milli"),
     )
 
 

@@ -68,6 +68,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            from crawler_spark.queries import release_query_barriers
+
+            release_query_barriers()
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(rows)} rows, {time.monotonic()-t0:.1f}s)")
             continue
