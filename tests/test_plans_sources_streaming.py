@@ -91,6 +91,35 @@ def test_global_topk_uses_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, f"{fn.__name__}:\n{plan}"
 
 
+def test_text_repetition_plan_is_shuffle_free(spark):
+    """q_text_repetition is a per-document statistic, so its plan must be
+    map-only: tokens split once, top-bigram mass via a run-length scan of
+    the sorted bigram array — no explode, no Exchange. A shuffle here
+    would move every bigram of a 100 TB corpus across the wire for a
+    value computable inside the scan partition."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_text_repetition
+
+    plan = formatted_plan(q_text_repetition(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+
+
+def test_query_barriers_release(spark):
+    """The LSH queries persist forked intermediates; release_query_barriers
+    must drop every registered cache so a long-lived session (driver gate,
+    bench loop) holds no storage between queries."""
+    from crawler_spark.queries import SPARK_QUERIES, release_query_barriers
+
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    df = SPARK_QUERIES["dedup_minhash_lsh"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    assert sc._jsc.getPersistentRDDs().size() > base  # barriers were engaged
+    release_query_barriers()
+    assert sc._jsc.getPersistentRDDs().size() == base
+
+
 def test_scan_filter_stage_is_codegen(spark):
     df = (
         spark.read.parquet(f"{SF}/orders.parquet")
