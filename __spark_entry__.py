@@ -235,7 +235,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(STATE_QUERIES)
     out["crawl_e2e"] = _crawl_e2e
     out["review_workflow"] = _review_workflow
-    return out
+
+    # The driver collects each query then moves to the next without a
+    # release hook, so drop the PREVIOUS query's persist barriers (LSH
+    # forked-plan caches) on entry — bounds held storage to one query's
+    # worth for any caller that never releases explicitly.
+    def _releasing(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from crawler_spark.queries import release_query_barriers
+
+            release_query_barriers()
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _releasing(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
