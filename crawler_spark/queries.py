@@ -1227,7 +1227,14 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     scan over the sorted bigram array via `aggregate` — a per-document
     statistic needs no explode and no shuffle, so at 100 TB this is an
     embarrassingly parallel map-only pass."""
-    docs = load(spark, sf, "documents")
+    return repetition_stats(load(spark, sf, "documents"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals over any (doc_id, text) frame;
+    docs with fewer than two tokens drop (no bigram denominator).
+    Property-tested against a pure-Python Counter oracle in
+    tests/test_unit_functions.py."""
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     base = toked.select(
         "doc_id",

@@ -265,3 +265,41 @@ def test_robots_trie():
     assert t.disallowed("/tmp/xyz")
     assert not RobotsTrie([]).disallowed("/anything")
     assert RobotsTrie(["/"]).disallowed("/anything")
+
+
+# --- repetition stats vs pure-Python Counter oracle ---
+
+
+def test_repetition_stats_matches_counter_oracle(spark):
+    """The map-only run-length-over-sorted-bigrams form must equal the
+    naive Counter definition on adversarial token streams: empty text,
+    single token, all-identical tokens, empty tokens from double spaces,
+    and 200 seeded random docs over a tiny vocabulary (dense repeats)."""
+    import math
+    import random
+    from collections import Counter
+
+    from crawler_spark.queries import repetition_stats
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "a", ""]  # "" = consecutive-space token
+    docs = ["", "solo", "x x x x x", "a  b", "a b a b a b"]
+    for _ in range(200):
+        docs.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 60))))
+
+    def oracle(doc_id, text):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            return None
+        bigrams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        return (
+            doc_id,
+            len(toks),
+            math.floor(1000.0 * len(set(toks)) / len(toks)),
+            math.floor(1000.0 * max(Counter(bigrams).values()) / len(bigrams)),
+        )
+
+    expected = sorted(r for r in (oracle(i, t) for i, t in enumerate(docs)) if r)
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = sorted(tuple(r) for r in repetition_stats(df).collect())
+    assert got == expected
