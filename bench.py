@@ -143,6 +143,7 @@ def run_frontier_drain(
         quotas=quotas,
         default_k=default_k,
         salt_span=250,
+        max_quota=default_k,  # host_quotas caps at default_k; skip the probe job
     )
     drained = drain_ordered(scheduled, n_buckets=spark.sparkContext.defaultParallelism * 4).persist()
     n_scheduled = drained.count()

@@ -320,14 +320,22 @@ def html_to_markdown(html: str) -> str:
     """Deterministic, dependency-free HTML->markdown-ish text. Stable across
     generator / oracle / engine; not a markdownify port."""
     text = html
-    # Presence prefilter for the script/style pass: its pattern requires the
-    # literal word "script" or "style" (case-insensitive), so a lowercased
-    # substring probe is a sound skip — the DOTALL alternation scan is the
-    # most expensive of the five passes and almost never matches in links-
-    # and-text pages. The remaining passes keep their original order
+    # Presence prefilter for the script/style pass: its pattern requires
+    # six consecutive chars IGNORECASE-matching s-c-r-i-p-t (or
+    # s-t-y-l-e), so a case-folded substring probe is a sound skip — the
+    # DOTALL alternation scan is the most expensive of the five passes
+    # and almost never matches in links-and-text pages. lower() alone is
+    # NOT sound: re.IGNORECASE also folds U+017F 'ſ'→s (covered by
+    # casefold), U+0131 'ı'→i (covered by neither — hence the replace),
+    # and U+0130 'İ'→i, whose casefold 'i'+U+0307 breaks substring
+    # adjacency — hence stripping the combining dot. Exhaustively
+    # verified per letter position over all of Unicode in
+    # tests/test_linkextract_diff.py::test_prefilter_probe_is_sound; the
+    # probe may false-positive (casefold expansions), which only costs
+    # the scan. The remaining passes keep their original order
     # (merging the two "\n" passes is NOT output-equivalent: pass 3's
     # replacement can enable a pass-4 match, e.g. '<p</h1>>').
-    low = html.lower()
+    low = html.casefold().replace("\u0131", "i").replace("\u0307", "")
     if "script" in low or "style" in low:
         text = _TAG_SUBS[0][0].sub(_TAG_SUBS[0][1], text)
     for rx, repl in _TAG_SUBS[1:]:

@@ -103,13 +103,11 @@ class CrawlEngine:
 
     # -- state bootstrap ------------------------------------------------------
 
-    def init_state(self, seeds: list[tuple[str, int]]) -> None:
-        """Seed the frontier. seeds = [(normalized_seed_url, max_pages)]."""
-        spark = self.spark
-        seed_df = spark.createDataFrame(
-            [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
-        )
-        frontier = self._robots_ok(
+    def _seed_rows(self, seed_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(frontier_rows, source_state_rows) for fresh seed sources —
+        the ONE definition of the seed-row shape, shared by init_state
+        and add_sources so the two paths cannot drift."""
+        frontier_rows = self._robots_ok(
             seed_df.select(
                 F.col("source_url"),
                 F.col("source_url").alias("url"),
@@ -120,7 +118,7 @@ class CrawlEngine:
                 F.lit(0).alias("attempt"),
             )
         )
-        source_state = seed_df.select(
+        state_rows = seed_df.select(
             "source_url",
             host_udf("source_url").alias("host"),
             "max_pages",
@@ -128,6 +126,15 @@ class CrawlEngine:
             F.lit(1).cast("long").alias("total_pages_found"),
             F.lit(1).cast("long").alias("next_enqueue_seq"),
         )
+        return frontier_rows, state_rows
+
+    def init_state(self, seeds: list[tuple[str, int]]) -> None:
+        """Seed the frontier. seeds = [(normalized_seed_url, max_pages)]."""
+        spark = self.spark
+        seed_df = spark.createDataFrame(
+            [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
+        )
+        frontier, source_state = self._seed_rows(seed_df)
         empty = {
             name: spark.createDataFrame([], getattr(schemas, name.upper()))
             for name in _DELTA_TABLES
@@ -163,25 +170,7 @@ class CrawlEngine:
         if n_new == 0:
             new.unpersist()
             return 0
-        frontier_new = self._robots_ok(
-            new.select(
-                F.col("source_url"),
-                F.col("source_url").alias("url"),
-                F.xxhash64("source_url").alias("url_hash"),
-                host_udf("source_url").alias("host"),
-                F.lit(0).alias("priority"),
-                F.lit(0).cast("long").alias("seq"),
-                F.lit(0).alias("attempt"),
-            )
-        )
-        state_new = new.select(
-            "source_url",
-            host_udf("source_url").alias("host"),
-            "max_pages",
-            F.lit(0).alias("pages_crawled"),
-            F.lit(1).cast("long").alias("total_pages_found"),
-            F.lit(1).cast("long").alias("next_enqueue_seq"),
-        )
+        frontier_new, state_new = self._seed_rows(new)
         self.store.commit(
             batch_id=batch_id,
             full_tables={

@@ -139,18 +139,38 @@ class CodecDecodeBackend(DecodeBackend):
         w, h = int(params[b"W"]), int(params[b"H"])
         chroma = params.get(b"C", b"420jpeg")
         y_len = w * h
-        c_len = 0 if chroma.startswith(b"mono") else (
-            y_len if chroma.startswith(b"444") else y_len // 4
-        )
+        # Explicit per-format plane math; anything else (444alpha's 4
+        # planes, 411, ...) raises per the class contract instead of
+        # mis-sizing frame_len and silently emitting misaligned luma.
+        if chroma == b"mono":
+            c_len = 0
+        elif chroma in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+            if w % 2 or h % 2:
+                raise NotImplementedError(f"odd dims {w}x{h} for chroma {chroma!r}")
+            c_len = y_len // 4
+        elif chroma == b"422":
+            if w % 2:
+                raise NotImplementedError(f"odd width {w} for chroma 422")
+            c_len = y_len // 2
+        elif chroma == b"444":
+            c_len = y_len
+        else:
+            raise NotImplementedError(f"unsupported y4m chroma {chroma!r}")
         frame_len = y_len + 2 * c_len
         frames = []
         pos = 0
         while pos < len(body):
+            if not body.startswith(b"FRAME", pos):
+                raise ValueError("malformed y4m: expected FRAME marker")
             nl = body.index(b"\n", pos)  # FRAME marker line
             data = body[nl + 1 : nl + 1 + frame_len]
+            if len(data) != frame_len:
+                raise ValueError("truncated y4m frame")
             y = np.frombuffer(data[:y_len], dtype=np.uint8).reshape(h, w)
             frames.append(np.repeat(y[:, :, None], 3, axis=2))
             pos = nl + 1 + frame_len
+        if not frames:
+            return np.zeros((0, h, w, 3), dtype=np.uint8)
         return np.stack(frames)[::every_n]
 
 

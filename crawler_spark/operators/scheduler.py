@@ -57,6 +57,7 @@ def schedule_batch(
     n_bloom_parts: int = 64,
     canonicalize: bool = False,
     seen_filter: str = "bloom",
+    max_quota: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Select this micro-batch's fetch set from the frontier.
 
@@ -125,12 +126,16 @@ def schedule_batch(
     # difference between shuffling K rows per host per map partition and
     # shuffling the whole frontier); the per-host quota (a column, not
     # pushable) then tightens within that K. The constant is
-    # max(default_k, max quota) — one tiny aggregation over the O(hosts-
-    # with-rules) quota table — so a caller-supplied quota above
-    # default_k is honored instead of silently truncated.
+    # max(default_k, max quota), so a caller-supplied quota above
+    # default_k is honored instead of silently truncated. Deriving that
+    # bound from the quotas table is an EAGER driver action (one Spark
+    # job per call — per micro-batch in a drain loop), so callers that
+    # already know it (host_quotas output is capped at default_k) pass
+    # ``max_quota`` and skip the job.
     k_cap = default_k
     if quotas is not None:
-        max_quota = quotas.agg(F.max("quota")).first()[0]
+        if max_quota is None:
+            max_quota = quotas.agg(F.max("quota")).first()[0]
         if max_quota is not None:
             k_cap = max(default_k, int(max_quota))
     w = Window.partitionBy("host").orderBy("priority", "seq")

@@ -39,14 +39,16 @@ POLICY = "lexmin"
 ADDED_SOURCE = "https://added.example.org"
 ADDED_MAX_PAGES = 5
 
-_ENGINE_CACHE: dict[int, object] = {}
+_ENGINE_CACHE: dict[str, object] = {}
 
 
 def fixture_engine(spark: SparkSession):
     """The shared fixture crawl, run once per Spark session. Read-only
     consumers only — mutation queries (review_workflow) use their own
-    state dir."""
-    key = id(spark)
+    state dir. Keyed by applicationId, not id(spark): a new session can
+    be allocated at a recycled id() and would inherit a cached engine
+    whose DataFrames belong to the dead SparkContext."""
+    key = spark.sparkContext.applicationId
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         from .fixtures import make_web_graph, web_graph_rows
@@ -60,6 +62,7 @@ def fixture_engine(spark: SparkSession):
         )
         eng.run(seeds=g.seeds)
         eng.add_sources([(ADDED_SOURCE, ADDED_MAX_PAGES)])
+        _ENGINE_CACHE.clear()  # engines of stopped sessions are unusable
         _ENGINE_CACHE[key] = eng
     return eng
 
@@ -491,7 +494,15 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_session_stream(
         spark, in_dir, os.path.join(work, "ckpt"), out_dir, gap_sec=_STREAM_GAP_SEC
     )
-    q.awaitTermination(300)
+    try:
+        # availableNow terminates on its own; a False return means the
+        # 300 s budget expired with the stream still running — fail loudly
+        # rather than reading a partial sink and producing a confusing
+        # oracle mismatch downstream.
+        if not q.awaitTermination(300):
+            raise TimeoutError("sessionize stream did not finish within 300s")
+    finally:
+        q.stop()  # no-op when already terminated; never leak a live stream
     return spark.read.option("basePath", out_dir).parquet(out_dir).select(
         "host", "session_start", "session_end", "n_events", "ok_count", "bytes"
     )

@@ -247,12 +247,21 @@ def test_html_to_markdown_prefilter_matches_original():
         "<h1>t</h1><p>p</p><div>d</div><li>l</li><br/>",
         "<p</h1>>",
         "&amp;&lt;&nbsp;  x\t\ty\n\n\nz",
+        # Unicode case-fold traps: re.IGNORECASE matches 'ſ' (U+017F)
+        # and 'ı' (U+0131) and 'İ' (U+0130) as s/i/i, which str.lower()
+        # does NOT map onto the probe word — a lower()-based probe
+        # skipped the strip pass on these.
+        "<ſcript>var x=1</ſcript><p>hello</p>",
+        "<SCRıPT>leak()</scrıpt>ok",
+        "<scrİpt>leak()</scrİpt>ok",
+        "<ſTYLE>.c{}</ſtyle>u",
     ]
     rng = random.Random(41)
     pieces = [
         "<script>", "</script>", "<style>", "</style>", "< script >",
         "<h1>", "</h2>", "<p>", "<div class='x'>", "<br/>", "<", ">",
         "text", "SCRIPT", "Style", " ", "\n", "&amp;", "<a href='/x'>y</a>",
+        "<ſcript>", "</scrıpt>", "ſ", "ı",
     ]
     fuzz = [
         "".join(rng.choice(pieces) for _ in range(rng.randint(0, 10)))
@@ -260,6 +269,30 @@ def test_html_to_markdown_prefilter_matches_original():
     ]
     for s in handcrafted + fuzz:
         assert html_to_markdown(s) == md_ref(s), repr(s)
+
+
+def test_prefilter_probe_is_sound():
+    """Exhaustive over Unicode, per letter POSITION (substring adjacency
+    matters: İ casefolds to 'i'+combining-dot, which would split the
+    probe word): substituting any codepoint that re.IGNORECASE accepts
+    for a letter of 'script'/'style' must keep the word a substring of
+    the probe transform casefold() + 'ı'→'i' + drop-U+0307 — so the
+    probe can never skip a string the strip pass would match."""
+    import re as _re
+
+    for word in ("script", "style"):
+        for pos, letter in enumerate(word):
+            rx = _re.compile(_re.escape(letter), _re.IGNORECASE)
+            for cp in range(0x110000):
+                ch = chr(cp)
+                if rx.fullmatch(ch):
+                    probe = (
+                        (word[:pos] + ch + word[pos + 1 :])
+                        .casefold()
+                        .replace("ı", "i")
+                        .replace("̇", "")
+                    )
+                    assert word in probe, f"{word} pos {pos}: {hex(cp)}"
 
 
 def test_ws_collapse_fast_form_matches_original():

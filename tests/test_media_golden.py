@@ -57,6 +57,40 @@ def test_y4m_golden_vector(vectors):
     assert len(sampled) == len(exp["sampled_frame_idx"])
 
 
+def test_y4m_unsupported_and_malformed_inputs_raise(vectors):
+    """Per the DecodeBackend contract, formats outside the supported
+    chroma set raise NotImplementedError (never silently mis-size the
+    frame planes), and corrupt payloads raise ValueError."""
+    import pytest
+
+    be = CodecDecodeBackend()
+
+    def y4m(chroma: bytes, w=4, h=4, frames=1, trunc=0):
+        y_len = w * h
+        c_len = {b"mono": 0, b"420jpeg": y_len // 4, b"422": y_len // 2, b"444": y_len}.get(
+            chroma, y_len // 4
+        )
+        frame = b"FRAME\n" + bytes(range(256))[: y_len + 2 * c_len]
+        body = (frame * frames)[: len(frame) * frames - trunc]
+        return b"YUV4MPEG2 W%d H%d C%s\n" % (w, h, chroma) + body
+
+    for bad in (b"422jpeg", b"444alpha", b"411", b"nonsense"):
+        with pytest.raises(NotImplementedError):
+            be.decode_video_frames(y4m(bad), 1)
+    with pytest.raises(NotImplementedError):  # odd dims under 420 subsampling
+        be.decode_video_frames(b"YUV4MPEG2 W3 H3 C420jpeg\nFRAME\n" + bytes(12), 1)
+    # supported formats parse with correct plane math
+    for ok, c_mult in ((b"mono", 0), (b"420jpeg", 2), (b"422", 4), (b"444", 8)):
+        out = be.decode_video_frames(y4m(ok, frames=3), 2)
+        assert out.shape == (2, 4, 4, 3), (ok, c_mult)
+    # zero frames -> empty stack, not np.stack([]) ValueError
+    assert be.decode_video_frames(b"YUV4MPEG2 W4 H4 C444\n", 1).shape == (0, 4, 4, 3)
+    with pytest.raises(ValueError):  # truncated final frame
+        be.decode_video_frames(y4m(b"444", frames=2, trunc=3), 1)
+    with pytest.raises(ValueError):  # garbage where FRAME marker expected
+        be.decode_video_frames(b"YUV4MPEG2 W4 H4 C444\nNOTAFRAME\n" + bytes(48), 1)
+
+
 def test_png_bytes_are_a_correct_png(vectors):
     """The committed PNG decodes (pure zlib + unfilter) to pixels whose
     crc32 matches the pinned value — any standards-conforming codec will

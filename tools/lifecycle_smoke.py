@@ -47,6 +47,23 @@ def count_fs(root: str) -> tuple[int, int]:
     return dirs, files
 
 
+def _window_stats(batches: int, lat: list, root: str, store) -> dict:
+    """Latency percentiles over the trailing window plus on-disk/manifest
+    footprint; index-safe for windows smaller than 100 commits."""
+    w = sorted(lat[-100:])
+    dirs, files = count_fs(root)
+    man = store.head()
+    return {
+        "batches": batches,
+        "commit_p50_ms": round(w[len(w) // 2] * 1000, 1),
+        "commit_p99_ms": round(w[min(len(w) - 1, int(len(w) * 0.98))] * 1000, 1),
+        "dirs": dirs,
+        "files": files,
+        "manifest_bytes": len(man.to_json()),
+        "url_seen_file_groups": len(man.tables["url_seen"]["files"]),
+    }
+
+
 def run(n_batches: int) -> dict:
     from crawler_spark.session import get_spark
     from crawler_spark.state import SnapshotParquetStore
@@ -110,24 +127,16 @@ def run(n_batches: int) -> dict:
             resumed_at = i + 1
 
         if (i + 1) % 100 == 0:
-            w = sorted(lat[-100:])
-            dirs, files = count_fs(root)
-            man = store.head()
-            man_bytes = len(man.to_json())
-            windows.append(
-                {
-                    "batches": i + 1,
-                    "commit_p50_ms": round(w[50] * 1000, 1),
-                    "commit_p99_ms": round(w[98] * 1000, 1),
-                    "dirs": dirs,
-                    "files": files,
-                    "manifest_bytes": man_bytes,
-                    "url_seen_file_groups": len(man.tables["url_seen"]["files"]),
-                }
-            )
+            windows.append(_window_stats(i + 1, lat, root, store))
             print(json.dumps(windows[-1]), flush=True)
 
     total_sec = time.monotonic() - t_all
+
+    if not windows:
+        # n_batches < 100: record a single whole-run window so the
+        # invariants below have data instead of IndexError-ing
+        windows.append(_window_stats(n_batches, lat, root, store))
+        print(json.dumps(windows[-1]), flush=True)
 
     # ---- invariants ----
     errors: list[str] = []
