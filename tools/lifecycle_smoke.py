@@ -195,7 +195,10 @@ def run(n_batches: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     report = run(n)
-    out = os.path.join(REPO, "BENCH", "lifecycle_1e3.json")
+    # the canonical 10^3 evidence file only for the canonical run size —
+    # a quick small-n smoke must not clobber the recorded 1000-batch report
+    name = "lifecycle_1e3.json" if n == 1000 else f"lifecycle_{n}.json"
+    out = os.path.join(REPO, "BENCH", name)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "windows"}, indent=1))
