@@ -40,6 +40,7 @@ HEADLINE = [
     "sessionize",
     "text_quality",
     "text_repetition",
+    "text_tokens_bpe",
     "pii_mask",
     "image_phash",
     "video_frames",

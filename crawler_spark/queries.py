@@ -1162,6 +1162,37 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BPE-ish pretokenizer: letter runs, single digits (modern BPE vocabs
+# split digit strings per character), and non-alnum-non-space singles —
+# a deterministic approximation of the GPT-2 pretokenize split, limited
+# to syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# lookahead (RE2 lacks it), no unicode property classes.
+_BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token accounting under a BPE-ish regex pretokenizer (the unit a
+    subword tokenizer would see), next to the whitespace count — the
+    ratio is the subword-fertility signal a training-data pipeline
+    budgets with. All JVM-side (regexp_extract_all + higher-order
+    filter), no UDF; one narrow map pass at any scale."""
+    docs = load(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(_BPE_TOKEN_RE), F.lit(0)).alias("toks"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+    n_bpe = F.size("toks")
+    n_word = F.size(F.expr("filter(toks, t -> t rlike '^[A-Za-z]')"))
+    return base.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_word.alias("n_word_tokens"),
+        (n_bpe - n_word).alias("n_other_tokens"),
+        F.floor(1000.0 * n_bpe / F.col("n_ws")).cast("long").alias("fertility_milli"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: stopword ratio + short-token ratio (length/punct
     heuristics of a training-data filter)."""
@@ -1605,6 +1636,19 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
                           '{_PII_PHONE}', '<PHONE>', 'g')) AS masked_fp
 FROM inj""",
+    "text_tokens_bpe": f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_TOKEN_RE}') AS toks,
+         len(string_split(text, ' ')) AS n_ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]'))) AS INT) AS n_word_tokens,
+       CAST(len(toks) - len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]'))) AS INT) AS n_other_tokens,
+       CAST(floor(1000.0 * len(toks) / n_ws) AS BIGINT) AS fertility_milli
+FROM t""",
     "text_stats": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -1768,6 +1812,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": q_ann_ivf_search,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
+    "text_tokens_bpe": q_text_tokens_bpe,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "pii_mask": q_pii_mask,
