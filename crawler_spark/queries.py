@@ -53,9 +53,11 @@ def _barrier(df: DataFrame) -> DataFrame:
 
 
 def release_query_barriers() -> None:
-    """Unpersist every barrier registered since the last release."""
+    """Unpersist every barrier registered since the last release.
+    Blocking, so callers (and tests) observe the storage as freed the
+    moment this returns instead of racing the async cleaner."""
     while _QUERY_BARRIERS:
-        _QUERY_BARRIERS.pop().unpersist()
+        _QUERY_BARRIERS.pop().unpersist(blocking=True)
 
 
 # ---------------------------------------------------------------------------

@@ -111,13 +111,20 @@ def test_query_barriers_release(spark):
     bench loop) holds no storage between queries."""
     from crawler_spark.queries import SPARK_QUERIES, release_query_barriers
 
-    sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    def cached_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    # set-difference against a post-drain baseline: other tests in the
+    # shared session may add/async-drop their own caches concurrently,
+    # so absolute counts are not stable — only OUR entries are asserted.
+    release_query_barriers()
+    base_ids = cached_ids()
     df = SPARK_QUERIES["dedup_minhash_lsh"](spark, SF)
     df.write.format("noop").mode("overwrite").save()
-    assert sc._jsc.getPersistentRDDs().size() > base  # barriers were engaged
+    assert cached_ids() - base_ids  # barriers were engaged
     release_query_barriers()
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert not (cached_ids() - base_ids)  # and every one was dropped
 
 
 def test_scan_filter_stage_is_codegen(spark):
