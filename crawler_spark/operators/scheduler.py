@@ -184,6 +184,14 @@ def drain_ordered(scheduled: DataFrame, n_buckets: int | None = None) -> DataFra
       overhead ~100x when there are tens of thousands of small hosts
       (measured 13.3s -> ~1s at 700k rows / 10k hosts on local[32]).
     Both give identical rows; only task granularity differs.
+
+    Partitioning note: groupBy hash-partitions on (host-hash bucket,
+    salt) — the same co-location + hot-host-splitting a manual
+    ``repartitionByRange(xxhash64(host), salt)`` would buy, but in ONE
+    shuffle fused with the applyInPandas exchange instead of a separate
+    range-sampling pass (range partitioning needs a sample job to pick
+    bounds; hash needs none and balances Zipf hosts just as well once
+    salted).
     """
 
     def _drain(pdf: pd.DataFrame) -> pd.DataFrame:
