@@ -28,11 +28,11 @@ def test_spark_submit_py_files_end_to_end():
     with tempfile.TemporaryDirectory(prefix="submit_") as work:
         zip_path = build_pyfiles_zip(os.path.join(work, "crawler_spark.zip"))
         state = os.path.join(work, "state")
-        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="4g")
         out = subprocess.run(
             [
                 SPARK_SUBMIT,
                 "--master", "local[4]",
+                "--driver-memory", "4g",
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.shuffle.partitions=8",
                 "--py-files", zip_path,
@@ -45,7 +45,6 @@ def test_spark_submit_py_files_end_to_end():
             capture_output=True,
             text=True,
             cwd=work,  # NOT the repo: executor imports must come from the zip
-            env=env,
             timeout=600,
         )
         assert out.returncode == 0, out.stderr[-4000:]

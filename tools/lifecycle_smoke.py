@@ -194,6 +194,8 @@ def run(n_batches: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    if n < 1:
+        sys.exit("n_batches must be >= 1")
     report = run(n)
     # the canonical 10^3 evidence file only for the canonical run size —
     # a quick small-n smoke must not clobber the recorded 1000-batch report
