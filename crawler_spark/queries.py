@@ -407,11 +407,15 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures over word-3-gram shingles (4 hash families via
-    seeded md5; lexicographic min — identical in DuckDB)."""
-    docs = _with_shingles(load(spark, sf, "documents"))
+    """MinHash signatures over word-3-gram shingles. 4 hash families =
+    disjoint 8-hex-char slices of ONE md5 per shingle (hashed once, not
+    once per family; see _MINHASH_COLS_DUCK); lexicographic min over
+    equal-length hex — identical in DuckDB."""
+    docs = _with_shingles(load(spark, sf, "documents")).withColumn(
+        "hs", F.expr("transform(sh, s -> md5(s))")
+    )
     cols = [
-        F.expr(f"array_min(transform(sh, s -> md5(concat('{j}:', s))))").alias(f"mh{j}")
+        F.expr(f"array_min(transform(hs, h -> substring(h, {j * 8 + 1}, 8)))").alias(f"mh{j}")
         for j in range(4)
     ]
     return docs.select("doc_id", *cols)
@@ -535,10 +539,10 @@ def _minhash_rep_pairs(docs: DataFrame):
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "text")
     shingled = _barrier(_with_shingles(reps))
-    mh = shingled.select(
+    mh = shingled.withColumn("hs", F.expr("transform(sh, s -> md5(s))")).select(
         "doc_id",
         *[
-            F.expr(f"array_min(transform(sh, s -> md5(concat('{j}:', s))))").alias(f"mh{j}")
+            F.expr(f"array_min(transform(hs, h -> substring(h, {j * 8 + 1}, 8)))").alias(f"mh{j}")
             for j in range(4)
         ],
     )
@@ -1381,8 +1385,14 @@ SELECT CAST({bucket} AS BIGINT) AS bucket, count(*) AS n_vecs
 FROM embeddings GROUP BY 1"""
 
 
+# 4 hash families from ONE md5 per shingle: disjoint 8-hex-char (32-bit)
+# slices of the digest are independent uniform hashes, so the corpus is
+# hashed once instead of once per family — at 10^10 docs that is 4x less
+# hashing for identical minhash statistics. Lexicographic min over equal-
+# length hex = numeric min, identical in both engines.
 _MINHASH_COLS_DUCK = ", ".join(
-    f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5('{j}:' || s))) AS mh{j}" for j in range(4)
+    f"list_min(list_transform({_SHINGLES_DUCK}, s -> substr(md5(s), {j * 8 + 1}, 8))) AS mh{j}"
+    for j in range(4)
 )
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
