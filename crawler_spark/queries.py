@@ -425,10 +425,14 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over tokens: per-bit majority of md5-derived bits
     (bit b = parity of hex char b of md5(token))."""
     docs = load(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # project the digest ONCE per token row; 16 bit expressions then
+    # slice the projected column instead of each re-deriving md5(tok)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
     bit_sums = [
         F.sum(
-            F.when(F.ascii(F.substring(F.md5("tok"), b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(16)
     ]
@@ -444,7 +448,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram Jaccard near-dup scoring between consecutive doc pairs
     (linear blocking; integer-exact milli-Jaccard)."""
     docs = _with_shingles(load(spark, sf, "documents"))
-    sh = docs.select("doc_id", F.explode(F.array_distinct(F.col("sh"))).alias("s"))
+    # consumed by both join sides AND the sizes agg — barrier the explode
+    # so shingling runs once, not three times
+    sh = _barrier(docs.select("doc_id", F.explode(F.array_distinct(F.col("sh"))).alias("s")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
