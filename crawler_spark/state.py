@@ -18,9 +18,10 @@ semantics the engine needs, offline:
   carries the full file list (parent's files + new). No O(total-state)
   rewrite per batch — at 10^10-frontier scale this is what keeps commit
   cost proportional to the batch, as Iceberg appends would be.
-- **exactly-once re-commit**: committing a ``batch_id`` already recorded in
-  HEAD is a no-op (maps the reference's acks_late redelivery + idempotence
-  guard, /root/reference/backend/tasks/crawl.py:7,
+- **exactly-once re-commit**: committing any ``batch_id`` at or below
+  HEAD's — immediate re-delivery or one delayed past newer commits — is a
+  no-op returning that batch's manifest (maps the reference's acks_late
+  redelivery + idempotence guard, /root/reference/backend/tasks/crawl.py:7,
   backend/service/services.py:291-292).
 
 A real-cluster deployment swaps in an Iceberg-backed impl of the same
@@ -40,11 +41,28 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers — no Spark job."""
-    return sum(
-        pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+def _fsync_dir(path: str) -> None:
+    """Persist directory entries (renames/creates) — without this, a
+    power loss can keep a fsynced FILE whose rename into the directory
+    was never durably recorded."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _atomic_write(path: str, text: str) -> None:
+    """tmp file + fsync + rename + parent-dir fsync: the one definition
+    of durable atomic replacement, shared by HEAD updates and manifest
+    rewrites so crash-safety semantics cannot drift between call sites."""
+    tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
 
 
 def _jsonable(v):
@@ -58,13 +76,23 @@ def _jsonable(v):
     return None
 
 
-def _dir_stats(path: str) -> dict:
-    """Zone-map column stats for one parquet directory, harvested from the
-    footers Spark already wrote — min/max per top-level primitive column,
-    merged across files and row groups. No Spark job, no data read."""
+def _dir_meta(path: str) -> tuple[int, dict]:
+    """(row count, zone-map stats) for one parquet directory in a SINGLE
+    footer pass — min/max per top-level primitive column, merged across
+    files and row groups. No Spark job, no data read.
+
+    A column whose stats are missing or non-representable in ANY row
+    group is POISONED (dropped from the zone map) rather than skipped:
+    a partial range would let read_pruned discard files that do contain
+    matching rows (parquet writers legitimately omit min/max, e.g. for
+    oversized binary values), and absent stats mean "never prune on this
+    column" — the conservative contract pruned_files already documents."""
+    rows = 0
     stats: dict[str, list] = {}
+    poisoned: set[str] = set()
     for f in glob.glob(os.path.join(path, "*.parquet")):
         md = pq.read_metadata(f)
+        rows += md.num_rows
         for rg in range(md.num_row_groups):
             rgm = md.row_group(rg)
             for ci in range(rgm.num_columns):
@@ -73,10 +101,10 @@ def _dir_stats(path: str) -> dict:
                 if "." in name:  # nested (spans etc.) — no zone map
                     continue
                 st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                mn = _jsonable(st.min) if st is not None and st.has_min_max else None
+                mx = _jsonable(st.max) if st is not None and st.has_min_max else None
                 if mn is None or mx is None:
+                    poisoned.add(name)
                     continue
                 cur = stats.get(name)
                 if cur is None:
@@ -84,7 +112,9 @@ def _dir_stats(path: str) -> dict:
                 else:
                     cur[0] = min(cur[0], mn)
                     cur[1] = max(cur[1], mx)
-    return stats
+    for name in poisoned:
+        stats.pop(name, None)
+    return rows, stats
 
 __all__ = ["SnapshotParquetStore", "Manifest"]
 
@@ -165,41 +195,53 @@ class SnapshotParquetStore:
         inherit the parent's files. Parent tables mentioned in neither
         dict carry forward verbatim (their files live under older
         snapshot dirs) — a mutation commit touching one table stays
-        O(change), not O(tables). Re-committing the HEAD batch_id is a
-        no-op returning the existing manifest.
+        O(change), not O(tables). Re-committing ANY already-committed
+        batch_id (== HEAD's or older — delayed redelivery) is a no-op
+        returning that batch's manifest (HEAD's if it expired), so
+        acks_late redelivery can never double-append delta rows.
+        Single-writer store: one driver process commits at a time.
         """
         head = self.head()
-        if head is not None and head.batch_id == batch_id:
-            return head
+        if head is not None and batch_id <= head.batch_id:
+            m = head
+            while m is not None and m.batch_id > batch_id:
+                m = self.manifest(m.parent_id) if m.parent_id is not None else None
+            return m if (m is not None and m.batch_id == batch_id) else head
         snap_id = (head.snapshot_id + 1) if head else 1
         name = f"v{snap_id:06d}"
         tmp = os.path.join(self.root, "snapshots", f"_tmp_{uuid.uuid4().hex[:8]}")
         final = os.path.join(self.root, "snapshots", name)
+        # a dir already at `final` is the orphan of a commit that crashed
+        # between its rename and the HEAD update (HEAD still points at the
+        # parent, so snap_id collides) — remove it or the store is wedged
+        # forever with ENOTEMPTY on every retry
+        if os.path.exists(final):
+            shutil.rmtree(final)
         os.makedirs(tmp)
         tables: dict[str, dict] = {}
         try:
             for tname, df in full_tables.items():
                 path = os.path.join(tmp, tname)
                 df.write.mode("overwrite").parquet(path)
-                rows = _parquet_rows(path)
+                rows, dstats = _dir_meta(path)
                 rel = os.path.join(name, tname)
                 tables[tname] = {
                     "mode": "full",
                     "files": [rel],
                     "rows": rows,
-                    "stats": {rel: _dir_stats(path)},
+                    "stats": {rel: dstats},
                 }
             for tname, df in (delta_tables or {}).items():
                 parent_entry = (head.tables.get(tname) if head else None) or {"files": [], "rows": 0}
                 path = os.path.join(tmp, tname)
                 df.write.mode("overwrite").parquet(path)
-                rows = _parquet_rows(path)
+                rows, dstats = _dir_meta(path)
                 files = list(parent_entry["files"])
                 stats = dict(parent_entry.get("stats", {}))
                 if rows > 0:
                     rel = os.path.join(name, tname)
                     files.append(rel)
-                    stats[rel] = _dir_stats(path)
+                    stats[rel] = dstats
                 tables[tname] = {
                     "mode": "delta",
                     "files": files,
@@ -219,15 +261,11 @@ class SnapshotParquetStore:
                 f.flush()
                 os.fsync(f.fileno())
             os.rename(tmp, final)
+            _fsync_dir(os.path.dirname(final))  # persist the rename itself
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        head_tmp = self._head_path() + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(head_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(head_tmp, self._head_path())
+        _atomic_write(self._head_path(), name)
         return man
 
     # -- compaction -----------------------------------------------------------
@@ -281,10 +319,28 @@ class SnapshotParquetStore:
         reclaims the pre-compaction delta dirs' space. Returns
         {"kept": n, "deleted_dirs": [...]}. Resume-safe: HEAD and its
         manifest chain are rewired so history() stops at the oldest kept
-        snapshot."""
+        snapshot. Also sweeps orphaned ``_tmp_*`` staging dirs and
+        ``HEAD.tmp*`` files left by hard kills mid-commit (single-writer
+        store: nothing else can be mid-commit while this runs)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (HEAD must survive)")
+        snap_root = os.path.join(self.root, "snapshots")
+        deleted: list[str] = []
+        for d in sorted(os.listdir(snap_root)):
+            if d.startswith("_tmp_"):
+                shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
+                deleted.append(d)
+        for f in sorted(os.listdir(self.root)):
+            if f.startswith("HEAD.tmp"):
+                os.unlink(os.path.join(self.root, f))
+                deleted.append(f)
+        # the unreferenced-dir sweep runs even when history is already
+        # short: a crash mid-sweep on a previous expire can leave dead
+        # v-dirs behind with history == keep_last, which an early return
+        # would then never reclaim
         history = self.history()
-        if len(history) <= keep_last:
-            return {"kept": len(history), "deleted_dirs": []}
+        if not history:
+            return {"kept": 0, "deleted_dirs": deleted}
         kept = history[-keep_last:]
         referenced: set[str] = set()
         for man in kept:
@@ -302,14 +358,7 @@ class SnapshotParquetStore:
             mpath = os.path.join(
                 self.root, "snapshots", f"v{oldest.snapshot_id:06d}", "manifest.json"
             )
-            tmp = mpath + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(oldest.to_json())
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, mpath)
-        deleted = []
-        snap_root = os.path.join(self.root, "snapshots")
+            _atomic_write(mpath, oldest.to_json())
         for d in sorted(os.listdir(snap_root)):
             if d.startswith("v") and d not in referenced:
                 shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)

@@ -182,3 +182,30 @@ def test_expire_after_compaction_reclaims_old_dirs(spark, tmp_path):
     # further commits work on the expired store
     _delta(spark, store, 99, [("https://s99.org", 99)])
     assert ("https://s99.org", 99) in _rows(store)
+
+
+def test_zone_map_poisons_columns_with_statless_row_groups(tmp_path):
+    """If ANY row group lacks min/max for a column, the whole directory's
+    zone map must drop that column (absent stats = never prune), else
+    read_pruned can discard files that contain matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_spark.state import _dir_meta
+
+    d = tmp_path / "zm"
+    d.mkdir()
+    t1 = pa.table({"k": pa.array([100, 200], pa.int64()), "v": ["a", "b"]})
+    t2 = pa.table({"k": pa.array([900, 950], pa.int64()), "v": ["c", "d"]})
+    pq.write_table(t1, str(d / "p1.parquet"))
+    pq.write_table(t2, str(d / "p2.parquet"), write_statistics=False)
+    rows, stats = _dir_meta(str(d))
+    assert rows == 4
+    # k appears WITH stats in p1 but statless in p2 -> poisoned, so a
+    # [850, 950] probe keeps the dir instead of pruning away rows 900/950
+    assert "k" not in stats and "v" not in stats
+
+    # fully-statted dirs still produce the merged range
+    pq.write_table(t2, str(d / "p2.parquet"))  # rewrite WITH stats
+    rows2, stats2 = _dir_meta(str(d))
+    assert rows2 == 4 and stats2["k"] == [100, 950]

@@ -96,3 +96,70 @@ def test_crash_during_commit_leaves_head_intact(spark, tmp_path):
     # and the engine still resumes cleanly
     eng2 = CrawlEngine(spark, web_df, str(tmp_path / "cr"), policy="lexmin")
     assert eng2.run() >= 1
+
+
+def test_delayed_redelivery_of_old_batch_is_noop(spark, tmp_path):
+    """acks_late redelivery can arrive AFTER newer batches committed; an
+    old batch_id must return its original manifest, never append again."""
+    g = make_web_graph(n_hosts=1, pages_per_host=8, seed=7, max_pages=3)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "rd"), policy="lexmin")
+    eng.init_state(g.seeds)
+    eng.step(1)
+    old = eng.store.head()
+    eng.step(2)
+    head = eng.store.head()
+    rows_before = eng.store.read("crawl_log").count()
+    man = eng.store.commit(
+        batch_id=old.batch_id,  # batch 1 redelivered after batch 2 landed
+        full_tables={},
+        delta_tables={"crawl_log": eng.store.read("crawl_log")},
+        metrics={"event": "dup"},
+    )
+    assert man.snapshot_id == old.snapshot_id  # the ORIGINAL manifest
+    assert eng.store.head().snapshot_id == head.snapshot_id  # HEAD unmoved
+    assert eng.store.read("crawl_log").count() == rows_before  # no double rows
+
+
+def test_orphan_snapshot_dir_from_crashed_commit_is_recovered(spark, tmp_path):
+    """A crash BETWEEN the snapshot-dir rename and the HEAD update leaves
+    an orphan vNNNNNN dir at the next snap id; the next commit must
+    reclaim it instead of wedging on ENOTEMPTY forever."""
+    import os
+
+    g = make_web_graph(n_hosts=1, pages_per_host=6, seed=2, max_pages=2)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "or"), policy="lexmin")
+    eng.init_state(g.seeds)
+    head = eng.store.head()
+    # simulate the torn commit: the dir exists, HEAD was never updated
+    orphan = os.path.join(str(tmp_path / "or"), "snapshots", f"v{head.snapshot_id + 1:06d}")
+    os.makedirs(os.path.join(orphan, "junk"))
+    with open(os.path.join(orphan, "manifest.json"), "w") as f:
+        f.write("{torn}")
+    assert eng.step(1) >= 1  # commits snap_id head+1 over the orphan
+    assert eng.store.head().snapshot_id == head.snapshot_id + 1
+    eng2 = CrawlEngine(spark, web_df, str(tmp_path / "or"), policy="lexmin")
+    eng2.run()  # and the store resumes to completion
+
+
+def test_expire_sweeps_commit_orphans_and_rejects_keep0(spark, tmp_path):
+    import os
+
+    import pytest
+
+    g = make_web_graph(n_hosts=1, pages_per_host=6, seed=8, max_pages=2)
+    web_df = spark.createDataFrame(web_graph_rows(g), WEB_GRAPH)
+    eng = CrawlEngine(spark, web_df, str(tmp_path / "gc"), policy="lexmin")
+    eng.run(seeds=g.seeds)
+    root = str(tmp_path / "gc")
+    os.makedirs(os.path.join(root, "snapshots", "_tmp_deadbeef", "t"))
+    with open(os.path.join(root, "HEAD.tmpabc123"), "w") as f:
+        f.write("junk")
+    res = eng.store.expire_snapshots(keep_last=10)
+    assert "_tmp_deadbeef" in res["deleted_dirs"]
+    assert "HEAD.tmpabc123" in res["deleted_dirs"]
+    assert not os.path.exists(os.path.join(root, "snapshots", "_tmp_deadbeef"))
+    assert not os.path.exists(os.path.join(root, "HEAD.tmpabc123"))
+    with pytest.raises(ValueError):
+        eng.store.expire_snapshots(keep_last=0)
