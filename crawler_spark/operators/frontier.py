@@ -106,7 +106,13 @@ class CrawlEngine:
     def _seed_rows(self, seed_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(frontier_rows, source_state_rows) for fresh seed sources —
         the ONE definition of the seed-row shape, shared by init_state
-        and add_sources so the two paths cannot drift."""
+        and add_sources so the two paths cannot drift. Duplicate
+        source_urls collapse to one row (a repeated seed would otherwise
+        fan out every broadcast join and double-emit finalize jobs), and
+        the robots gate applies to BOTH tables: a disallowed seed gets no
+        source_state row either, so it can never linger as a perpetually
+        in-progress source with a bogus 0-page crawl job."""
+        seed_df = seed_df.dropDuplicates(["source_url"])
         frontier_rows = self._robots_ok(
             seed_df.select(
                 F.col("source_url"),
@@ -118,18 +124,26 @@ class CrawlEngine:
                 F.lit(0).alias("attempt"),
             )
         )
-        state_rows = seed_df.select(
-            "source_url",
-            host_udf("source_url").alias("host"),
-            "max_pages",
-            F.lit(0).alias("pages_crawled"),
-            F.lit(1).cast("long").alias("total_pages_found"),
-            F.lit(1).cast("long").alias("next_enqueue_seq"),
+        state_rows = (
+            seed_df.join(frontier_rows.select("source_url"), "source_url", "left_semi")
+            .select(
+                "source_url",
+                host_udf("source_url").alias("host"),
+                "max_pages",
+                F.lit(0).alias("pages_crawled"),
+                F.lit(1).cast("long").alias("total_pages_found"),
+                F.lit(1).cast("long").alias("next_enqueue_seq"),
+            )
         )
         return frontier_rows, state_rows
 
     def init_state(self, seeds: list[tuple[str, int]]) -> None:
-        """Seed the frontier. seeds = [(normalized_seed_url, max_pages)]."""
+        """Seed the frontier. seeds = [(normalized_seed_url, max_pages)].
+        Refuses to run on an already-initialized store — the batch-0
+        commit would be idempotently swallowed and the caller would
+        silently proceed against stale state; use add_sources to merge."""
+        if self.store.head() is not None:
+            raise ValueError("state already initialized; use add_sources() to merge seeds")
         spark = self.spark
         seed_df = spark.createDataFrame(
             [(u, int(mp)) for u, mp in seeds], "source_url string, max_pages int"
@@ -158,7 +172,7 @@ class CrawlEngine:
         head = self.store.head()
         if head is None:
             self.init_state(seeds)
-            return len(seeds)
+            return self.store.read("source_state").count()
         spark = self.spark
         batch_id = head.batch_id + 1
         seed_df = spark.createDataFrame(
@@ -166,21 +180,28 @@ class CrawlEngine:
         )
         state = self.store.read("source_state")
         new = seed_df.join(state.select("source_url"), "source_url", "left_anti").persist()
-        n_new = new.count()
-        if n_new == 0:
+        state_new = None
+        try:
+            if new.count() == 0:
+                return 0
+            frontier_new, state_new = self._seed_rows(new)
+            state_new = state_new.persist()
+            n_added = state_new.count()  # post-dedup, post-robots
+            if n_added == 0:
+                return 0
+            self.store.commit(
+                batch_id=batch_id,
+                full_tables={
+                    "frontier": self.store.read("frontier").unionByName(frontier_new),
+                    "source_state": state.unionByName(state_new),
+                },
+                metrics={"event": "add_sources", "sources": n_added},
+            )
+            return n_added
+        finally:
             new.unpersist()
-            return 0
-        frontier_new, state_new = self._seed_rows(new)
-        self.store.commit(
-            batch_id=batch_id,
-            full_tables={
-                "frontier": self.store.read("frontier").unionByName(frontier_new),
-                "source_state": state.unionByName(state_new),
-            },
-            metrics={"event": "add_sources", "sources": n_new},
-        )
-        new.unpersist()
-        return n_new
+            if state_new is not None:
+                state_new.unpersist()
 
     def _read_or_empty(self, table: str) -> DataFrame:
         df = self.store.read(table)
@@ -217,11 +238,27 @@ class CrawlEngine:
             .withColumn("pop_seq", F.col("pages_crawled").cast("long"))
             .persist()
         )
-        n_popped = heads.count()
-        if n_popped == 0:
-            heads.unpersist()
-            return 0
+        # every persisted frame registers here; the finally releases them
+        # even when the fetch/parse/commit path throws mid-batch (a disk-
+        # full or parse error must not leak cached blocks across retries)
+        persisted = [heads]
+        try:
+            n_popped = heads.count()
+            if n_popped == 0:
+                return 0
+            return self._step_body(
+                batch_id, t0, n_popped, heads, frontier, source_state,
+                url_seen, candidates, active, persisted,
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
 
+    def _step_body(
+        self, batch_id, t0, n_popped, heads, frontier, source_state,
+        url_seen, candidates, active, persisted,
+    ) -> int:
+        spark = self.spark
         # pop: remove heads from the frontier
         frontier2 = frontier.join(
             heads.select("source_url", "seq"), ["source_url", "seq"], "left_anti"
@@ -250,6 +287,7 @@ class CrawlEngine:
             web.select("url", "kind", "payload", "status"), "url", "left"
         )
         parsed = fetched.mapInPandas(parse_documents, PARSED_SCHEMA).persist()
+        persisted.append(parsed)
 
         ok = parsed.filter("ok")
 
@@ -283,6 +321,7 @@ class CrawlEngine:
             )
             .persist()
         )
+        persisted.append(cand_delta)
         candidates2 = candidates.unionByName(cand_delta)
 
         # filtered candidates: anti-join vs fragment-stripped seen set
@@ -290,8 +329,14 @@ class CrawlEngine:
         # Robots filtering applies HERE — before the policy — so a
         # disallowed best candidate makes the policy pick the next-best
         # allowed one instead of silently ending the source's crawl.
+        # Restricted to the batch's popped sources first: completed
+        # sources' accumulated candidates would otherwise flow through
+        # the robots UDF + anti-join + sorted collect_list every batch
+        # only to be discarded by the chosen join (with 1000 sources of
+        # which 10 remain active, that is 99% wasted candidate work).
         filtered = self._robots_ok(
-            candidates2.join(
+            candidates2.join(heads.select("source_url").distinct(), "source_url", "left_semi")
+            .join(
                 url_seen2.select("source_url", "url_nofrag"),
                 ["source_url", "url_nofrag"],
                 "left_anti",
@@ -316,9 +361,26 @@ class CrawlEngine:
                     "url", F.coalesce("cand_list", F.array().cast("array<string>"))
                 ),
             )
+            # oracle guard (oracle.py: `next_link and next_link in
+            # filtered`): a policy returning '' or a URL outside its
+            # candidate list — legal under the NextLinkPolicy contract
+            # even though no built-in policy does it — must not enqueue
+            .withColumn(
+                "next_link",
+                F.when(
+                    F.col("next_link").isNotNull()
+                    & (F.col("next_link") != "")
+                    & F.array_contains(
+                        F.coalesce("cand_list", F.array().cast("array<string>")),
+                        F.col("next_link"),
+                    ),
+                    F.col("next_link"),
+                ),
+            )
             .select("source_url", "seq", "next_link")
             .persist()
         )
+        persisted.append(chosen)
 
         # next_link comes from the robots-filtered candidate list, so no
         # second robots pass is needed at enqueue time.
@@ -422,6 +484,14 @@ class CrawlEngine:
         # fetched_ok / new_candidates are NOT counted here — they come free
         # from the manifest's per-table delta row counts (parquet footers),
         # read back by metrics(); two fewer Spark jobs per batch.
+        # batch_sec must cover the batch's real work: the metrics dict is
+        # evaluated BEFORE commit runs the writes, so force the persisted
+        # fetch+parse and candidate stages first (they are cached — the
+        # commit's writes then reuse the blocks, no duplicate compute).
+        # Parquet write time itself is visible in the store's commit
+        # latency (tools/lifecycle_smoke.py), not here.
+        parsed.count()
+        cand_delta.count()
         self.store.commit(
             batch_id=batch_id,
             full_tables={"frontier": frontier3, "source_state": source_state2},
@@ -438,20 +508,23 @@ class CrawlEngine:
                 "batch_sec": round(time.monotonic() - t0, 3),
             },
         )
-        for df in (heads, parsed, cand_delta, chosen):
-            df.unpersist()
         return n_popped
 
     # -- full run -------------------------------------------------------------
 
     def run(self, seeds: list[tuple[str, int]] | None = None, max_batches: int = 10_000) -> int:
         """Drain until every source is done. Resumes from HEAD if state
-        exists and ``seeds`` is None. Returns number of batches executed."""
+        exists; seeds given on top of existing state are MERGED via
+        add_sources (already-present sources skipped) rather than
+        silently ignored. Returns number of batches executed."""
         head = self.store.head()
         if head is None:
             if seeds is None:
                 raise ValueError("no existing state and no seeds given")
             self.init_state(seeds)
+            head = self.store.head()
+        elif seeds is not None:
+            self.add_sources(seeds)
             head = self.store.head()
         batch_id = head.batch_id
         batches = 0
@@ -505,16 +578,22 @@ class CrawlEngine:
             .select(
                 "source_url", "pages_crawled", "total_pages_found", "max_pages", "ext_links"
             )
+            # persisted: the count() guard and the jobs write would each
+            # re-run the keep-first window + collect_list pipeline above
+            .persist()
         )
-        if fin.count() == 0:
-            return  # already finalized (resume of a completed crawl)
-        jobs_fin = fin.mapInPandas(build_source_jobs(batch_id), schemas.JOBS)
-        self.store.commit(
-            batch_id=batch_id,
-            full_tables={},
-            delta_tables={"jobs": jobs_fin},
-            metrics={"event": "finalize_jobs"},
-        )
+        try:
+            if fin.count() == 0:
+                return  # already finalized (resume of a completed crawl)
+            jobs_fin = fin.mapInPandas(build_source_jobs(batch_id), schemas.JOBS)
+            self.store.commit(
+                batch_id=batch_id,
+                full_tables={},
+                delta_tables={"jobs": jobs_fin},
+                metrics={"event": "finalize_jobs"},
+            )
+        finally:
+            fin.unpersist()
 
     # -- result accessors ------------------------------------------------------
 
