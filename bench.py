@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_blocks",
+    "contamination",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_search",

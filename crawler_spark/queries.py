@@ -1347,6 +1347,134 @@ def q_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Block size for span-level dedup: a "paragraph" in the space-tokenized
+# synthetic corpus is a fixed 20-token block (the corpus has no newline
+# paragraph marks; C4 uses 3-sentence spans — same operator shape).
+_BLOCK_TOKENS = 20
+
+
+def q_dedup_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup (the C4/RefinedWeb pass that removes
+    duplicated paragraphs ACROSS documents, not just whole-doc dups):
+    split every doc into fixed 20-token blocks, keep the globally FIRST
+    occurrence of each block (ordered by doc_id, block pos), and report
+    per doc how much survives plus a fingerprint of the deduped text.
+
+    Scale shape: one explode (narrow), one hash-partitioned window on
+    the block text (the dedup key — same shuffle an exact-dup groupBy
+    needs), one groupBy(doc_id) to reassemble. No all-pairs stage; at
+    100 TB both shuffles are bounded-key hash exchanges. A degenerate
+    block value (boilerplate repeated millions of times) lands in one
+    partition but the window only ranks it — no quadratic pair blowup,
+    unlike a self-join."""
+    return block_dedup(load(spark, sf, "documents"))
+
+
+def block_dedup(docs: DataFrame) -> DataFrame:
+    """Span-level keep-first dedup over any (doc_id, text) frame; see
+    q_dedup_blocks for the operator contract and scale shape."""
+    blocks = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {_BLOCK_TOKENS}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i * {_BLOCK_TOKENS} + 1, {_BLOCK_TOKENS})))"
+            )
+        ).alias("pos", "block"),
+    )
+    w = Window.partitionBy("block").orderBy("doc_id", "pos")
+    ranked = blocks.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "block")))
+                    ),
+                    lambda s: s.getField("block"),
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+
+
+# Benchmark-contamination probe: 8-token n-grams (the GPT-3/PaLM
+# decontamination unit is a 8-13-gram); probe docs stand in for a
+# benchmark set whose items leaked into the training corpus.
+_PROBE_N = 8
+_PROBE_MOD = 97
+_PROBE_OFFSET = 5_000_000  # planted leaked copies live above this id
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: flag every corpus document that
+    shares an 8-token n-gram with the probe set (docs with
+    doc_id % 97 == 0 stand in for benchmark items). The corpus gets a
+    PLANTED leaked copy of each probe doc (prefix-padded, so it is not
+    an exact dup yet shares every interior 8-gram) — the detector must
+    find those, not just the probes matching themselves. Returns the
+    contaminated docs with their distinct-probe-hit counts.
+
+    Scale shape: the probe set is benchmark-sized (tiny), so it is
+    broadcast — the corpus side never shuffles for the join; the only
+    wide exchange is the final groupBy(doc_id) over matching grams,
+    bounded by hits, not corpus size. Exactly the 100 TB
+    decontamination shape: one narrow shingling pass + map-side
+    semi-join against the broadcast benchmark n-grams."""
+    base = load(spark, sf, "documents")
+    corpus = base.select("doc_id", "text").unionByName(
+        base.filter(F.col("doc_id") % _PROBE_MOD == 0).select(
+            (F.col("doc_id") + _PROBE_OFFSET).alias("doc_id"),
+            F.concat(F.lit("leaked copy "), F.col("text")).alias("text"),
+        )
+    )
+    return contamination_hits(corpus, corpus.filter(F.col("doc_id") % _PROBE_MOD == 0))
+
+
+def contamination_hits(corpus: DataFrame, probe_docs: DataFrame) -> DataFrame:
+    """Distinct probe-n-gram hit counts per corpus doc; see
+    q_contamination for the operator contract and scale shape.
+    probe_docs must be a subset-shaped (doc_id, text) frame — its
+    distinct n-grams form the broadcast probe set.
+
+    The join key is a 64-bit gram hash, not the gram string: each token
+    is xxhash64'd ONCE, each 8-gram key is one xxhash64 over the 8
+    token hashes (no per-gram string building), and the broadcast probe
+    set carries 8-byte longs instead of ~50-byte strings — at a
+    benchmark set of millions of n-grams that is the difference between
+    an 8 MB and a 50+ MB broadcast. Count parity with the string-gram
+    oracle holds absent a 64-bit collision (the driver's value-hash
+    compare would surface one)."""
+    combine = ", ".join(f"element_at(th, i + {j + 1})" for j in range(_PROBE_N))
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("th")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(th) < {_PROBE_N} THEN array()"
+                        f" ELSE transform(sequence(0, size(th) - {_PROBE_N}),"
+                        f" i -> xxhash64({combine})) END"
+                    )
+                )
+            ).alias("gram_h"),
+        )
+
+    probe = grams_of(probe_docs).select("gram_h").distinct()
+    return (
+        grams_of(corpus)
+        .join(F.broadcast(probe), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_probe_hits"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1684,6 +1812,46 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(stop_cnt AS INT) AS stop_
        CAST(floor(1000.0 * stop_cnt / n_tokens) AS BIGINT) AS stop_milli,
        CAST(floor(1000.0 * short_cnt / n_tokens) AS BIGINT) AS short_milli
 FROM t""",
+    "dedup_blocks": f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), blocks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / {_BLOCK_TOKENS}.0) AS BIGINT)),
+           i -> {{'pos': i, 'block': array_to_string(toks[i * {_BLOCK_TOKENS} + 1 : i * {_BLOCK_TOKENS} + {_BLOCK_TOKENS}], ' ')}})) AS z
+  FROM toked
+), flat AS (
+  SELECT doc_id, CAST(z.pos AS INT) AS pos, z.block AS block FROM blocks
+), ranked AS (
+  SELECT doc_id, pos, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1 AS keep
+  FROM flat
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '')) AS kept_fp
+FROM ranked GROUP BY doc_id""",
+    "contamination": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PROBE_OFFSET}, 'leaked copy ' || text
+  FROM documents WHERE doc_id % {_PROBE_MOD} = 0
+), toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) < {_PROBE_N} THEN []::VARCHAR[]
+                ELSE list_transform(range(0, len(toks) - {_PROBE_N} + 1),
+                       i -> array_to_string(toks[i + 1 : i + {_PROBE_N}], ' ')) END) AS gram
+  FROM toked
+), probe AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_PROBE_MOD} = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+FROM g JOIN probe USING (gram)
+GROUP BY doc_id""",
     "text_langid": _langid_sql(),
     "fingerprint": """
 SELECT doc_id,
@@ -1834,6 +2002,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "pii_mask": q_pii_mask,
+    "dedup_blocks": q_dedup_blocks,
+    "contamination": q_contamination,
     "text_langid": q_text_langid,
     "fingerprint": q_fingerprint,
     "image_phash": q_image_phash,

@@ -1,0 +1,92 @@
+"""Span-level block dedup + benchmark-contamination check: planted
+fixtures prove the interesting paths (cross-doc duplicate spans, leaked
+benchmark items), and a plan assertion pins the probe join to a
+broadcast (the corpus side must never shuffle for it)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import (
+    _BLOCK_TOKENS,
+    _PROBE_MOD,
+    _PROBE_OFFSET,
+    block_dedup,
+    contamination_hits,
+    q_contamination,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _words(tag: str, n: int) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_block_dedup_removes_cross_doc_duplicate_spans(spark):
+    boiler = _words("boiler", _BLOCK_TOKENS)  # exactly one shared block
+    rows = [
+        (0, boiler + " " + _words("a", _BLOCK_TOKENS)),  # first owner keeps it
+        (1, _words("b", _BLOCK_TOKENS) + " " + boiler),  # later copy drops it
+        (2, _words("c", 2 * _BLOCK_TOKENS)),  # untouched doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in block_dedup(docs).collect()}
+
+    assert out[0].n_blocks == 2 and out[0].n_kept == 2
+    assert out[1].n_blocks == 2 and out[1].n_kept == 1
+    assert out[2].n_blocks == 2 and out[2].n_kept == 2
+    # reassembly keeps surviving blocks in original order
+    assert out[1].kept_fp == hashlib.md5(_words("b", _BLOCK_TOKENS).encode()).hexdigest()
+    assert out[0].kept_fp == hashlib.md5(rows[0][1].encode()).hexdigest()
+
+
+def test_block_dedup_within_doc_repeat_kept_once(spark):
+    blk = _words("x", _BLOCK_TOKENS)
+    docs = spark.createDataFrame([(5, blk + " " + blk)], "doc_id long, text string")
+    (r,) = block_dedup(docs).collect()
+    assert r.n_blocks == 2 and r.n_kept == 1
+    assert r.kept_fp == hashlib.md5(blk.encode()).hexdigest()
+
+
+def test_contamination_finds_planted_leaks_at_fixture_scale(spark):
+    out = {r.doc_id: r.n_probe_hits for r in q_contamination(spark, SF).collect()}
+    probes = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % _PROBE_MOD == 0)
+        .collect()
+    ]
+    assert probes
+    for p in probes:
+        assert p in out, "probe doc must match itself"
+        leaked = p + _PROBE_OFFSET
+        assert leaked in out, "planted leaked copy must be flagged"
+        # the padded copy carries every probe 8-gram of the original
+        assert out[leaked] >= out[p]
+
+
+def test_contamination_ignores_clean_docs_and_counts_distinct_hits(spark):
+    probe = spark.createDataFrame(
+        [(0, _words("bench", 10))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, _words("bench", 10)),  # the benchmark item itself
+            (1, "pad " + _words("bench", 10)),  # leaked, all 3 probe grams
+            (2, _words("clean", 12)),  # no overlap
+            # repeats ONE probe gram 3 times - distinct hit count is 1
+            (3, " ".join([_words("bench", 8)] * 3)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_probe_hits for r in contamination_hits(corpus, probe).collect()}
+    assert out == {0: 3, 1: 3, 3: 1}
+
+
+def test_contamination_probe_join_is_broadcast(spark):
+    """The probe side must broadcast: a shuffled (sort-merge) probe join
+    would re-shuffle the full corpus gram stream at 100 TB."""
+    plan = q_contamination(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
