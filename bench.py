@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_blocks",
     "contamination",
+    "dedup_incremental",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_search",

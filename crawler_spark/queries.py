@@ -527,6 +527,33 @@ def _lsh_expand_groups(members: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def _bands_from_shingled(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band rows from a pre-shingled
+    frame (_with_shingles output): 4 minhash families sliced from ONE
+    md5 per shingle, banded per _LSH_BANDS."""
+    mh = shingled.withColumn("hs", F.expr("transform(sh, s -> md5(s))")).select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(hs, h -> substring(h, {j * 8 + 1}, 8)))").alias(f"mh{j}")
+            for j in range(4)
+        ],
+    )
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(F.concat(F.col(f"mh{lo}"), F.col(f"mh{hi}"))).alias("band_key"),
+                    )
+                    for i, (lo, hi) in enumerate(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
 def _minhash_rep_pairs(docs: DataFrame):
     """Candidate generation with the HOT-BUCKET GUARD: exact-duplicate
     texts collapse to one representative (min doc_id per md5(text))
@@ -545,27 +572,7 @@ def _minhash_rep_pairs(docs: DataFrame):
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "text")
     shingled = _barrier(_with_shingles(reps))
-    mh = shingled.withColumn("hs", F.expr("transform(sh, s -> md5(s))")).select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(hs, h -> substring(h, {j * 8 + 1}, 8)))").alias(f"mh{j}")
-            for j in range(4)
-        ],
-    )
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(F.concat(F.col(f"mh{lo}"), F.col(f"mh{hi}"))).alias("band_key"),
-                    )
-                    for i, (lo, hi) in enumerate(_LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    bands = _bands_from_shingled(shingled)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -644,6 +651,116 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dup_id").alias("dup_doc_id"),
         F.col("keep_id").alias("keep_doc_id"),
         F.col("score").alias("jac_milli"),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup dedup: a NEWLY INGESTED batch checked against
+    an already-indexed corpus — the production ingest shape at 100 TB,
+    where re-deduping the whole corpus per batch is impossible. Index =
+    docs with doc_id % 5 != 4; batch = the rest, plus a PLANTED one-token
+    mutation of every 10th index doc (so the batch genuinely contains
+    near-dups of the index, not just of itself). Emits one row per batch
+    doc that near-duplicates the index: (new_doc_id, keep_doc_id = min
+    qualifying index doc, jac_milli = max verified score).
+
+    Scale shape: batch bands join INDEX bands — cross-side only, never a
+    self-join, so cost is O(batch x collisions), independent of corpus
+    size once the index band table exists (in production it is a bucketed
+    table keyed on band_key; here it is built inline from the same
+    corpus). Shingle-explode for the exact verify touches CANDIDATE reps
+    only (left-semi pruned)."""
+    docs = load(spark, sf, "documents")
+    index = docs.filter(F.col("doc_id") % 5 != 4).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + _LSH_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup(index, batch)
+
+
+def incremental_dedup(index: DataFrame, batch: DataFrame) -> DataFrame:
+    """Near-dups of ``batch`` docs against ``index`` docs (both
+    (doc_id, text) frames); see q_dedup_incremental for the contract.
+
+    Hot-bucket guard: each side collapses exact-duplicate texts to one
+    representative (min doc_id per md5(text)) before banding, so a
+    boilerplate-heavy side contributes one rep per distinct text instead
+    of a quadratic in-bucket blowup. Losslessness: band keys are a pure
+    function of text, so the rep's collisions are exactly every member's
+    collisions, and expanding batch members through their rep recovers
+    the naive answer (the DuckDB oracle IS the naive all-docs band join —
+    the driver hash-checks the equivalence). Intra-batch duplicates are
+    deliberately NOT reported: dedup-within-batch is the existing
+    q_dedup_minhash_lsh pass; this operator answers only "is this new
+    doc already in the corpus?"."""
+    def side(df: DataFrame):
+        keyed = _barrier(df.withColumn("ekey", F.md5("text")))
+        groups = keyed.groupBy("ekey").agg(F.min("doc_id").alias("rep_id"))
+        members = keyed.join(groups, "ekey").select("doc_id", "rep_id")
+        reps = keyed.join(
+            groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+        ).select("doc_id", "text")
+        return members, _barrier(_with_shingles(reps))
+
+    idx_members, idx_sh = side(index)
+    new_members, new_sh = side(batch)
+    pairs = (
+        _bands_from_shingled(idx_sh)
+        .alias("i")
+        .join(
+            _bands_from_shingled(new_sh).alias("n"),
+            (F.col("i.band_idx") == F.col("n.band_idx"))
+            & (F.col("i.band_key") == F.col("n.band_key")),
+        )
+        .select(F.col("i.doc_id").alias("idx_rep"), F.col("n.doc_id").alias("new_rep"))
+        .distinct()
+    )
+
+    def cand_shingles(shingled: DataFrame, ids: DataFrame) -> DataFrame:
+        return _barrier(
+            shingled.join(ids, "doc_id", "left_semi").select(
+                "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+            )
+        )
+
+    sh_i = cand_shingles(idx_sh, pairs.select(F.col("idx_rep").alias("doc_id")))
+    sh_n = cand_shingles(new_sh, pairs.select(F.col("new_rep").alias("doc_id")))
+    inter = (
+        pairs.join(sh_i.alias("sa"), F.col("sa.doc_id") == F.col("idx_rep"))
+        .join(
+            sh_n.alias("sb"),
+            (F.col("sb.doc_id") == F.col("new_rep")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("idx_rep", "new_rep")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sizes_i = sh_i.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    edges = (
+        inter.join(sizes_i.alias("x"), F.col("x.doc_id") == F.col("idx_rep"))
+        .join(sizes_n.alias("y"), F.col("y.doc_id") == F.col("new_rep"))
+        .select(
+            "idx_rep",
+            "new_rep",
+            F.floor(
+                1000.0
+                * F.col("inter_cnt")
+                / (F.col("x.n_sh") + F.col("y.n_sh") - F.col("inter_cnt"))
+            ).cast("long").alias("jac_milli"),
+        )
+        .filter(F.col("jac_milli") >= _LSH_JAC_MIN)
+    )
+    return (
+        new_members.join(edges, new_members.rep_id == edges.new_rep)
+        .groupBy(F.col("doc_id").alias("new_doc_id"))
+        .agg(F.min("idx_rep").alias("keep_doc_id"), F.max("jac_milli").alias("jac_milli"))
     )
 
 
@@ -1671,6 +1788,48 @@ scored AS (
 SELECT doc_b AS dup_doc_id, CAST(min(doc_a) AS BIGINT) AS keep_doc_id,
        CAST(max(jac_milli) AS BIGINT) AS jac_milli
 FROM scored WHERE jac_milli >= {_LSH_JAC_MIN} GROUP BY doc_b""",
+    "dedup_incremental": f"""
+WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + {_LSH_OFFSET}, text || ' zz' FROM documents WHERE doc_id % 10 = 0
+),
+mh_i AS (SELECT doc_id, {_MINHASH_COLS_DUCK} FROM idx WHERE len(string_split(text, ' ')) >= 3),
+mh_n AS (SELECT doc_id, {_MINHASH_COLS_DUCK} FROM newb WHERE len(string_split(text, ' ')) >= 3),
+bands_i AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM mh_i
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh_i
+),
+bands_n AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM mh_n
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh_n
+),
+pairs AS (
+  SELECT DISTINCT i.doc_id AS idx_id, n.doc_id AS new_id
+  FROM bands_i i JOIN bands_n n ON i.band_idx = n.band_idx AND i.band_key = n.band_key
+),
+sh_i AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM idx),
+sh_n AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM newb),
+sizes_i AS (SELECT doc_id, count(*) AS n_sh FROM sh_i GROUP BY doc_id),
+sizes_n AS (SELECT doc_id, count(*) AS n_sh FROM sh_n GROUP BY doc_id),
+inter AS (
+  SELECT p.idx_id, p.new_id, count(*) AS inter_cnt
+  FROM pairs p
+  JOIN sh_i sa ON sa.doc_id = p.idx_id
+  JOIN sh_n sb ON sb.doc_id = p.new_id AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.idx_id, i.new_id,
+    CAST(floor(1000.0 * i.inter_cnt / (x.n_sh + y.n_sh - i.inter_cnt)) AS BIGINT) AS jac
+  FROM inter i
+  JOIN sizes_i x ON x.doc_id = i.idx_id
+  JOIN sizes_n y ON y.doc_id = i.new_id
+)
+SELECT new_id AS new_doc_id, CAST(min(idx_id) AS BIGINT) AS keep_doc_id,
+       CAST(max(jac) AS BIGINT) AS jac_milli
+FROM scored WHERE jac >= {_LSH_JAC_MIN} GROUP BY new_id""",
     "dedup_ngram_jaccard": f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
@@ -1990,6 +2149,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -90,3 +90,59 @@ def test_contamination_probe_join_is_broadcast(spark):
     plan = q_contamination(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_finds_planted_batch_dups_of_index(spark):
+    from crawler_spark.queries import _LSH_OFFSET, q_dedup_incremental
+
+    out = {r.new_doc_id: r for r in q_dedup_incremental(spark, SF).collect()}
+    planted = [d for d in out if d >= _LSH_OFFSET]
+    assert planted, "no planted batch near-dup recovered against the index"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_planted = docs.filter("doc_id % 10 = 0").count()
+    assert len(planted) >= 0.9 * n_planted
+    for dup in planted:
+        r = out[dup]
+        # origin doc is in the index (doc_id % 10 == 0 implies % 5 != 4);
+        # keep-min may resolve to an even earlier exact dup of the origin
+        assert r.keep_doc_id <= dup - _LSH_OFFSET
+        assert r.jac_milli >= 500
+
+
+def test_incremental_dedup_ignores_intra_batch_dups(spark):
+    """Two identical batch docs with no index counterpart must NOT be
+    reported — the operator answers 'is this new doc already in the
+    corpus?', not 'does the batch self-duplicate?'."""
+    from crawler_spark.queries import incremental_dedup
+
+    index = spark.createDataFrame(
+        [(0, _words("idx", 30))], "doc_id long, text string"
+    )
+    twin = _words("batchtwin", 30)
+    batch = spark.createDataFrame(
+        [(100, twin), (101, twin), (102, _words("idx", 30))],
+        "doc_id long, text string",
+    )
+    out = {r.new_doc_id: r for r in incremental_dedup(index, batch).collect()}
+    assert 100 not in out and 101 not in out
+    assert out[102].keep_doc_id == 0 and out[102].jac_milli == 1000
+
+
+def test_incremental_dedup_boilerplate_index_collapses_to_one_rep(spark):
+    """Hot-bucket guard: 10^3 identical index docs collapse to one
+    representative before the band join, so a batch near-dup of that
+    text costs one candidate pair, not 10^3 — and still resolves to the
+    group's min doc_id."""
+    from crawler_spark.queries import incremental_dedup
+
+    boiler = _words("boilerplate", 40)
+    index = spark.createDataFrame(
+        [(i, boiler) for i in range(1000)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(5000, boiler + " zz"), (5001, _words("fresh", 40))],
+        "doc_id long, text string",
+    )
+    out = {r.new_doc_id: r for r in incremental_dedup(index, batch).collect()}
+    assert out[5000].keep_doc_id == 0 and out[5000].jac_milli >= 500
+    assert 5001 not in out
