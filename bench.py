@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_blocks",
     "contamination",
     "dedup_incremental",
+    "quality_filter",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_search",

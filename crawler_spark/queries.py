@@ -1464,6 +1464,84 @@ def q_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Composite quality-filter thresholds (Gopher/C4-style cascade), chosen
+# to split the synthetic corpus non-trivially (sf0.01: n_tok 10-99,
+# diversity p10 ~321 milli, stop_cnt p10 = 1, 218/500 docs en).
+_QF_MIN_TOKENS = 20
+_QF_MIN_STOP = 2
+_QF_MIN_DISTINCT_MILLI = 350
+_QF_MAX_TOP_BIGRAM_MILLI = 200
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite training-data quality filter: the accept/reject decision
+    a C4/Gopher-style pipeline makes per document, as ONE deterministic
+    rule cascade (first failing rule names the reject_reason):
+    too_short -> non_english (marker-stopword langid) -> low_stopword ->
+    low_diversity (distinct-token fraction) -> repetitive (top-bigram
+    mass) -> accept. Entirely JVM higher-order functions over one token
+    split — map-only, zero shuffles, embarrassingly parallel at 100 TB."""
+    return quality_filter(load(spark, sf, "documents"))
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """The q_quality_filter cascade over any (doc_id, text) frame."""
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hits[lang] = F.expr(f"size(filter(toks, t -> t IN ({lst})))")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.floor(1000.0 * F.size(F.array_distinct("toks")) / F.size("toks"))
+        .cast("long")
+        .alias("distinct_milli"),
+        F.expr(f"size(filter(toks, t -> t IN ({stop_list})))").alias("stop_cnt"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in LANG_MARKERS],
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN array()"
+            " ELSE transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1])) END"
+        ).alias("bigrams"),
+    )
+    best_run = F.expr(
+        "aggregate(array_sort(bigrams),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
+        "              'best', CAST(0 AS BIGINT)),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
+        " a -> a.best)"
+    )
+    scored = base.withColumn(
+        "top_bigram_milli",
+        F.when(F.size("bigrams") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(1000.0 * best_run / F.size("bigrams")).cast("long")
+        ),
+    ).withColumn(
+        "is_en",
+        (F.col("en_hits") >= F.col("de_hits"))
+        & (F.col("en_hits") >= F.col("fr_hits"))
+        & (F.col("en_hits") >= F.col("es_hits")),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(~F.col("is_en"), "non_english")
+        .when(F.col("stop_cnt") < _QF_MIN_STOP, "low_stopword")
+        .when(F.col("distinct_milli") < _QF_MIN_DISTINCT_MILLI, "low_diversity")
+        .when(F.col("top_bigram_milli") > _QF_MAX_TOP_BIGRAM_MILLI, "repetitive")
+        .otherwise("accept")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        reason.alias("reject_reason"),
+        (reason == "accept").alias("accepted"),
+    )
+
+
 # Block size for span-level dedup: a "paragraph" in the space-tokenized
 # synthetic corpus is a fixed 20-token block (the corpus has no newline
 # paragraph marks; C4 uses 3-sentence spans — same operator shape).
@@ -1971,6 +2049,43 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(stop_cnt AS INT) AS stop_
        CAST(floor(1000.0 * stop_cnt / n_tokens) AS BIGINT) AS stop_milli,
        CAST(floor(1000.0 * short_cnt / n_tokens) AS BIGINT) AS short_milli
 FROM t""",
+    "quality_filter": f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CAST(floor(1000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS distinct_milli,
+    len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS stop_cnt,
+    len(list_filter(toks, t -> t IN ('the', 'a', 'is'))) AS en_hits,
+    len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS de_hits,
+    len(list_filter(toks, t -> t IN ('le', 'la', 'et'))) AS fr_hits,
+    len(list_filter(toks, t -> t IN ('el', 'los', 'que'))) AS es_hits,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM base
+), bg AS (
+  SELECT doc_id, unnest(bigrams) AS bg FROM s
+), per AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+), tb AS (
+  SELECT doc_id, CAST(floor(1000.0 * max(c) / sum(c)) AS BIGINT) AS top_bigram_milli
+  FROM per GROUP BY 1
+), j AS (
+  SELECT s.*, coalesce(tb.top_bigram_milli, 0) AS top_bigram_milli,
+         (en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits) AS is_en
+  FROM s LEFT JOIN tb USING (doc_id)
+), r AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+         WHEN NOT is_en THEN 'non_english'
+         WHEN stop_cnt < {_QF_MIN_STOP} THEN 'low_stopword'
+         WHEN distinct_milli < {_QF_MIN_DISTINCT_MILLI} THEN 'low_diversity'
+         WHEN top_bigram_milli > {_QF_MAX_TOP_BIGRAM_MILLI} THEN 'repetitive'
+         ELSE 'accept' END AS reject_reason
+  FROM j
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, reject_reason,
+       reject_reason = 'accept' AS accepted
+FROM r""",
     "dedup_blocks": f"""
 WITH toked AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2164,6 +2279,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_mask": q_pii_mask,
     "dedup_blocks": q_dedup_blocks,
     "contamination": q_contamination,
+    "quality_filter": q_quality_filter,
     "text_langid": q_text_langid,
     "fingerprint": q_fingerprint,
     "image_phash": q_image_phash,

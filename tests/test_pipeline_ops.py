@@ -146,3 +146,33 @@ def test_incremental_dedup_boilerplate_index_collapses_to_one_rep(spark):
     out = {r.new_doc_id: r for r in incremental_dedup(index, batch).collect()}
     assert out[5000].keep_doc_id == 0 and out[5000].jac_milli >= 500
     assert 5001 not in out
+
+
+def test_quality_filter_cascade_every_branch(spark):
+    """One constructed doc per cascade outcome, including the two
+    branches the synthetic corpus never triggers (non_english,
+    repetitive), and first-failing-rule precedence."""
+    from crawler_spark.queries import quality_filter
+
+    accept = "the data is on a table and the rows are in a file for the scan with " + _words("v", 10)
+    rows = [
+        (0, accept),
+        (1, "the a is"),  # < 20 tokens
+        (2, "der die das " + " ".join(f"w{i}" for i in range(20))),  # de markers win
+        (3, _words("u", 25)),  # no stopwords at all
+        (4, "the a " + " ".join(["dup dup2"] * 12)),  # low distinct fraction
+        # diverse-enough tokens (24/40 distinct = 600 milli) but one
+        # dominant bigram: 'zz yy' is 9 of 39 bigrams = 230 milli > 200
+        (5, "the a is on of " + _words("v", 17) + " " + " ".join(["zz yy"] * 9)),
+        # too_short wins over non_english (first failing rule names it)
+        (6, "der die das"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.reject_reason for r in quality_filter(docs).collect()}
+    assert out[0] == "accept"
+    assert out[1] == "too_short"
+    assert out[2] == "non_english"
+    assert out[3] == "low_stopword"
+    assert out[4] == "low_diversity"
+    assert out[5] == "repetitive"
+    assert out[6] == "too_short"
