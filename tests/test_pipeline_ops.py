@@ -176,3 +176,33 @@ def test_quality_filter_cascade_every_branch(spark):
     assert out[4] == "low_diversity"
     assert out[5] == "repetitive"
     assert out[6] == "too_short"
+
+
+def test_quality_filter_plan_is_shuffle_free(spark):
+    """The cascade is a per-document decision, so its plan must be
+    map-only: one token split, signals via higher-order functions, the
+    top-bigram mass via the run-length scan — no Exchange, no Generate.
+    A shuffle here would move the whole corpus for a value computable
+    inside the scan partition."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_quality_filter
+
+    plan = formatted_plan(q_quality_filter(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_dedup_blocks_plan_has_two_bounded_key_exchanges(spark):
+    """block_dedup needs exactly two hash exchanges — one on the block
+    text (the dedup key) for the keep-first window, one on doc_id for
+    reassembly. Any additional exchange means the explode output is
+    shuffled more than the operator requires."""
+    import re
+
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_dedup_blocks
+
+    plan = formatted_plan(q_dedup_blocks(spark, SF))
+    # the formatted explain lists each node twice (tree + detail
+    # section) — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
