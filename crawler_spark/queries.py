@@ -23,7 +23,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1390,6 +1390,33 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(load(spark, sf, "documents"))
 
 
+def _bigrams_expr() -> Column:
+    """Adjacent-bigram array over a ``toks`` column. ONE definition shared
+    by repetition_stats and quality_filter: the Counter-oracle property
+    test and the DuckDB oracles require the two to stay bit-identical.
+    sequence(0, -1) DESCENDS in Spark, so guard the 1-token case."""
+    return F.expr(
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1])) END"
+    )
+
+
+def _best_run_expr() -> Column:
+    """Max bigram multiplicity == longest equal run in the sorted array;
+    shared for the same reason as _bigrams_expr."""
+    return F.expr(
+        "aggregate(array_sort(bigrams),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
+        "              'best', CAST(0 AS BIGINT)),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
+        " a -> a.best)"
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Per-document repetition signals over any (doc_id, text) frame;
     docs with fewer than two tokens drop (no bigram denominator).
@@ -1402,24 +1429,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.floor(1000.0 * F.size(F.array_distinct("toks")) / F.size("toks"))
         .cast("long")
         .alias("distinct_milli"),
-        F.expr(
-            # sequence(0, -1) DESCENDS in Spark, so guard the 1-token case
-            "CASE WHEN size(toks) < 2 THEN array()"
-            " ELSE transform(sequence(0, size(toks) - 2),"
-            " i -> concat(toks[i], ' ', toks[i + 1])) END"
-        ).alias("bigrams"),
+        _bigrams_expr().alias("bigrams"),
     )
-    # max bigram multiplicity == longest equal run in the sorted array
-    best_run = F.expr(
-        "aggregate(array_sort(bigrams),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
-        "              'best', CAST(0 AS BIGINT)),"
-        " (a, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
-        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
-        " a -> a.best)"
-    )
+    best_run = _best_run_expr()
     return base.where(F.size("bigrams") > 0).select(
         "doc_id",
         "n_tokens",
@@ -1499,22 +1511,9 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         .alias("distinct_milli"),
         F.expr(f"size(filter(toks, t -> t IN ({stop_list})))").alias("stop_cnt"),
         *[hits[lang].alias(f"{lang}_hits") for lang in LANG_MARKERS],
-        F.expr(
-            "CASE WHEN size(toks) < 2 THEN array()"
-            " ELSE transform(sequence(0, size(toks) - 2),"
-            " i -> concat(toks[i], ' ', toks[i + 1])) END"
-        ).alias("bigrams"),
+        _bigrams_expr().alias("bigrams"),
     )
-    best_run = F.expr(
-        "aggregate(array_sort(bigrams),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
-        "              'best', CAST(0 AS BIGINT)),"
-        " (a, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
-        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
-        " a -> a.best)"
-    )
+    best_run = _best_run_expr()
     scored = base.withColumn(
         "top_bigram_milli",
         F.when(F.size("bigrams") == 0, F.lit(0).cast("long")).otherwise(

@@ -334,6 +334,17 @@ class SnapshotParquetStore:
             if f.startswith("HEAD.tmp"):
                 os.unlink(os.path.join(self.root, f))
                 deleted.append(f)
+        # a crash between _atomic_write's tmp write and os.replace leaves
+        # manifest.json.tmp* INSIDE a (possibly kept) vNNNNNN dir; sweep
+        # those too or one junk file per crash survives retention forever
+        for d in sorted(os.listdir(snap_root)):
+            dpath = os.path.join(snap_root, d)
+            if not (d.startswith("v") and os.path.isdir(dpath)):
+                continue
+            for f in os.listdir(dpath):
+                if f.startswith("manifest.json.tmp"):
+                    os.unlink(os.path.join(dpath, f))
+                    deleted.append(os.path.join(d, f))
         # the unreferenced-dir sweep runs even when history is already
         # short: a crash mid-sweep on a previous expire can leave dead
         # v-dirs behind with history == keep_last, which an early return

@@ -130,12 +130,16 @@ def streaming_host_sessions(
     waiting for its next fetch, and state stays bounded).
 
     Batch twin: queries.q_sessionize (lag + cumsum windows) — identical
-    boundary rule, cross-checked in tests. Late-data caveat (append mode):
-    a late in-watermark event merging into the OPEN session is handled
-    exactly (including min() on session_start when it precedes the start);
-    a late event whose session was already emitted in an earlier batch
-    cannot retro-split or bridge it — the batch twin, which sorts the full
-    history first, is the authority there. State per key is one 5-field
+    boundary rule, cross-checked in tests. Late in-watermark events are
+    handled exactly against all state this operator still holds: each
+    batch's sorted rows are sessionized, then interval-merged with the
+    open state session, so a straggler merges into (and extends the start
+    of) the open session only when within gap_sec of it and otherwise
+    forms its own session — the same boundaries the batch twin's global
+    sort yields. Append-mode caveat: a late event whose session was
+    already EMITTED in an earlier batch cannot retro-split or bridge it —
+    the batch twin, which sorts the full history first, is the authority
+    there. State per key is one 5-field
     tuple: at 10^7 live hosts that is ~400 MB across the cluster, hash
     partitioned by host, no shuffle beyond the groupBy."""
     import pandas as pd
@@ -162,29 +166,49 @@ def streaming_host_sessions(
             yield _emit(host, st)
             return
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
-        open_s = tuple(state.get) if state.exists else None
+        # sessionize the sorted batch rows first, then interval-merge the
+        # open state session into that timeline: a late in-watermark event
+        # (or run of events) that precedes the open session's start merges
+        # only when it is within gap_sec of it — the exact boundary rule
+        # the batch twin's global sort produces. The old per-event min()
+        # merge silently bridged stragglers arbitrarily far before the
+        # open start into it.
+        sessions: list[tuple] = []
         for ts_ns, ok, byt in zip(
             rows["ts"].astype("int64"), rows["ok"], rows["bytes"]
         ):
             ts = int(ts_ns) // 1_000_000_000
             okv, bv = int(bool(ok)), int(byt)
-            if open_s is None:
-                open_s = (ts, ts, 1, okv, bv)
-            elif ts - open_s[1] > gap_sec:
-                yield _emit(host, open_s)
-                open_s = (ts, ts, 1, okv, bv)
+            if sessions and ts - sessions[-1][1] <= gap_sec:
+                s = sessions[-1]
+                sessions[-1] = (s[0], max(s[1], ts), s[2] + 1, s[3] + okv, s[4] + bv)
             else:
-                # min() on start: a late in-watermark event that precedes
-                # the open session's start still extends the session
-                # backwards, keeping session_start consistent with the
-                # batch twin (which sorts globally before sessionizing)
-                open_s = (
-                    min(open_s[0], ts),
-                    max(open_s[1], ts),
-                    open_s[2] + 1,
-                    open_s[3] + okv,
-                    open_s[4] + bv,
-                )
+                sessions.append((ts, ts, 1, okv, bv))
+        if state.exists:
+            sessions.append(tuple(state.get))
+            sessions.sort(key=lambda s: (s[0], s[1]))
+            merged: list[tuple] = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_sec:
+                    m = merged[-1]
+                    merged[-1] = (
+                        m[0],
+                        max(m[1], s[1]),
+                        m[2] + s[2],
+                        m[3] + s[3],
+                        m[4] + s[4],
+                    )
+                else:
+                    merged.append(s)
+            sessions = merged
+        # every session but the newest is closed by construction (a later
+        # in-batch event or the open session sits > gap_sec after it);
+        # append-mode caveat unchanged: once emitted, a session cannot be
+        # retro-bridged by data arriving in a LATER batch — the batch
+        # twin, which sorts the full history, is the authority there
+        for s in sessions[:-1]:
+            yield _emit(host, s)
+        open_s = sessions[-1]
         state.update(open_s)
         # flush the open session when the watermark passes last + gap;
         # Spark requires the timeout to sit beyond the current watermark

@@ -209,3 +209,28 @@ def test_zone_map_poisons_columns_with_statless_row_groups(tmp_path):
     pq.write_table(t2, str(d / "p2.parquet"))  # rewrite WITH stats
     rows2, stats2 = _dir_meta(str(d))
     assert rows2 == 4 and stats2["k"] == [100, 950]
+
+
+def test_expire_sweeps_orphan_manifest_tmp_in_kept_dirs(spark, tmp_path):
+    """A crash between _atomic_write's tmp write and os.replace leaves
+    manifest.json.tmp* inside a KEPT vNNNNNN dir; expire_snapshots must
+    reclaim it (not just _tmp_* staging dirs and root HEAD.tmp*)."""
+    import os
+
+    store = SnapshotParquetStore(spark, str(tmp_path / "e3"))
+    for b in range(3):
+        _delta(spark, store, b, [(f"https://s{b}.org", b)])
+    head_dir = os.path.join(
+        str(tmp_path / "e3"), "snapshots", f"v{store.head().snapshot_id:06d}"
+    )
+    orphan = os.path.join(head_dir, "manifest.json.tmpdeadbe")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    before = _rows(store)
+
+    out = store.expire_snapshots(keep_last=3)
+    assert not os.path.exists(orphan)
+    assert any("manifest.json.tmp" in d for d in out["deleted_dirs"])
+    # the real manifest and all reads are untouched
+    assert _rows(store) == before
+    assert len(store.history()) == 3

@@ -343,3 +343,59 @@ def test_streaming_sessions_match_batch_boundary_rule(spark, tmp_path):
         for _, grp in s.groupby(sess_id)
     ]
     assert got == expected
+
+
+def test_streaming_late_straggler_beyond_gap_is_own_session(spark, tmp_path):
+    """A late IN-WATERMARK event that precedes the open session's start by
+    MORE than gap_sec must form its own session (the batch twin's global
+    sort would split there); one within gap_sec extends the open session
+    backwards. The old per-event min() merge bridged both cases."""
+    import os as _os
+
+    from crawler_spark.streaming.events import run_session_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # gap_sec=60; late_threshold default = 2 min, so both stragglers are
+    # in-watermark (watermark after batch 1 = 10:02:30 - 2min = 10:00:30)
+    batch1 = [
+        {"ts": "2026-01-01T10:02:00", "host": "a.org", "url": "a1", "ok": True, "bytes": 10},
+        {"ts": "2026-01-01T10:02:00", "host": "b.org", "url": "b1", "ok": True, "bytes": 10},
+        {"ts": "2026-01-01T10:02:30", "host": "z.org", "url": "z1", "ok": True, "bytes": 1},
+    ]
+    batch2 = [
+        # 70 s before a.org's open start -> own session
+        {"ts": "2026-01-01T10:00:50", "host": "a.org", "url": "a0", "ok": False, "bytes": 0},
+        # 50 s before b.org's open start -> extends it backwards
+        {"ts": "2026-01-01T10:01:10", "host": "b.org", "url": "b0", "ok": False, "bytes": 0},
+    ]
+    batch3 = [  # watermark -> 10:04:00, past both opens' last+gap
+        {"ts": "2026-01-01T10:06:00", "host": "z.org", "url": "z2", "ok": True, "bytes": 1},
+    ]
+    for name, rows, mtime in (
+        ("00.jsonl", batch1, 1000), ("01.jsonl", batch2, 2000), ("02.jsonl", batch3, 3000)
+    ):
+        p = in_dir / name
+        with open(p, "w") as f:
+            for e in rows:
+                f.write(json.dumps(e) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    out_dir = str(tmp_path / "out")
+    q = run_session_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt"), out_dir,
+        gap_sec=60, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+
+    a = sorted(
+        ((r.session_start.strftime("%H:%M:%S"), r.session_end.strftime("%H:%M:%S"), r.n_events)
+         for r in rows if r.host == "a.org")
+    )
+    assert a == [("10:00:50", "10:00:50", 1), ("10:02:00", "10:02:00", 1)]
+    b = [
+        (r.session_start.strftime("%H:%M:%S"), r.session_end.strftime("%H:%M:%S"), r.n_events)
+        for r in rows if r.host == "b.org"
+    ]
+    assert b == [("10:01:10", "10:02:00", 2)]

@@ -22,6 +22,7 @@ Writes BENCH/lifecycle_1e3.json; asserts print FAIL and exit non-zero.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -56,7 +57,7 @@ def _window_stats(batches: int, lat: list, root: str, store) -> dict:
     return {
         "batches": batches,
         "commit_p50_ms": round(w[len(w) // 2] * 1000, 1),
-        "commit_p99_ms": round(w[min(len(w) - 1, int(len(w) * 0.98))] * 1000, 1),
+        "commit_p99_ms": round(w[max(0, math.ceil(len(w) * 0.99) - 1)] * 1000, 1),
         "dirs": dirs,
         "files": files,
         "manifest_bytes": len(man.to_json()),
