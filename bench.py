@@ -82,6 +82,17 @@ def make_frontier(spark: SparkSession, n_rows: int):
     )
 
 
+_SYNTH_WORDS = ("data web crawl spark frontier queue host link page index archive "
+                "report dataset analysis summary figure quote fact study survey").split()
+# para depends on doc_id only through doc_id % len(words): 21 variants,
+# built once — the synthesizer is harness scaffolding and its string
+# assembly should not be charged to the measured parse stage
+_SYNTH_PARAS = [
+    " ".join(_SYNTH_WORDS[(r + k) % len(_SYNTH_WORDS)] for k in range(90))
+    for r in range(len(_SYNTH_WORDS))
+]
+
+
 def synth_fetch(url: str) -> str:
     """Deterministic stand-in for the HTTP fetch: a realistic ~6 KB page
     derived purely from the URL (15 internal/external/file links amid
@@ -89,9 +100,7 @@ def synth_fetch(url: str) -> str:
     tail = url.rsplit("/", 1)[-1]
     doc_id = int("".join(c for c in tail if c.isdigit()) or "0")
     host = url.split("/")[2]
-    words = ("data web crawl spark frontier queue host link page index archive "
-             "report dataset analysis summary figure quote fact study survey").split()
-    para = " ".join(words[(doc_id + k) % len(words)] for k in range(90))
+    para = _SYNTH_PARAS[doc_id % len(_SYNTH_WORDS)]
     parts = [f"<html><head><title>{tail}</title></head><body><h1>doc {doc_id}</h1>"]
     for j in range(15):
         t = (doc_id * 31 + j * 7) % 100_000

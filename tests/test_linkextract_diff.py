@@ -305,3 +305,23 @@ def test_ws_collapse_fast_form_matches_original():
     for _ in range(5000):
         s = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
         assert _WS_RE.sub(" ", s) == _WS_RE_REF.sub(" ", s), repr(s)
+
+
+def test_collapse_ws_matches_original():
+    """The translate+halving whitespace collapse must be byte-identical to
+    the original [ \\t\\r\\f\\v]+ regex on any input, including long runs
+    (the halving loop's O(log k) convergence) and mixed ws species."""
+    from crawler_spark.functions.linkextract import _WS_RE_REF, _collapse_ws
+
+    handcrafted = [
+        "", " ", "  ", "a b", "a  b", "a\tb", "\t", "\v\f\r\t ", "a" + " " * 5000 + "b",
+        "\t" * 100, " \n ", "\n\t\n", "x \t \r y", " lead", "trail ",
+    ]
+    rng = random.Random(7)
+    pieces = [" ", "  ", "   ", "\t", "\r", "\f", "\v", "a", "bc", "\n", " \t ", ""]
+    fuzz = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 14)))
+        for _ in range(8000)
+    ]
+    for s in handcrafted + fuzz:
+        assert _collapse_ws(s) == _WS_RE_REF.sub(" ", s), repr(s)
