@@ -170,7 +170,11 @@ def run_frontier_drain(
     t_parse = agg = None
     if do_parse:
         t2 = time.monotonic()
-        parsed = fetch_parse_digest(drained, synth_fetch)
+        parsed = fetch_parse_digest(
+            drained,
+            synth_fetch,
+            n_tasks=spark.sparkContext.defaultParallelism * 4,
+        )
         agg = parsed.agg(
             F.count("*").alias("docs"),
             F.sum("n_internal").alias("links"),
