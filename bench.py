@@ -216,6 +216,17 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # warm-up (untimed), same discipline as the drain below: JVM JIT,
+    # the Python worker pool, the parquet reader, and the shipped
+    # package's in-worker import otherwise all land on whichever query
+    # happens to run FIRST (measured: 4.6 s cold vs 0.58 s warm for the
+    # identical spans_parse job) — that is session cold-start, not that
+    # query's cost. One untimed pass of the first headline query pays it.
+    SPARK_QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_query_barriers()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
