@@ -241,3 +241,31 @@ def test_caller_quota_above_default_k_is_honored(spark):
     out = schedule_batch(frontier, quotas=quotas, default_k=10)[0].collect()
     assert len(out) == 30
     assert sorted(r.seq for r in out) == list(range(30))
+
+
+def test_fetch_parse_digest_n_tasks_equals_default(spark):
+    """The round-robin n_tasks repartition is a pure layout change: digests
+    (as a multiset keyed by url) must be identical with and without it,
+    and the repartitioned run must actually use n_tasks partitions."""
+    from crawler_spark.operators.scheduler import fetch_parse_digest
+
+    rows = [
+        (f"https://h{h}.org/p/page-{i}", f"h{h}.org", 0, h * 50 + i)
+        for h in range(4)
+        for i in range(50)
+    ]
+    frontier = _frontier_df(spark, rows)
+    sched, _ = schedule_batch(frontier, default_k=50, salt_span=25)
+    drained = drain_ordered(sched).persist()
+    drained.count()
+
+    def fetcher(url):
+        tail = url.rsplit("/", 1)[-1]
+        return f"<html><body><h1>{tail}</h1><p>alpha beta</p><a href='/x'>x</a></body></html>"
+
+    base = fetch_parse_digest(drained, fetcher)
+    balanced = fetch_parse_digest(drained, fetcher, n_tasks=16)
+    assert balanced.rdd.getNumPartitions() == 16
+    key = lambda r: (r.url, r.n_internal, r.n_external, r.n_file, r.n_spans, r.md_len)
+    assert sorted(map(key, base.collect())) == sorted(map(key, balanced.collect()))
+    drained.unpersist()
