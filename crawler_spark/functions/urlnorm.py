@@ -186,6 +186,12 @@ def canonicalize_rfc3986(url: str | None) -> str | None:
         port = p.port
     except ValueError:
         return None  # bad port / IPv6 garbage: invalid, never raise
+    if not host:
+        # No authority to fetch from ("https:////:" parses to an EMPTY
+        # netloc with a '//…' path; "https://:" to netloc ":"). Emitting
+        # these produces a URL a second canonicalize pass rejects —
+        # idempotence (hypothesis-pinned) requires rejecting them here.
+        return None
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

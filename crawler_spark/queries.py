@@ -1390,30 +1390,65 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(load(spark, sf, "documents"))
 
 
-def _bigrams_expr() -> Column:
-    """Adjacent-bigram array over a ``toks`` column. ONE definition shared
-    by repetition_stats and quality_filter: the Counter-oracle property
-    test and the DuckDB oracles require the two to stay bit-identical.
-    sequence(0, -1) DESCENDS in Spark, so guard the 1-token case."""
-    return F.expr(
-        "CASE WHEN size(toks) < 2 THEN array()"
-        " ELSE transform(sequence(0, size(toks) - 2),"
-        " i -> concat(toks[i], ' ', toks[i + 1])) END"
-    )
+# One Arrow-batched pass computes every per-document token statistic the
+# repetition and quality-filter queries need. This REPLACED the previous
+# pure-JVM higher-order-function form (transform/filter/aggregate over a
+# sorted bigram array): Catalyst evaluates lambda higher-order functions
+# INTERPRETED, per element, outside whole-stage codegen — measured 2.85 s
+# vs 0.28 s (10x) for the identical statistics over 5,000 docs on one
+# core, a per-core factor that holds at any scale since both forms are
+# map-only. The "UDFs are the slow path" rule applies to row-at-a-time
+# Python, not to an Arrow-batched stage whose per-doc work is dict-hash
+# counting at C speed. Semantics are pinned by the pure-Python Counter
+# property test (tests/test_unit_functions.py) and the DuckDB oracles.
+_TEXT_STAT_SCHEMA = (
+    "doc_id long, n_tokens int, distinct_milli long, n_bigrams int, "
+    "top_bigram_milli long, stop_cnt int, "
+    + ", ".join(f"{lang}_hits int" for lang in LANG_MARKERS)
+)
 
 
-def _best_run_expr() -> Column:
-    """Max bigram multiplicity == longest equal run in the sorted array;
-    shared for the same reason as _bigrams_expr."""
-    return F.expr(
-        "aggregate(array_sort(bigrams),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
-        "              'best', CAST(0 AS BIGINT)),"
-        " (a, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),"
-        "   'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
-        " a -> a.best)"
+def _text_stat_batches(it):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    langs = list(LANG_MARKERS)
+    int_cols = ["n_tokens", "n_bigrams", "stop_cnt"] + [f"{la}_hits" for la in langs]
+    for pdf in it:
+        out: dict[str, list] = {
+            name.split(" ")[0]: [] for name in _TEXT_STAT_SCHEMA.split(", ")
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.split(" ")  # literal-space regex == str.split(" ")
+            n = len(toks)  # never 0: split("") == [""]
+            counts = Counter(toks)
+            n_bigrams = n - 1 if n >= 2 else 0
+            best = max(Counter(zip(toks, toks[1:])).values()) if n_bigrams else 0
+            out["doc_id"].append(doc_id)
+            out["n_tokens"].append(n)
+            out["distinct_milli"].append(math.floor(1000.0 * len(counts) / n))
+            out["n_bigrams"].append(n_bigrams)
+            out["top_bigram_milli"].append(
+                math.floor(1000.0 * best / n_bigrams) if n_bigrams else 0
+            )
+            out["stop_cnt"].append(sum(counts[w] for w in STOPWORDS))
+            for lang in langs:
+                out[f"{lang}_hits"].append(sum(counts[w] for w in LANG_MARKERS[lang]))
+        yield pd.DataFrame(
+            {
+                k: pd.Series(v, dtype="int32" if k in int_cols else "int64")
+                for k, v in out.items()
+            }
+        )
+
+
+def text_stat_frame(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics over any (doc_id, text) frame —
+    the shared map-only base of repetition_stats and quality_filter."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _text_stat_batches, _TEXT_STAT_SCHEMA
     )
 
 
@@ -1422,21 +1457,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     docs with fewer than two tokens drop (no bigram denominator).
     Property-tested against a pure-Python Counter oracle in
     tests/test_unit_functions.py."""
-    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    base = toked.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.floor(1000.0 * F.size(F.array_distinct("toks")) / F.size("toks"))
-        .cast("long")
-        .alias("distinct_milli"),
-        _bigrams_expr().alias("bigrams"),
-    )
-    best_run = _best_run_expr()
-    return base.where(F.size("bigrams") > 0).select(
-        "doc_id",
-        "n_tokens",
-        "distinct_milli",
-        F.floor(1000.0 * best_run / F.size("bigrams")).cast("long").alias("top_bigram_milli"),
+    return text_stat_frame(docs).where(F.col("n_bigrams") > 0).select(
+        "doc_id", "n_tokens", "distinct_milli", "top_bigram_milli"
     )
 
 
@@ -1491,35 +1513,15 @@ def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     rule cascade (first failing rule names the reject_reason):
     too_short -> non_english (marker-stopword langid) -> low_stopword ->
     low_diversity (distinct-token fraction) -> repetitive (top-bigram
-    mass) -> accept. Entirely JVM higher-order functions over one token
-    split — map-only, zero shuffles, embarrassingly parallel at 100 TB."""
+    mass) -> accept. One Arrow-batched stat pass (text_stat_frame) + a
+    JVM when-cascade — map-only, zero shuffles, embarrassingly parallel
+    at 100 TB."""
     return quality_filter(load(spark, sf, "documents"))
 
 
 def quality_filter(docs: DataFrame) -> DataFrame:
     """The q_quality_filter cascade over any (doc_id, text) frame."""
-    hits = {}
-    for lang, markers in LANG_MARKERS.items():
-        lst = ", ".join(f"'{w}'" for w in markers)
-        hits[lang] = F.expr(f"size(filter(toks, t -> t IN ({lst})))")
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    base = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.floor(1000.0 * F.size(F.array_distinct("toks")) / F.size("toks"))
-        .cast("long")
-        .alias("distinct_milli"),
-        F.expr(f"size(filter(toks, t -> t IN ({stop_list})))").alias("stop_cnt"),
-        *[hits[lang].alias(f"{lang}_hits") for lang in LANG_MARKERS],
-        _bigrams_expr().alias("bigrams"),
-    )
-    best_run = _best_run_expr()
-    scored = base.withColumn(
-        "top_bigram_milli",
-        F.when(F.size("bigrams") == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(1000.0 * best_run / F.size("bigrams")).cast("long")
-        ),
-    ).withColumn(
+    scored = text_stat_frame(docs).withColumn(
         "is_en",
         (F.col("en_hits") >= F.col("de_hits"))
         & (F.col("en_hits") >= F.col("fr_hits"))

@@ -87,6 +87,16 @@ def test_canonicalize_idempotent(s):
         assert canonicalize_rfc3986(c) == c
 
 
+def test_canonicalize_rejects_empty_host():
+    """Hypothesis-found: 'https:////:' urlparses to an EMPTY netloc with
+    path '//:', so the old code emitted 'https://:' — a URL its own
+    second pass rejects (idempotence violation). No authority = invalid."""
+    assert canonicalize_rfc3986("https:////:") is None
+    assert canonicalize_rfc3986("https://:") is None
+    assert canonicalize_rfc3986("https:////x") is None
+    assert canonicalize_rfc3986("https://a.org//x") == "https://a.org//x"
+
+
 # --- link extraction (manual_link_extractor.py semantics) ---
 
 BASE = "https://base.org"
