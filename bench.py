@@ -227,15 +227,23 @@ def main() -> None:
     ).save()
     release_query_barriers()
 
+    # best-of-N per query, same discipline as the drain below: the
+    # sandbox host's co-tenant noise puts a 1.5-3x spread on single-shot
+    # timings of the shingle/dedup suite (measured: dedup_minhash_lsh
+    # 2.7-7.2 s for identical code), so a capability measure needs reps.
+    q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     queries: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = SPARK_QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
-        # outside the timing window: the blocking unpersist is cache
-        # housekeeping between queries, not part of the query's cost
-        release_query_barriers()
+        best = float("inf")
+        for _ in range(q_reps):
+            t0 = time.monotonic()
+            df = SPARK_QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+            # outside the timing window: the blocking unpersist is cache
+            # housekeeping between queries, not part of the query's cost
+            release_query_barriers()
+        queries[name] = round(best, 3)
 
     # warm-up: JIT + python worker pool spin-up for the drain's stages,
     # then best-of-N timed runs (same discipline as tools/scaling.py —
