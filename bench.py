@@ -46,6 +46,8 @@ HEADLINE = [
     "text_repetition",
     "text_tokens_bpe",
     "pii_mask",
+    "warc_roundtrip",
+    "link_rank",
     "image_phash",
     "video_frames",
     "audio_stats",

@@ -1498,6 +1498,89 @@ def q_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RANK_ITERS = 5
+_RANK_OUT_DEG = 3  # every node emits exactly 3 edges by construction
+
+
+def q_link_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative PageRank for frontier prioritization (the score a
+    production crawler feeds into schedule_batch's priority column; the
+    reference crawls FIFO only — engine-new surface). Deterministic link
+    graph derived from the documents table (doc_id -> (doc_id*31+k) % n,
+    k=1..3), 5 synchronous iterations in FIXED-POINT micro-units:
+    r' = 150000 + (85 * sum(r_in DIV outdeg)) DIV 100. Integer
+    arithmetic makes the result independent of partial-aggregation
+    order, so the DuckDB oracle (the same recurrence unrolled as CTEs)
+    hash-matches exactly — float PageRank would differ in the last ulp
+    per shuffle schedule.
+
+    Scale shape: each iteration is one join (ranks x edges, both
+    hash-partitioned on the join key) + one groupBy(dst) with map-side
+    partial sums — the canonical distributed PageRank step. Edges are
+    scanned from the persisted barrier, not recomputed per iteration."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    edges = _barrier(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[((F.col("doc_id") * 31 + F.lit(k)) % n) for k in range(1, _RANK_OUT_DEG + 1)])
+            ).alias("dst"),
+        )
+    )
+    ranks = docs.select(F.col("doc_id").alias("v"), F.lit(1_000_000).cast("long").alias("r"))
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    for _ in range(_RANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .select("dst", F.expr(f"r DIV {_RANK_OUT_DEG}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.v == contrib.dst, "left").select(
+            "v",
+            (F.lit(150_000) + F.expr("(85 * coalesce(c, 0)) DIV 100")).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
+def _link_rank_sql() -> str:
+    """The q_link_rank recurrence unrolled as chained CTEs (DuckDB)."""
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS v FROM documents),",
+        "n_docs AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM n_docs) AS dst"
+        f" FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks),",
+        "r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),",
+    ]
+    for i in range(_RANK_ITERS):
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.v,"
+            f" CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(r.r // {_RANK_OUT_DEG}) AS c"
+            f" FROM edges e JOIN r{i} r ON r.v = e.src GROUP BY e.dst) s ON s.v = nodes.v),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(f"SELECT v AS doc_id, r AS rank_micro FROM r{_RANK_ITERS}")
+    return "\n".join(parts)
+
+
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC sink+source roundtrip (sources/warc.py, ISO 28500): encode
+    the documents table into deterministic 100-doc WARC/1.0 segments
+    (warcinfo + response records, Content-Length framing), then parse the
+    segments back and emit per-record fields. The oracle derives the same
+    fields directly from documents — any framing error (offset drift,
+    header corruption, payload truncation) shifts payload bytes and
+    breaks the md5 column, so the hash check verifies the full container
+    encode/decode path, not just row counts."""
+    from .sources.warc import docs_to_warc_segments, warc_segments_to_records
+
+    docs = load(spark, sf, "documents")
+    return warc_segments_to_records(docs_to_warc_segments(docs, docs_per_segment=100))
+
+
 # Composite quality-filter thresholds (Gopher/C4-style cascade), chosen
 # to split the synthetic corpus non-trivially (sf0.01: n_tok 10-99,
 # diversity p10 ~321 milli, stop_cnt p10 = 1, 218/500 docs en).
@@ -2287,4 +2370,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "audio_stats": q_audio_stats,
     "robots_rules": q_robots_rules,
+    "warc_roundtrip": q_warc_roundtrip,
+    "link_rank": q_link_rank,
 }
+
+ORACLE_SQL["link_rank"] = _link_rank_sql()
+ORACLE_SQL["warc_roundtrip"] = """
+SELECT doc_id // 100 AS segment_id,
+       'https://corpus.example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(octet_length(encode(text)) AS INT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents"""

@@ -1,0 +1,64 @@
+"""WARC container framing tests (sources/warc.py, ISO 28500 shape):
+Content-Length-driven parsing must survive payloads that CONTAIN the
+record delimiter / magic, and must fail loudly on corrupt framing."""
+
+import pytest
+
+from crawler_spark.sources.warc import (
+    parse_warc_segment,
+    warc_record_bytes,
+    warc_segment_bytes,
+)
+
+DATE = "2026-01-01T00:00:00Z"
+
+
+def _roundtrip(payloads):
+    recs = [
+        (f"https://h.org/{i}", p, DATE) for i, p in enumerate(payloads)
+    ]
+    parsed = parse_warc_segment(warc_segment_bytes(recs))
+    assert parsed[0]["warc_type"] == "warcinfo"
+    got = [r["payload"] for r in parsed if r["warc_type"] == "response"]
+    assert got == list(payloads)
+    return parsed
+
+
+def test_roundtrip_simple_and_empty():
+    _roundtrip([b"hello world", b"", b"x" * 10_000])
+
+
+def test_payload_containing_record_delimiter_and_magic():
+    """The killer case for delimiter-scanning parsers: a payload that
+    embeds the inter-record terminator followed by a fake record head.
+    Content-Length framing must return it byte-exact and keep parsing
+    the REAL next record."""
+    evil = b"before\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nafter"
+    _roundtrip([evil, b"next-real-record"])
+
+
+def test_unicode_payload_lengths_are_bytes():
+    text = "café — señor \U0001f680"
+    payload = text.encode("utf-8")
+    parsed = _roundtrip([payload])
+    resp = [r for r in parsed if r["warc_type"] == "response"][0]
+    assert len(resp["payload"]) == len(payload) != len(text)
+
+
+def test_truncated_segment_raises():
+    blob = warc_segment_bytes([("https://h.org/1", b"abcdef", DATE)])
+    with pytest.raises(ValueError):
+        parse_warc_segment(blob[:-3])  # chops the final terminator
+
+
+def test_corrupt_magic_raises():
+    blob = warc_segment_bytes([("https://h.org/1", b"abcdef", DATE)])
+    with pytest.raises(ValueError):
+        parse_warc_segment(b"XXXX" + blob[4:])
+
+
+def test_segments_deterministic():
+    recs = [(f"https://h.org/{i}", f"doc {i}".encode(), DATE) for i in range(5)]
+    assert warc_segment_bytes(recs) == warc_segment_bytes(recs)
+    one = warc_record_bytes("https://h.org/1", b"p", DATE)
+    assert one == warc_record_bytes("https://h.org/1", b"p", DATE)
