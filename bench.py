@@ -47,6 +47,7 @@ HEADLINE = [
     "text_tokens_bpe",
     "pii_mask",
     "warc_roundtrip",
+    "sitemap_roundtrip",
     "link_rank",
     "image_phash",
     "video_frames",

@@ -1566,6 +1566,19 @@ def _link_rank_sql() -> str:
     return "\n".join(parts)
 
 
+def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap sink+source roundtrip (sources/sitemap.py, sitemaps.org
+    protocol): build one <urlset> per deterministic host from the
+    documents table — every loc carries a query string with '&' so XML
+    entity escaping is exercised on every row — then parse back to flat
+    URL rows. The oracle derives the same rows directly from documents;
+    an unescape bug or a regex drift breaks the loc column hash."""
+    from .sources.sitemap import docs_to_sitemaps, sitemaps_to_urls
+
+    docs = load(spark, sf, "documents")
+    return sitemaps_to_urls(docs_to_sitemaps(docs, n_hosts=50))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """WARC sink+source roundtrip (sources/warc.py, ISO 28500): encode
     the documents table into deterministic 100-doc WARC/1.0 segments
@@ -2372,7 +2385,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_rules": q_robots_rules,
     "warc_roundtrip": q_warc_roundtrip,
     "link_rank": q_link_rank,
+    "sitemap_roundtrip": q_sitemap_roundtrip,
 }
+
+ORACLE_SQL["sitemap_roundtrip"] = """
+SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+       'https://h' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.org/doc?id=' || CAST(doc_id AS VARCHAR) || '&ref=sitemap' AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CAST((doc_id * 7) % 1001 AS INT) AS priority_milli
+FROM documents"""
 
 ORACLE_SQL["link_rank"] = _link_rank_sql()
 ORACLE_SQL["warc_roundtrip"] = """

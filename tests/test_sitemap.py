@@ -1,0 +1,49 @@
+"""Sitemap XML roundtrip tests (sources/sitemap.py, sitemaps.org shape):
+entity escaping in <loc>, both document kinds, protocol defaults."""
+
+from crawler_spark.sources.sitemap import (
+    parse_sitemap,
+    sitemap_index_xml,
+    sitemap_xml,
+)
+
+
+def test_urlset_roundtrip_with_entities():
+    entries = [
+        ("https://h.org/a?x=1&y=2", "2026-01-05", 700),
+        ("https://h.org/<odd>'\"path", "2026-02-01", 0),
+        ("https://h.org/plain", "2026-03-01", 1000),
+    ]
+    doc = parse_sitemap(sitemap_xml(entries))
+    assert doc["kind"] == "urlset"
+    assert doc["urls"] == entries
+
+
+def test_loc_with_preescaped_text_survives():
+    """A URL whose RAW text contains '&amp;lt;' must come back exactly —
+    the single-pass unescape order (&amp; last) must not double-decode."""
+    loc = "https://h.org/q?frag=&amp;lt;"
+    doc = parse_sitemap(sitemap_xml([(loc, "2026-01-01", 500)]))
+    assert doc["urls"][0][0] == loc
+
+
+def test_index_roundtrip():
+    locs = ["https://h.org/sitemap-1.xml", "https://h.org/sitemap-2.xml?part=a&b=c"]
+    doc = parse_sitemap(sitemap_index_xml(locs))
+    assert doc == {"kind": "index", "sitemaps": locs}
+
+
+def test_missing_optional_fields_default():
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h.org/x</loc></url></urlset>"
+    )
+    doc = parse_sitemap(xml)
+    assert doc["urls"] == [("https://h.org/x", "", 500)]
+
+
+def test_priority_milli_exact_across_range():
+    entries = [(f"https://h.org/{m}", "2026-01-01", m) for m in range(0, 1001)]
+    doc = parse_sitemap(sitemap_xml(entries))
+    assert [u[2] for u in doc["urls"]] == list(range(0, 1001))
