@@ -49,6 +49,7 @@ HEADLINE = [
     "warc_roundtrip",
     "sitemap_roundtrip",
     "link_rank",
+    "redirect_resolve",
     "image_phash",
     "video_frames",
     "audio_stats",

@@ -1566,6 +1566,79 @@ def _link_rank_sql() -> str:
     return "\n".join(parts)
 
 
+_REDIRECT_HOPS = 4
+
+
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution (engine-new: HTTP 3xx chains are
+    ubiquitous at web scale and feed canonical-URL dedup — two frontier
+    entries that 301 to the same terminal are ONE page; the reference
+    fetches with redirects unhandled). Deterministic redirect table
+    derived from documents (doc_id % 3 == 1 redirects to (doc_id*7+1)
+    % n — chosen because n is not a multiple of 3, so the wrap scrambles
+    the source class and yields the full chain spectrum: hops 0-4
+    including over-depth rows at both test SFs), resolved by following
+    up to 4 hops; ``terminal`` marks rows whose final URL is
+    not itself a redirect source (false = cycle/over-depth, which a
+    crawler must park, not refetch forever). All-integer columns so the
+    unrolled LEFT-JOIN DuckDB oracle hash-matches exactly.
+
+    Scale shape: each hop is one hash join of the live set against the
+    redirect table on the current URL key — the redirect table is tiny
+    relative to the corpus (broadcastable in production) and the live
+    set shrinks as chains terminate; no iteration reads the full corpus
+    twice."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    redirects = _barrier(
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
+        )
+    )
+    cur = docs.select(
+        F.col("doc_id").alias("start_id"),
+        F.col("doc_id").alias("cur"),
+        F.lit(0).cast("int").alias("n_hops"),
+    )
+    for _ in range(_REDIRECT_HOPS):
+        cur = cur.join(redirects, cur.cur == redirects.src, "left").select(
+            "start_id",
+            F.coalesce("dst", "cur").alias("cur"),
+            (F.col("n_hops") + F.when(F.col("dst").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_hops"),
+        )
+    return cur.join(redirects, cur.cur == redirects.src, "left").select(
+        "start_id",
+        F.col("cur").alias("final_id"),
+        "n_hops",
+        F.col("src").isNull().alias("terminal"),
+    )
+
+
+def _redirect_resolve_sql() -> str:
+    parts = [
+        "WITH n_docs AS (SELECT count(*) AS n FROM documents),",
+        "redirects AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n_docs) AS dst"
+        " FROM documents WHERE doc_id % 3 = 1),",
+        "c0 AS (SELECT doc_id AS start_id, doc_id AS cur, 0 AS n_hops FROM documents),",
+    ]
+    for i in range(_REDIRECT_HOPS):
+        parts.append(
+            f"c{i + 1} AS (SELECT start_id, COALESCE(r.dst, c.cur) AS cur,"
+            f" n_hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS n_hops"
+            f" FROM c{i} c LEFT JOIN redirects r ON r.src = c.cur),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(
+        f"SELECT start_id, c.cur AS final_id, CAST(n_hops AS INT) AS n_hops,"
+        f" r.src IS NULL AS terminal"
+        f" FROM c{_REDIRECT_HOPS} c LEFT JOIN redirects r ON r.src = c.cur"
+    )
+    return "\n".join(parts)
+
+
 def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap sink+source roundtrip (sources/sitemap.py, sitemaps.org
     protocol): build one <urlset> per deterministic host from the
@@ -2386,7 +2459,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "link_rank": q_link_rank,
     "sitemap_roundtrip": q_sitemap_roundtrip,
+    "redirect_resolve": q_redirect_resolve,
 }
+
+ORACLE_SQL["redirect_resolve"] = _redirect_resolve_sql()
 
 ORACLE_SQL["sitemap_roundtrip"] = """
 SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
