@@ -543,6 +543,76 @@ def sessionize_stream_oracle_sql() -> str:
     )
 
 
+def _url_events() -> list[dict]:
+    """Deterministic URL-discovery fixture exercising every dedup path:
+    each base id appears twice (exact dup), every 3rd event is a CASED +
+    fragment variant (collapses only if canonicalization runs before
+    dedup), every 10th is garbage (must drop), and one default-port
+    variant per 7 (collapses to the portless canonical form)."""
+    evs = []
+    t = _STREAM_BASE
+    for i in range(120):
+        base = i % 40  # 3 events per base id across the stream
+        if i % 10 == 9:
+            url = f"not a url {i}"
+        elif i % 3 == 1:
+            url = f"HTTPS://H{base % 5}.Example.org/p/{base}#frag-{i}"
+        elif i % 7 == 3:
+            url = f"https://h{base % 5}.example.org:443/p/{base}"
+        else:
+            url = f"https://h{base % 5}.example.org/p/{base}"
+        evs.append(
+            {
+                "ts": datetime.fromtimestamp(t + i, tz=timezone.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                ),
+                "url": url,
+            }
+        )
+    return evs
+
+
+def q_frontier_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frontier ingestion end-to-end
+    (streaming/frontier_ingest.py): canonicalize -> watermark-bounded
+    dropDuplicatesWithinWatermark -> idempotent batch_id-directory sink,
+    driven with availableNow over a deterministic URL-discovery fixture,
+    then read back keep-first-batch. Oracle = the same canonicalize +
+    distinct replayed in pure Python as a VALUES table."""
+    from .streaming.frontier_ingest import read_ingested_frontier, run_frontier_ingest
+
+    work = tempfile.mkdtemp(prefix="frontier_ingest_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "urls.jsonl"), "w") as f:
+        for e in _url_events():
+            f.write(json.dumps(e) + "\n")
+    out_dir = os.path.join(work, "out")
+    q = run_frontier_ingest(spark, in_dir, os.path.join(work, "ckpt"), out_dir)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("frontier ingest stream did not finish within 300s")
+    finally:
+        q.stop()
+    return read_ingested_frontier(spark, out_dir)
+
+
+def frontier_ingest_oracle_sql() -> str:
+    from .functions.urlnorm import canonicalize_rfc3986, host_of
+
+    seen: dict[str, str] = {}
+    for e in _url_events():
+        c = canonicalize_rfc3986(e["url"])
+        if c is not None and c not in seen:
+            seen[c] = host_of(c)
+    vals = [f"({_sql_str(u)}, {_sql_str(h)})" for u, h in sorted(seen.items())]
+    return (
+        "SELECT url, host FROM (VALUES\n  "
+        + ",\n  ".join(vals)
+        + "\n) AS t(url, host)"
+    )
+
+
 STATE_QUERIES = {
     "failed_sources": q_failed_sources,
     "crawled_sources_view": q_crawled_sources,
@@ -554,6 +624,7 @@ STATE_QUERIES = {
     "chat_read": q_chat_read,
     "retry_routing": q_retry_routing,
     "sessionize_stream": q_sessionize_stream,
+    "frontier_ingest_stream": q_frontier_ingest_stream,
 }
 
 
@@ -569,4 +640,5 @@ def state_oracle_sql() -> dict[str, str]:
         "chat_read": chat_read_oracle_sql(),
         "retry_routing": retry_routing_oracle_sql(),
         "sessionize_stream": sessionize_stream_oracle_sql(),
+        "frontier_ingest_stream": frontier_ingest_oracle_sql(),
     }

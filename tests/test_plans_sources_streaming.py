@@ -399,3 +399,20 @@ def test_streaming_late_straggler_beyond_gap_is_own_session(spark, tmp_path):
         for r in rows if r.host == "b.org"
     ]
     assert b == [("10:01:10", "10:02:00", 2)]
+
+
+def test_frontier_ingest_stream_dedups_canonical(spark):
+    """Streaming frontier ingestion e2e: canonicalization must run BEFORE
+    the watermark dedup (case/fragment/default-port variants collapse to
+    one row), invalid URLs drop, and the sink read-back is exactly the
+    distinct canonical set — already idempotent per URL."""
+    from crawler_spark.functions.urlnorm import canonicalize_rfc3986
+    from crawler_spark.queries_state import q_frontier_ingest_stream
+
+    rows = q_frontier_ingest_stream(spark, SF).collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls))  # one row per canonical URL
+    for r in rows:
+        assert canonicalize_rfc3986(r.url) == r.url  # output IS canonical
+        assert r.host and r.url.startswith("https://" + r.host)
+    assert len(urls) == 36  # 40 base ids minus the 4 all-garbage bases
