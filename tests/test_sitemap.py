@@ -47,3 +47,26 @@ def test_priority_milli_exact_across_range():
     entries = [(f"https://h.org/{m}", "2026-01-01", m) for m in range(0, 1001)]
     doc = parse_sitemap(sitemap_xml(entries))
     assert [u[2] for u in doc["urls"]] == list(range(0, 1001))
+
+
+def test_urlset_fuzz_printable_locs():
+    """Property: printable-text locs (anything a URL column could carry,
+    including XML metacharacters) roundtrip exactly with their milli
+    priorities."""
+    from hypothesis import given, settings, strategies as st
+
+    loc_text = st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\r\n"),
+        min_size=0,
+        max_size=80,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(loc_text, st.integers(0, 1000)), max_size=5))
+    def run(items):
+        entries = [(loc, "2026-01-01", m) for loc, m in items]
+        doc = parse_sitemap(sitemap_xml(entries))
+        assert doc["kind"] == "urlset"
+        assert doc["urls"] == entries
+
+    run()

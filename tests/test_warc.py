@@ -62,3 +62,16 @@ def test_segments_deterministic():
     assert warc_segment_bytes(recs) == warc_segment_bytes(recs)
     one = warc_record_bytes("https://h.org/1", b"p", DATE)
     assert one == warc_record_bytes("https://h.org/1", b"p", DATE)
+
+
+def test_roundtrip_fuzz_binary_payloads():
+    """Property: ANY byte payloads (including ones full of CR/LF runs and
+    WARC magic fragments) roundtrip byte-exact through a segment."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(max_size=400), min_size=0, max_size=6))
+    def run(payloads):
+        _roundtrip(payloads)
+
+    run()
