@@ -47,6 +47,7 @@ HEADLINE = [
     "text_tokens_bpe",
     "pii_mask",
     "warc_roundtrip",
+    "warc_cdx",
     "sitemap_roundtrip",
     "link_rank",
     "redirect_resolve",

@@ -1667,6 +1667,22 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return warc_segments_to_records(docs_to_warc_segments(docs, docs_per_segment=100))
 
 
+def q_warc_cdx(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX capture index over the WARC segments (sources/warc.py): byte
+    offset + record length per response record — random access into a
+    100 TB archive. The Spark side gets offsets from the PARSER's
+    position tracking while the oracle re-derives them purely from
+    record-length arithmetic (fixed framing = 198 bytes + uri + the
+    Content-Length digits + payload; warcinfo header record = 279), so
+    writer framing and parser accounting are cross-checked byte-exactly.
+    tests/test_warc.py additionally proves slice-fetch: blob[offset :
+    offset+length] parses as exactly that record."""
+    from .sources.warc import docs_to_warc_segments, warc_cdx
+
+    docs = load(spark, sf, "documents")
+    return warc_cdx(docs_to_warc_segments(docs, docs_per_segment=100))
+
+
 # Composite quality-filter thresholds (Gopher/C4-style cascade), chosen
 # to split the synthetic corpus non-trivially (sf0.01: n_tok 10-99,
 # diversity p10 ~321 milli, stop_cnt p10 = 1, 218/500 docs en).
@@ -2460,7 +2476,25 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_rank": q_link_rank,
     "sitemap_roundtrip": q_sitemap_roundtrip,
     "redirect_resolve": q_redirect_resolve,
+    "warc_cdx": q_warc_cdx,
 }
+
+ORACLE_SQL["warc_cdx"] = """
+WITH r AS (
+  SELECT doc_id, doc_id // 100 AS segment_id,
+         'https://corpus.example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+         octet_length(encode(text)) AS payload_len
+  FROM documents
+), sized AS (
+  SELECT *, 198 + length(target_uri) + length(CAST(payload_len AS VARCHAR)) + payload_len AS reclen
+  FROM r
+)
+SELECT segment_id, target_uri,
+       CAST(279 + COALESCE(SUM(reclen) OVER (
+         PARTITION BY segment_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+       CAST(reclen AS INT) AS length
+FROM sized"""
 
 ORACLE_SQL["redirect_resolve"] = _redirect_resolve_sql()
 

@@ -114,6 +114,8 @@ def parse_warc_segment(blob: bytes) -> list[dict]:
                 "target_uri": headers.get("warc-target-uri", ""),
                 "date": headers.get("warc-date", ""),
                 "payload": blob[body_start:body_end],
+                "offset": pos,  # record start — the CDX random-access key
+                "length": body_end + 4 - pos,
             }
         )
         pos = body_end + 4
@@ -181,3 +183,38 @@ def warc_segments_to_records(segments: DataFrame) -> DataFrame:
             )
 
     return segments.mapInPandas(_parse, _RECORD_SCHEMA)
+
+
+_CDX_SCHEMA = "segment_id long, target_uri string, offset long, length int"
+
+
+def warc_cdx(segments: DataFrame) -> DataFrame:
+    """CDX-style capture index over WARC segments: one (segment, uri,
+    byte offset, record length) row per response record — the structure
+    that makes a 100 TB archive randomly accessible (seek to ``offset``,
+    read ``length`` bytes, parse one record; pytest proves exactly that
+    slice-fetch). Offsets come from the PARSER's position tracking; the
+    driver oracle re-derives them independently from record-length
+    arithmetic, so writer framing and parser accounting cross-check."""
+
+    def _index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"segment_id": [], "target_uri": [], "offset": [], "length": []}
+            for seg_id, blob in zip(pdf["segment_id"], pdf["segment"]):
+                for rec in parse_warc_segment(bytes(blob)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    out["segment_id"].append(int(seg_id))
+                    out["target_uri"].append(rec["target_uri"])
+                    out["offset"].append(rec["offset"])
+                    out["length"].append(rec["length"])
+            yield pd.DataFrame(
+                {
+                    "segment_id": pd.Series(out["segment_id"], dtype="int64"),
+                    "target_uri": pd.Series(out["target_uri"], dtype="object"),
+                    "offset": pd.Series(out["offset"], dtype="int64"),
+                    "length": pd.Series(out["length"], dtype="int32"),
+                }
+            )
+
+    return segments.mapInPandas(_index, _CDX_SCHEMA)

@@ -75,3 +75,18 @@ def test_roundtrip_fuzz_binary_payloads():
         _roundtrip(payloads)
 
     run()
+
+
+def test_cdx_offsets_enable_slice_fetch():
+    """The CDX contract: seek to offset, read length bytes, parse exactly
+    that record — against a multi-record segment with varied payloads."""
+    payloads = [b"", b"short", b"x" * 3000, "unicode café \U0001f680".encode()]
+    recs = [(f"https://h.org/{i}", p, DATE) for i, p in enumerate(payloads)]
+    blob = warc_segment_bytes(recs)
+    for rec in parse_warc_segment(blob):
+        if rec["warc_type"] != "response":
+            continue
+        window = blob[rec["offset"] : rec["offset"] + rec["length"]]
+        (single,) = parse_warc_segment(window)
+        assert single["target_uri"] == rec["target_uri"]
+        assert single["payload"] == rec["payload"]
