@@ -1,6 +1,6 @@
 """Web-scale crawl-operations queries (engine-new surface, round 3).
 
-Five operators a production crawler/training-pipeline runs at 100 TB that
+Operators a production crawler/training-pipeline runs at 100 TB that
 the reference (a sequential fetch loop, backend/tasks/config.py:29 caps one
 URL in flight) has no analog for:
 
@@ -14,7 +14,15 @@ URL in flight) has no analog for:
 - deterministic HyperLogLog: approximate distinct-URL counting whose
   register math is reproduced bit-for-bit by the DuckDB oracle;
 - anchor-text aggregation: per-target in-degree + dominant anchor text,
-  the classic indexing signal extracted from the link graph.
+  the classic indexing signal extracted from the link graph;
+- connected components: hook/jump label propagation closing near-dup
+  pairs into clusters (one survivor per cluster, not per pair);
+- mirror-site detection: content-set signatures instead of a quadratic
+  host x host comparison;
+- tf-idf top-k terms: the posting-list build + term weighting with an
+  integer-surrogate idf;
+- largest-remainder budget allocation: per-shard fetch-slot
+  apportionment across hosts, exact (sum == budget) and deterministic.
 
 Same determinism rules as queries.py: integer fixed-point only (no raw
 doubles), md5 as the only cross-engine hash, every column aliased
@@ -431,12 +439,338 @@ SELECT roll.dst AS doc_id, in_degree, n_anchors, top_anchor, top_anchor_cnt
 FROM roll JOIN top ON roll.dst = top.dst"""
 
 
+# ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+# hook propagates labels one hop along edges; jump contracts pointer
+# chains (lab <- lab(lab)). The alternating schedule converges in
+# O(log diameter) rounds instead of hook-only's O(diameter) — the fixture
+# graph's worst vertex sits 7 hops from its component minimum and needs
+# the full 7-stage schedule (simulated: stages 1-6 leave 31 labels
+# unconverged, stage 7 closes them); the pytest asserts stage 7 is a
+# fixpoint by running one extra hook.
+_CC_STAGES = ("hook", "jump", "hook", "jump", "hook", "jump", "hook")
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over a duplicate-pair graph (the step AFTER
+    LSH dedup emits pairs: near-dup pairs must be closed into clusters so
+    each cluster keeps exactly one representative — pairwise keep-min
+    alone leaves chains like a~b, b~c splitting into two survivors).
+    Label propagation with alternating hook (one-hop neighbor min) and
+    jump (pointer doubling, lab <- lab(lab)) stages, the same schedule as
+    large-star/small-star (Kiveris et al., "Connected components in
+    MapReduce and beyond"). Deterministic edge fixture: chain edges
+    (i, i+1) within 8-blocks plus a chord (i, i+11) every 16 ids, so
+    components are 16-id runs with diameter 7 — deep enough that only
+    the alternating schedule converges in 6 stages. Integer labels, so
+    the unrolled-CTE DuckDB oracle hash-matches exactly.
+
+    Scale shape: hook is one hash join (edges x labels, both partitioned
+    on the key) + a map-side-combined min; jump is one self-join of the
+    label table. Stage count grows with log(diameter), not diameter.
+    Labels are persisted per stage (each jump consumes the table twice;
+    without the barrier the lineage doubles per stage) — production
+    would checkpoint instead."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("v"))
+    fwd = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")).filter(
+        (F.col("a") % 8 != 7) & (F.col("b") < n)
+    )
+    chord = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 11).alias("b")).filter(
+        (F.col("a") % 16 == 0) & (F.col("b") < n)
+    )
+    e0 = fwd.unionByName(chord)
+    edges = _barrier(
+        e0.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+            e0.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+    )
+    lab = ids.select("v", F.col("v").alias("lab"))
+    for stage in _CC_STAGES:
+        if stage == "hook":
+            nbr = (
+                edges.join(lab, edges.s == lab.v)
+                .select(F.col("d").alias("v"), "lab")
+                .groupBy("v")
+                .agg(F.min("lab").alias("mn"))
+            )
+            lab = lab.join(nbr, "v", "left").select(
+                "v", F.least("lab", F.coalesce("mn", "lab")).alias("lab")
+            )
+        else:  # jump: lab <- lab(lab); labels are vertex ids, so the join always hits
+            lab = _barrier(lab)
+            other = lab.select(F.col("v").alias("lv"), F.col("lab").alias("llab"))
+            lab = lab.join(other, lab.lab == other.lv).select("v", F.col("llab").alias("lab"))
+    lab = _barrier(lab)
+    sizes = lab.groupBy("lab").agg(F.count("*").alias("comp_size"))
+    return lab.join(sizes, "lab").select(
+        F.col("v").alias("doc_id"), F.col("lab").alias("component"), "comp_size"
+    )
+
+
+def _cc_sql() -> str:
+    """The alternating hook/jump schedule unrolled as chained CTEs."""
+    parts = [
+        "WITH nd AS (SELECT count(*) AS n FROM documents),",
+        "verts AS (SELECT doc_id AS v FROM documents),",
+        "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents"
+        " WHERE doc_id % 8 <> 7 AND doc_id + 1 < (SELECT n FROM nd)"
+        " UNION ALL SELECT doc_id, doc_id + 11 FROM documents"
+        " WHERE doc_id % 16 = 0 AND doc_id + 11 < (SELECT n FROM nd)),",
+        "edges AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),",
+        "l0 AS (SELECT v, v AS lab FROM verts),",
+    ]
+    for i, stage in enumerate(_CC_STAGES):
+        if stage == "hook":
+            parts.append(
+                f"l{i + 1} AS (SELECT l.v, least(l.lab, coalesce(m.mn, l.lab)) AS lab"
+                f" FROM l{i} l LEFT JOIN (SELECT e.d AS v, min(x.lab) AS mn"
+                f" FROM edges e JOIN l{i} x ON x.v = e.s GROUP BY e.d) m ON m.v = l.v),"
+            )
+        else:
+            parts.append(
+                f"l{i + 1} AS (SELECT a.v, b.lab FROM l{i} a JOIN l{i} b ON b.v = a.lab),"
+            )
+    k = len(_CC_STAGES)
+    parts.append(f"sizes AS (SELECT lab, count(*) AS comp_size FROM l{k} GROUP BY lab)")
+    parts.append(
+        f"SELECT l.v AS doc_id, l.lab AS component, sizes.comp_size"
+        f" FROM l{k} l JOIN sizes ON sizes.lab = l.lab"
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# mirror-site detection
+# ---------------------------------------------------------------------------
+
+
+def q_mirror_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror-site detection (engine-new: at web scale whole HOSTS are
+    duplicates — ftp mirrors, CDN vanity domains, parked clones — and a
+    crawler that discovers a mirror should crawl ONE of them). A host's
+    content signature is md5 over its sorted distinct page fingerprints;
+    hosts with equal signatures serve exactly the same content set.
+    Deterministic fixture: host = doc_id % 40, page fingerprint =
+    md5('c' || doc_id % 60); host h serves the 3-content set
+    {h, h+20, h+40} mod 60, which is invariant under +20 — so host h
+    and host h+20 serve identical content sets: 20 planted mirror pairs,
+    each host with 3 distinct page fingerprints.
+
+    Scale shape: groupBy(host, fp) dedup with map-side combine, then one
+    groupBy(host) whose per-host state is the host's distinct-fp set
+    (bounded by host page count — the quantity a real crawler would cap
+    or sketch via a per-host minhash), then a groupBy(sig) over one row
+    per host. No pairwise host comparison anywhere — signature equality
+    replaces the quadratic host x host join."""
+    docs = load(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.md5(F.concat(F.lit("c"), (F.col("doc_id") % 60).cast("string"))).alias("fp"),
+    )
+    per_host = (
+        pages.groupBy("host", "fp")
+        .agg(F.count("*").alias("n_pages"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_contents"),
+            F.md5(F.array_join(F.sort_array(F.collect_list("fp")), ",")).alias("sig"),
+        )
+    )
+    per_host = _barrier(per_host)
+    groups = per_host.groupBy("sig").agg(
+        F.count("*").alias("group_size"), F.min("host").alias("canonical_host")
+    )
+    return per_host.join(groups, "sig").select(
+        "host",
+        F.col("n_contents").cast("long").alias("n_contents"),
+        "sig",
+        F.col("group_size").cast("long").alias("group_size"),
+        "canonical_host",
+        (F.col("group_size") > 1).alias("is_mirror"),
+    )
+
+
+_MIRROR_SQL = """
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.org' AS host,
+         md5('c' || CAST(doc_id % 60 AS VARCHAR)) AS fp
+  FROM documents
+), dedup AS (
+  SELECT host, fp FROM pages GROUP BY host, fp
+), per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_contents,
+         md5(array_to_string(list_sort(list(fp)), ',')) AS sig
+  FROM dedup GROUP BY host
+), groups AS (
+  SELECT sig, CAST(count(*) AS BIGINT) AS group_size, min(host) AS canonical_host
+  FROM per_host GROUP BY sig
+)
+SELECT host, n_contents, per_host.sig AS sig, group_size, canonical_host,
+       group_size > 1 AS is_mirror
+FROM per_host JOIN groups ON per_host.sig = groups.sig"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf indexing signal (integer-surrogate idf)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k terms per document by tf-idf (the posting-list build + term
+    weighting a search index runs over the crawl corpus). idf uses the
+    integer surrogate (1000 * N) DIV df instead of a float log — same
+    ordering for fixed N, and integer fixed-point is the repo-wide rule
+    that makes the DuckDB oracle hash-match bit-for-bit (a float ln()
+    could differ in the last ulp between engines).
+
+    Scale shape: tokenize is map-only explode; tf is groupBy(doc, term)
+    with map-side combine (the classic indexing shuffle, key cardinality
+    = corpus postings); df aggregates the tf table by term (vocab-sized,
+    Zipf-skewed but combine-heavy); the df join back is hash on term
+    (broadcastable when the vocab fits); top-k per doc is a window
+    partitioned BY DOCUMENT — never a global sort."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = _barrier(
+        words.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.expr(f"(1000 * {n}) DIV df")).cast("long").alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, df.df,
+         CAST(t.tf * ((1000 * (SELECT count(*) FROM documents)) // df.df) AS BIGINT) AS score
+  FROM tf t JOIN df ON t.term = df.term
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= {_TFIDF_K}"""
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder fetch-budget allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 250  # fetch slots per shard per scheduling round
+_ALLOC_HOSTS = 23
+_ALLOC_SHARDS = 4
+
+
+def q_budget_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard fetch-budget apportionment by the largest-remainder
+    (Hamilton) method: each scheduling round hands every fetcher shard
+    a fixed slot budget, split across its hosts proportionally to
+    pending-URL counts — floor shares first, then the leftover slots to
+    the hosts with the largest remainders (ties broken by host id, so
+    the result is deterministic and the oracle hash-matches). Exactness
+    invariant: sum(alloc) per shard == budget, pinned in pytest.
+
+    Scale shape: one groupBy(host) count with map-side combine, a
+    broadcastable per-shard totals join (shard cardinality == fleet
+    size, always tiny), and a remainder-rank window partitioned BY
+    SHARD — each window sees only that shard's hosts, never a global
+    sort of all hosts."""
+    docs = load(spark, sf, "documents")
+    hosts = (
+        docs.select((F.col("doc_id") % _ALLOC_HOSTS).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("pending"))
+        .withColumn("shard", (F.col("host") % _ALLOC_SHARDS).cast("long"))
+    )
+    totals = hosts.groupBy("shard").agg(F.sum("pending").alias("total"))
+    b = _ALLOC_BUDGET
+    based = (
+        hosts.join(F.broadcast(totals), "shard")
+        .withColumn("base_alloc", F.expr(f"({b} * pending) DIV total"))
+        .withColumn("remainder", F.expr(f"({b} * pending) % total"))
+    )
+    based = _barrier(based)
+    leftover = based.groupBy("shard").agg((F.lit(b) - F.sum("base_alloc")).alias("leftover"))
+    win = Window.partitionBy("shard").orderBy(F.desc("remainder"), F.asc("host"))
+    return (
+        based.join(F.broadcast(leftover), "shard")
+        .withColumn("rk", F.row_number().over(win))
+        .select(
+            "host",
+            "shard",
+            "pending",
+            "base_alloc",
+            "remainder",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("extra"),
+        )
+        .withColumn("alloc", F.col("base_alloc") + F.col("extra"))
+    )
+
+
+_ALLOC_SQL = f"""
+WITH hosts AS (
+  SELECT doc_id % {_ALLOC_HOSTS} AS host, CAST(count(*) AS BIGINT) AS pending,
+         CAST((doc_id % {_ALLOC_HOSTS}) % {_ALLOC_SHARDS} AS BIGINT) AS shard
+  FROM documents GROUP BY doc_id % {_ALLOC_HOSTS}
+), totals AS (
+  SELECT shard, sum(pending) AS total FROM hosts GROUP BY shard
+), based AS (
+  SELECT host, hosts.shard AS shard, pending,
+         ({_ALLOC_BUDGET} * pending) // total AS base_alloc,
+         ({_ALLOC_BUDGET} * pending) % total AS remainder
+  FROM hosts JOIN totals ON hosts.shard = totals.shard
+), leftovers AS (
+  SELECT shard, {_ALLOC_BUDGET} - sum(base_alloc) AS leftover FROM based GROUP BY shard
+), ranked AS (
+  SELECT based.*, leftover,
+         row_number() OVER (PARTITION BY based.shard ORDER BY remainder DESC, host ASC) AS rk
+  FROM based JOIN leftovers ON based.shard = leftovers.shard
+)
+SELECT host, shard, pending, base_alloc, remainder,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM ranked"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
     "host_shards": q_host_shards,
     "hll_distinct": q_hll_distinct,
     "anchor_agg": q_anchor_agg,
+    "dedup_components": q_dedup_components,
+    "mirror_detect": q_mirror_detect,
+    "tfidf_topk": q_tfidf_topk,
+    "budget_alloc": q_budget_alloc,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -445,4 +779,8 @@ SCALE_ORACLES: dict[str, str] = {
     "host_shards": _HRW_SQL,
     "hll_distinct": _HLL_SQL,
     "anchor_agg": _ANCHOR_SQL,
+    "dedup_components": _cc_sql(),
+    "mirror_detect": _MIRROR_SQL,
+    "tfidf_topk": _TFIDF_SQL,
+    "budget_alloc": _ALLOC_SQL,
 }

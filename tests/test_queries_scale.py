@@ -13,11 +13,19 @@ import pytest
 
 from crawler_spark.plans.inspect import formatted_plan
 from crawler_spark.queries_scale import (
+    _ALLOC_BUDGET,
+    _ALLOC_HOSTS,
+    _ALLOC_SHARDS,
     _HRW_SHARDS,
+    _TFIDF_K,
     q_anchor_agg,
+    q_budget_alloc,
+    q_dedup_components,
     q_hll_distinct,
     q_host_shards,
+    q_mirror_detect,
     q_recrawl_priority,
+    q_tfidf_topk,
     q_trap_detect,
 )
 
@@ -181,3 +189,186 @@ def test_anchor_agg_window_partitions_by_target(spark):
     plan = formatted_plan(q_anchor_agg(spark, SF))
     assert "Window" in plan
     assert re.search(r"Window.*\[dst", plan) or "partitionBy" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc_edges(n):
+    edges = [(i, i + 1) for i in range(n - 1) if i % 8 != 7]
+    edges += [(i, i + 11) for i in range(0, n - 11, 16)]
+    return edges
+
+
+def _union_find(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex id in the component
+    comp = {}
+    for v in range(n):
+        comp.setdefault(find(v), []).append(v)
+    label = {}
+    for vs in comp.values():
+        m = min(vs)
+        for v in vs:
+            label[v] = m
+    return label
+
+
+def test_dedup_components_matches_union_find(spark):
+    rows = {r["doc_id"]: r for r in q_dedup_components(spark, SF).collect()}
+    n = len(rows)
+    truth = _union_find(n, _cc_edges(n))
+    sizes = {}
+    for v, lab in truth.items():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    for v, r in rows.items():
+        assert r["component"] == truth[v], (v, r)
+        assert r["comp_size"] == sizes[truth[v]]
+    # the fixture graph really exercises depth: diameter-7 components
+    assert max(sizes.values()) == 16
+
+
+def test_dedup_components_stage_schedule_is_a_fixpoint(spark):
+    """One extra hook stage must not move any label — proves the 6-stage
+    alternating schedule already converged (the oracle equality alone
+    would also pass on a prematurely-truncated but luckily-equal run)."""
+    import crawler_spark.queries_scale as qs
+
+    base = {r["doc_id"]: r["component"] for r in q_dedup_components(spark, SF).collect()}
+    orig = qs._CC_STAGES
+    qs._CC_STAGES = orig + ("hook",)
+    try:
+        extra = {r["doc_id"]: r["component"] for r in q_dedup_components(spark, SF).collect()}
+    finally:
+        qs._CC_STAGES = orig
+    assert base == extra
+
+
+def test_dedup_components_hook_combines_map_side(spark):
+    """The hook's neighbor-min must partial-aggregate before its
+    exchange: at 10^10 edges only one candidate label per (vertex,
+    partition) crosses the wire."""
+    plan = formatted_plan(q_dedup_components(spark, SF))
+    assert "partial_min(lab" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mirror detection
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_detect_finds_planted_pairs(spark):
+    rows = {r["host"]: r for r in q_mirror_detect(spark, SF).collect()}
+    assert len(rows) == 40
+    for host, r in rows.items():
+        h = int(host[1:].split(".")[0])
+        partner = f"h{(h + 20) % 40}.example.org"
+        assert r["n_contents"] == 3
+        assert r["is_mirror"] and r["group_size"] == 2
+        assert rows[partner]["sig"] == r["sig"]
+        assert r["canonical_host"] == min(host, partner)
+    # exactly 20 distinct mirror groups
+    assert len({r["sig"] for r in rows.values()}) == 20
+
+
+def test_mirror_detect_no_pairwise_host_join(spark):
+    """Signature grouping must replace the quadratic host x host
+    comparison: the only join is the final signature equi-join."""
+    plan = formatted_plan(q_mirror_detect(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top-k
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_matches_pure_python(spark):
+    rows = q_tfidf_topk(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n = len(docs)
+    # recompute df over the whole corpus
+    df = {}
+    tfs = {}
+    for d, text in docs.items():
+        counts = {}
+        for w in text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+        tfs[d] = counts
+        for w in counts:
+            df[w] = df.get(w, 0) + 1
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for d, rs in by_doc.items():
+        scored = sorted(
+            ((tf * ((1000 * n) // df[w]), w) for w, tf in tfs[d].items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:_TFIDF_K]
+        got = sorted(rs, key=lambda r: r["rk"])
+        assert [(r["score"], r["term"]) for r in got] == scored
+        for r in got:
+            assert r["tf"] == tfs[d][r["term"]] and r["df"] == df[r["term"]]
+
+
+def test_tfidf_topk_window_partitions_by_doc(spark):
+    plan = formatted_plan(q_tfidf_topk(spark, SF))
+    assert "Window" in plan
+    import re as _re
+
+    assert _re.search(r"row_number\(\).*partitionBy.*doc_id|Window.*\[doc_id", plan, _re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# budget allocation
+# ---------------------------------------------------------------------------
+
+
+def test_budget_alloc_is_exact_hamilton(spark):
+    rows = q_budget_alloc(spark, SF).collect()
+    assert len(rows) == _ALLOC_HOSTS
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == r["host"] % _ALLOC_SHARDS
+        assert r["extra"] in (0, 1)
+        assert r["alloc"] == r["base_alloc"] + r["extra"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        total = sum(r["pending"] for r in rs)
+        # exactness: floor shares + largest remainders spend the budget fully
+        assert sum(r["alloc"] for r in rs) == _ALLOC_BUDGET
+        leftover = _ALLOC_BUDGET - sum((_ALLOC_BUDGET * r["pending"]) // total for r in rs)
+        winners = sorted(rs, key=lambda r: (-r["remainder"], r["host"]))[:leftover]
+        expect_extra = {r["host"] for r in winners}
+        for r in rs:
+            assert r["base_alloc"] == (_ALLOC_BUDGET * r["pending"]) // total
+            assert r["remainder"] == (_ALLOC_BUDGET * r["pending"]) % total
+            assert bool(r["extra"]) == (r["host"] in expect_extra)
+
+
+def test_budget_alloc_window_partitions_by_shard(spark):
+    """The remainder rank must never globally sort all hosts."""
+    plan = formatted_plan(q_budget_alloc(spark, SF))
+    import re as _re
+
+    assert _re.search(r"Window.*\[shard|partitionBy.*shard", plan, _re.S), plan
