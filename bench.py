@@ -58,6 +58,18 @@ HEADLINE = [
     "semi_join_open_orders",
     "crawl_counters",
     "events_tumbling",
+    "trap_detect",
+    "recrawl_priority",
+    "host_shards",
+    "hll_distinct",
+    "anchor_agg",
+    "dedup_components",
+    "mirror_detect",
+    "tfidf_topk",
+    "budget_alloc",
+    "crawl_rollup",
+    "latency_quantiles",
+    "sample_stratified",
 ]
 
 N_HOSTS = 10_000
@@ -212,8 +224,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "2000000"))
 
-    from crawler_spark.queries import SPARK_QUERIES, release_query_barriers
+    from crawler_spark.queries import SPARK_QUERIES as _BASE_QUERIES
+    from crawler_spark.queries import release_query_barriers
+    from crawler_spark.queries_scale import SCALE_QUERIES
     from crawler_spark.session import get_spark
+
+    SPARK_QUERIES = {**_BASE_QUERIES, **SCALE_QUERIES}
 
     spark = get_spark("crawler_spark_bench", cores=cpus)
     try:

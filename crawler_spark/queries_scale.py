@@ -761,6 +761,180 @@ SELECT host, shard, pending, base_alloc, remainder,
 FROM ranked"""
 
 
+# ---------------------------------------------------------------------------
+# crawl report rollup (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical crawl report via ROLLUP(lang, source): per-(lang,
+    source) doc counts and byte totals, plus per-lang and grand-total
+    superaggregates in ONE pass — the nightly ops report a 100 TB crawl
+    emits per language/feed. grouping_id() disambiguates real NULLs from
+    rollup rows (both engines use Postgres bit order: first rollup column
+    = MSB).
+
+    Scale shape: rollup plans as a single Expand (3 rows per input row
+    for a 2-level rollup) feeding one hash aggregate with map-side
+    combine — one shuffle keyed on the grouping-set id + keys, never one
+    job per level."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT lang, source,
+       CAST(grouping(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)"""
+
+
+# ---------------------------------------------------------------------------
+# exact fetch-latency quantiles (nearest-rank)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (50, 95, 99)
+
+
+def q_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host fetch-latency p50/p95/p99 by the NEAREST-RANK method
+    (value at row ceil(q*n/100) of the sorted sample) — exact and
+    integer, so the oracle hash-matches; percentile_approx or
+    interpolated percentile would be engine-dependent. Latency fixture:
+    (event_id * 37) % 1000 + 1 ms, host = user_id % 50.
+
+    Scale shape: one window partitioned BY HOST (rank within host, never
+    a global sort) + one conditional aggregation per host. The rank
+    arithmetic needs only n per host, which rides the same window
+    (count over the partition) — a single shuffle on host total. At
+    10^10 fetch records per day production would swap the exact window
+    for a t-digest; this operator is the exact-verification twin."""
+    ev = load(spark, sf, "events")
+    lat = ev.select(
+        (F.col("user_id") % 50).alias("host"),
+        ((F.col("event_id") * 37) % 1000 + 1).alias("latency_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("host").orderBy("latency_ms", "event_id")
+    ranked = lat.select(
+        "host",
+        "latency_ms",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("host")).alias("n"),
+    )
+    # nearest-rank with integer ceil: rn == (n*q + 99) DIV 100
+    aggs = [F.count("*").cast("long").alias("n_fetches")] + [
+        F.max(F.when(F.expr(f"rn = (n * {q} + 99) DIV 100"), F.col("latency_ms"))).alias(f"p{q}")
+        for q in _QUANTILES
+    ]
+    return ranked.groupBy("host").agg(*aggs)
+
+
+_QUANTILE_SQL = f"""
+WITH lat AS (
+  SELECT user_id % 50 AS host, (event_id * 37) % 1000 + 1 AS latency_ms, event_id
+  FROM events
+), ranked AS (
+  SELECT host, latency_ms,
+         row_number() OVER (PARTITION BY host ORDER BY latency_ms, event_id) AS rn,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM lat
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+       {", ".join(f"max(CASE WHEN rn = (n * {q} + 99) // 100 THEN latency_ms END) AS p{q}" for q in _QUANTILES)}
+FROM ranked GROUP BY host"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_TOTAL = 100
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample: draw exactly 100 documents with
+    per-language quotas proportional to corpus shares (largest-remainder
+    apportionment, the same exactness rule as budget_alloc — quota sums
+    to the sample size EXACTLY, no binomial wobble like df.sampleBy), and
+    within each stratum take the md5(doc_id)-ranked prefix so the draw
+    is a pure function of the data — re-running on the same corpus, at
+    any partitioning, returns byte-identical samples (the training-data
+    reproducibility requirement).
+
+    Scale shape: stratum counts are one map-side-combined groupBy (tiny
+    result, broadcast back); the remainder rank runs over that tiny
+    per-stratum table only (cardinality = #languages, never the corpus);
+    the md5 draw rank is a window partitioned BY STRATUM — no global
+    sort of documents; the quota filter prunes everything past the
+    prefix."""
+    docs = load(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    s = _SAMPLE_TOTAL
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("base_q", F.expr(f"({s} * n) DIV total"))
+        .withColumn("rem", F.expr(f"({s} * n) % total"))
+    )
+    based = _barrier(based)
+    leftover = based.agg((F.lit(s) - F.sum("base_q")).alias("leftover"))
+    wq = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    quotas = (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wq))
+        .select(
+            "lang",
+            (F.col("base_q") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).alias(
+                "quota"
+            ),
+        )
+    )
+    wd = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    picked = (
+        docs.select("doc_id", "lang", F.row_number().over(wd).alias("draw_rank"))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("draw_rank") <= F.col("quota"))
+    )
+    return picked.select(
+        "doc_id", "lang", F.col("draw_rank").cast("long").alias("draw_rank"), "quota"
+    )
+
+
+_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (SELECT sum(n) AS total FROM counts),
+based AS (
+  SELECT lang, n, ({_SAMPLE_TOTAL} * n) // total AS base_q, ({_SAMPLE_TOTAL} * n) % total AS rem
+  FROM counts, tot
+), leftovers AS (SELECT {_SAMPLE_TOTAL} - sum(base_q) AS leftover FROM based),
+quotas AS (
+  SELECT lang,
+         base_q + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC) <= leftover
+                       THEN 1 ELSE 0 END AS quota
+  FROM based, leftovers
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS draw_rank
+  FROM documents
+)
+SELECT doc_id, ranked.lang AS lang, draw_rank, quota
+FROM ranked JOIN quotas ON ranked.lang = quotas.lang
+WHERE draw_rank <= quota"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -771,6 +945,9 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_detect": q_mirror_detect,
     "tfidf_topk": q_tfidf_topk,
     "budget_alloc": q_budget_alloc,
+    "crawl_rollup": q_crawl_rollup,
+    "latency_quantiles": q_latency_quantiles,
+    "sample_stratified": q_sample_stratified,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -783,4 +960,7 @@ SCALE_ORACLES: dict[str, str] = {
     "mirror_detect": _MIRROR_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "budget_alloc": _ALLOC_SQL,
+    "crawl_rollup": _ROLLUP_SQL,
+    "latency_quantiles": _QUANTILE_SQL,
+    "sample_stratified": _SAMPLE_SQL,
 }

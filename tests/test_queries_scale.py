@@ -372,3 +372,115 @@ def test_budget_alloc_window_partitions_by_shard(spark):
     import re as _re
 
     assert _re.search(r"Window.*\[shard|partitionBy.*shard", plan, _re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# crawl report rollup
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_rollup_levels_are_consistent(spark):
+    from crawler_spark.queries_scale import q_crawl_rollup
+
+    rows = q_crawl_rollup(spark, SF).collect()
+    grand = [r for r in rows if r["gid"] == 3]
+    per_lang = [r for r in rows if r["gid"] == 1]
+    leaves = [r for r in rows if r["gid"] == 0]
+    assert len(grand) == 1 and grand[0]["lang"] is None and grand[0]["source"] is None
+    # superaggregates must equal the sum of their children
+    assert grand[0]["n_docs"] == sum(r["n_docs"] for r in per_lang) == sum(
+        r["n_docs"] for r in leaves
+    )
+    assert grand[0]["total_chars"] == sum(r["total_chars"] for r in leaves)
+    for lr in per_lang:
+        kids = [r for r in leaves if r["lang"] == lr["lang"]]
+        assert lr["n_docs"] == sum(r["n_docs"] for r in kids)
+        assert lr["total_chars"] == sum(r["total_chars"] for r in kids)
+
+
+def test_crawl_rollup_is_one_expand_one_aggregate(spark):
+    """ROLLUP must plan as a single Expand + one hash aggregate — one
+    shuffle for all levels, never one job per level."""
+    from crawler_spark.queries_scale import q_crawl_rollup
+
+    plan = formatted_plan(q_crawl_rollup(spark, SF))
+    assert plan.count("Expand") >= 1
+    assert "HashAggregate" in plan
+    # exactly one shuffle (plus AQE wrappers): count exchanges
+    assert plan.count("Exchange") <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# latency quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_latency_quantiles_nearest_rank_exact(spark):
+    from crawler_spark.queries_scale import q_latency_quantiles
+
+    rows = {r["host"]: r for r in q_latency_quantiles(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_host = {}
+    for e in ev:
+        by_host.setdefault(e["user_id"] % 50, []).append((e["event_id"] * 37) % 1000 + 1)
+    assert set(rows) == set(by_host)
+    for h, lats in by_host.items():
+        lats.sort()
+        n = len(lats)
+        r = rows[h]
+        assert r["n_fetches"] == n
+        for q in (50, 95, 99):
+            assert r[f"p{q}"] == lats[(n * q + 99) // 100 - 1], (h, q)
+        assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+def test_latency_quantiles_window_partitions_by_host(spark):
+    from crawler_spark.queries_scale import q_latency_quantiles
+
+    plan = formatted_plan(q_latency_quantiles(spark, SF))
+    assert re.search(r"Window.*\[host", plan, re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_stratified_exact_quotas_and_determinism(spark):
+    import hashlib
+
+    from crawler_spark.queries_scale import _SAMPLE_TOTAL, q_sample_stratified
+
+    rows = q_sample_stratified(spark, SF).collect()
+    assert len(rows) == _SAMPLE_TOTAL
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang").collect()
+    counts = {}
+    for d in docs:
+        counts[d["lang"]] = counts.get(d["lang"], 0) + 1
+    total = sum(counts.values())
+    base = {lang: (_SAMPLE_TOTAL * n) // total for lang, n in counts.items()}
+    rem = {lang: (_SAMPLE_TOTAL * n) % total for lang, n in counts.items()}
+    leftover = _SAMPLE_TOTAL - sum(base.values())
+    winners = sorted(counts, key=lambda lang: (-rem[lang], lang))[:leftover]
+    quota = {lang: base[lang] + (1 if lang in winners else 0) for lang in counts}
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], []).append(r)
+        assert r["quota"] == quota[r["lang"]]
+    assert {lang: len(rs) for lang, rs in got.items()} == {
+        lang: q for lang, q in quota.items() if q > 0
+    }
+    # the draw is the md5-ranked prefix of each stratum — pure function of data
+    for lang, rs in got.items():
+        ids = sorted(
+            (d["doc_id"] for d in docs if d["lang"] == lang),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        assert sorted(r["doc_id"] for r in rs) == sorted(ids[: quota[lang]])
+
+
+def test_sample_stratified_draw_window_partitions_by_stratum(spark):
+    from crawler_spark.queries_scale import q_sample_stratified
+
+    plan = formatted_plan(q_sample_stratified(spark, SF))
+    assert re.search(r"Window.*\[lang", plan, re.S), plan
