@@ -70,6 +70,8 @@ HEADLINE = [
     "crawl_rollup",
     "latency_quantiles",
     "sample_stratified",
+    "cms_heavy_hitters",
+    "cocitation",
 ]
 
 N_HOSTS = 10_000

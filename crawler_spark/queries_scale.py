@@ -935,6 +935,187 @@ FROM ranked JOIN quotas ON ranked.lang = quotas.lang
 WHERE draw_rank <= quota"""
 
 
+# ---------------------------------------------------------------------------
+# deterministic count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter host detection via a DETERMINISTIC count-min sketch
+    (Cormode & Muthukrishnan 2005) — the fixed-size summary a 100 TB
+    frontier uses to spot hot hosts without a full groupBy of the raw
+    URL stream. d=4 hash rows x w=256 counters; row hashes are
+    independent md5 slices (hex chars [1+4r, 4+4r) of md5(key), mod w),
+    so the DuckDB oracle reproduces every counter bit-for-bit and even
+    the APPROXIMATE estimates hash-match. Keys: 40 URLs per document
+    spread over 997 hosts, plus a planted hot host (key 'k0') hit once
+    per document — ~25x the background rate. Output per probed key:
+    exact count, CMS estimate (min over the d rows), and the
+    overestimate in milli — CMS never underestimates (pinned in pytest)
+    and the planted heavy hitter's estimate is near-exact.
+
+    Scale shape: the sketch build is groupBy(row, bucket) with map-side
+    combine — at most d*w = 1024 rows cross the wire regardless of input
+    size; probes join the d*w table broadcast-style. The exact counts
+    alongside are the small-scale cross-check only."""
+    docs = load(spark, sf, "documents")
+    keys = docs.select(
+        F.explode(F.expr("sequence(1, 40)")).alias("j"), "doc_id"
+    ).select(
+        F.concat(
+            F.lit("k"),
+            F.when(F.col("j") == 1, F.lit(0)).otherwise(
+                (F.col("doc_id") * 7919 + F.col("j") * 104729) % 997
+            ).cast("string"),
+        ).alias("key")
+    )
+    rows_exp = keys.select(
+        "key", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r")
+    ).select(
+        "key",
+        "r",
+        (
+            F.conv(F.expr("substring(md5(key), 2 + 4 * r, 4)"), 16, 10).cast("long")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    sketch = _barrier(
+        rows_exp.groupBy("r", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = keys.groupBy("key").agg(F.count("*").cast("long").alias("exact_cnt"))
+    # probe the planted hot key plus a deterministic background slice
+    probes = exact.filter(
+        (F.col("key") == "k0") | (F.expr("CAST(substring(key, 2, 10) AS BIGINT) % 25 = 1"))
+    )
+    probe_cells = probes.select(
+        "key",
+        "exact_cnt",
+        F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r"),
+    ).select(
+        "key",
+        "exact_cnt",
+        "r",
+        (
+            F.conv(F.expr("substring(md5(key), 2 + 4 * r, 4)"), 16, 10).cast("long")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "key",
+        "exact_cnt",
+        "cms_estimate",
+        F.expr("(1000 * (cms_estimate - exact_cnt)) DIV exact_cnt").alias("over_milli"),
+    )
+
+
+_CMS_SQL = f"""
+WITH keys AS (
+  SELECT 'k' || CAST(CASE WHEN j = 1 THEN 0
+                          ELSE (doc_id * 7919 + j * 104729) % 997 END AS VARCHAR) AS key
+  FROM documents, (SELECT unnest(generate_series(1, 40)) AS j) js
+), cells AS (
+  SELECT key, r,
+         CAST(concat('0x', substring(md5(key), 2 + 4 * r, 4)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM keys, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) rs
+), sketch AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, bucket
+), exact AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt FROM keys GROUP BY key
+), probes AS (
+  SELECT key, exact_cnt FROM exact
+  WHERE key = 'k0' OR CAST(substring(key, 2, 10) AS BIGINT) % 25 = 1
+), probe_cells AS (
+  SELECT key, exact_cnt, r,
+         CAST(concat('0x', substring(md5(key), 2 + 4 * r, 4)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM probes, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) rs
+), est AS (
+  SELECT key, exact_cnt, min(cnt) AS cms_estimate
+  FROM probe_cells JOIN sketch USING (r, bucket)
+  GROUP BY key, exact_cnt
+)
+SELECT key, exact_cnt, cms_estimate,
+       (1000 * (cms_estimate - exact_cnt)) // exact_cnt AS over_milli
+FROM est"""
+
+
+# ---------------------------------------------------------------------------
+# co-citation similarity (related pages)
+# ---------------------------------------------------------------------------
+
+_COCITE_K = 2
+
+
+def q_cocitation(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-citation related-pages signal: two pages are related when the
+    SAME third page links to both (Small 1973; the "related:" operator's
+    classic backbone). Shares q_anchor_agg's deterministic edge set
+    (src -> (src*31+k) % n, k=1..3). In-bucket pair generation per
+    linking page: each src's out-list (3 links) yields 3 ordered pairs,
+    so pair volume is n * outdeg^2 — bounded by the out-degree cap a
+    real crawler enforces anyway, NEVER all-pairs of the corpus. Top-2
+    co-cited partners per page, ties by partner id.
+
+    Scale shape: pairs explode map-side from each src's grouped
+    out-list (no join to build candidates), one groupBy(a, b) with
+    map-side combine, and a window partitioned BY PAGE for the top-k —
+    the same bounded-key discipline as the LSH band joins."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    out_lists = docs.select(
+        F.expr(
+            f"transform(sequence(1, {_ANCHOR_OUT_DEG}),"
+            f" k -> CAST((doc_id * 31 + k) % {n} AS BIGINT))"
+        ).alias("dsts")
+    )
+    pairs = out_lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(dsts, a -> transform(filter(dsts, b -> b <> a),"
+                " b -> named_struct('a', a, 'b', b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("page"), F.col("p.b").alias("partner"))
+    co = pairs.groupBy("page", "partner").agg(F.count("*").cast("long").alias("cocitations"))
+    win = Window.partitionBy("page").orderBy(F.desc("cocitations"), F.asc("partner"))
+    return (
+        co.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _COCITE_K)
+        .select("page", "partner", "cocitations", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_COCITE_SQL = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+out_lists AS (
+  SELECT doc_id,
+         list_transform(range(1, {_ANCHOR_OUT_DEG} + 1),
+                        k -> (doc_id * 31 + k) % n) AS dsts
+  FROM documents, nd
+), pairs AS (
+  SELECT unnest(flatten(list_transform(dsts,
+           a -> list_transform(list_filter(dsts, b -> b <> a),
+                b -> {{'a': a, 'b': b}})))) AS p
+  FROM out_lists
+), co AS (
+  SELECT p.a AS page, p.b AS partner, CAST(count(*) AS BIGINT) AS cocitations
+  FROM pairs GROUP BY p.a, p.b
+), ranked AS (
+  SELECT page, partner, cocitations,
+         CAST(row_number() OVER (PARTITION BY page
+              ORDER BY cocitations DESC, partner ASC) AS INT) AS rk
+  FROM co
+)
+SELECT page, partner, cocitations, rk FROM ranked WHERE rk <= {_COCITE_K}"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -948,6 +1129,8 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_rollup": q_crawl_rollup,
     "latency_quantiles": q_latency_quantiles,
     "sample_stratified": q_sample_stratified,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cocitation": q_cocitation,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -963,4 +1146,6 @@ SCALE_ORACLES: dict[str, str] = {
     "crawl_rollup": _ROLLUP_SQL,
     "latency_quantiles": _QUANTILE_SQL,
     "sample_stratified": _SAMPLE_SQL,
+    "cms_heavy_hitters": _CMS_SQL,
+    "cocitation": _COCITE_SQL,
 }

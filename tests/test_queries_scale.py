@@ -484,3 +484,111 @@ def test_sample_stratified_draw_window_partitions_by_stratum(spark):
 
     plan = formatted_plan(q_sample_stratified(spark, SF))
     assert re.search(r"Window.*\[lang", plan, re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_nails_the_hot_key(spark):
+    from crawler_spark.queries_scale import q_cms_heavy_hitters
+
+    rows = {r["key"]: r for r in q_cms_heavy_hitters(spark, SF).collect()}
+    assert "k0" in rows
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    hot = rows["k0"]
+    # planted: one hit per doc (j=1) plus background collisions
+    assert hot["exact_cnt"] >= n_docs
+    for r in rows.values():
+        # the CMS structural guarantee
+        assert r["cms_estimate"] >= r["exact_cnt"]
+        assert r["over_milli"] == (1000 * (r["cms_estimate"] - r["exact_cnt"])) // r["exact_cnt"]
+    # the heavy hitter dominates the background noise floor, so its
+    # relative overestimate is small even at w=256
+    assert hot["over_milli"] <= 300, hot
+    # and it stands clear of every probed background key
+    background = [r for k, r in rows.items() if k != "k0"]
+    assert background
+    assert all(hot["cms_estimate"] > r["cms_estimate"] * 5 for r in background)
+
+
+def test_cms_sketch_is_bounded_before_shuffle(spark):
+    """The sketch build must partial-aggregate map-side: at most d*w
+    cells per partition cross the wire regardless of input size."""
+    from crawler_spark.queries_scale import q_cms_heavy_hitters
+
+    plan = formatted_plan(q_cms_heavy_hitters(spark, SF))
+    assert "partial_count" in plan, plan
+
+
+def test_cms_matches_pure_python_sketch(spark):
+    import hashlib
+
+    from crawler_spark.queries_scale import _CMS_D, _CMS_W, q_cms_heavy_hitters
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    keys = []
+    for d in range(n_docs):
+        for j in range(1, 41):
+            keys.append("k0" if j == 1 else f"k{(d * 7919 + j * 104729) % 997}")
+
+    def cells(key):
+        h = hashlib.md5(key.encode()).hexdigest()
+        return [(r, int(h[1 + 4 * r : 5 + 4 * r], 16) % _CMS_W) for r in range(_CMS_D)]
+
+    sketch = {}
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+        for cell in cells(k):
+            sketch[cell] = sketch.get(cell, 0) + 1
+    rows = {r["key"]: r for r in q_cms_heavy_hitters(spark, SF).collect()}
+    for k, r in rows.items():
+        assert r["exact_cnt"] == exact[k]
+        assert r["cms_estimate"] == min(sketch[c] for c in cells(k))
+
+
+# ---------------------------------------------------------------------------
+# co-citation
+# ---------------------------------------------------------------------------
+
+
+def test_cocitation_matches_pure_python(spark):
+    from crawler_spark.queries_scale import _COCITE_K, q_cocitation
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    co = {}
+    for d in range(n_docs):
+        dsts = [(d * 31 + k) % n_docs for k in (1, 2, 3)]
+        for a in dsts:
+            for b in dsts:
+                if a != b:
+                    co[(a, b)] = co.get((a, b), 0) + 1
+    expect = {}
+    by_page = {}
+    for (a, b), c in co.items():
+        by_page.setdefault(a, []).append((c, b))
+    for page, partners in by_page.items():
+        top = sorted(partners, key=lambda t: (-t[0], t[1]))[:_COCITE_K]
+        expect[page] = [(b, c) for c, b in top]
+    rows = {}
+    for r in q_cocitation(spark, SF).collect():
+        rows.setdefault(r["page"], []).append(r)
+    assert set(rows) == set(expect)
+    for page, rs in rows.items():
+        got = [(r["partner"], r["cocitations"]) for r in sorted(rs, key=lambda r: r["rk"])]
+        assert got == expect[page], (page, got, expect[page])
+
+
+def test_cocitation_pairs_are_generated_map_side(spark):
+    """Candidate pairs must come from each src's out-list (map-side
+    explode), not from a join — the plan has exactly the aggregation
+    and window shuffles, no self-join of the edge table."""
+    from crawler_spark.queries_scale import q_cocitation
+
+    plan = formatted_plan(q_cocitation(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    import re as _re
+
+    assert _re.search(r"Window.*\[page", plan, _re.S), plan
