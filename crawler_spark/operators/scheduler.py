@@ -58,6 +58,7 @@ def schedule_batch(
     canonicalize: bool = False,
     seen_filter: str = "bloom",
     max_quota: int | None = None,
+    refuse_traps: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Select this micro-batch's fetch set from the frontier.
 
@@ -76,6 +77,14 @@ def schedule_batch(
     the engine canonicalizes at enqueue time, so drain-time input is
     normally already canonical.
 
+    refuse_traps=True drops crawl-trap-shaped URLs (calendar depth,
+    repeated-segment loops, query-param explosion — the
+    functions/traps.py cascade, oracle-checked by the trap_detect driver
+    query) before politeness. Off by default: refusing URLs is a
+    behavior change a caller must opt into, and trap thresholds are
+    corpus policy, not engine semantics. Map-only JVM array expressions,
+    so the filter rides the frontier scan for free.
+
     seen_filter selects the prefilter blob kind carried in ``bloom``:
     'bloom' (default) or 'cuckoo' (operators/cuckoo.py — same partition
     contract, supports deletion so delete_source need not rebuild it).
@@ -92,6 +101,11 @@ def schedule_batch(
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_udf("url"))
         )
+
+    if refuse_traps:
+        from ..functions.traps import trap_reason
+
+        cand = cand.filter(trap_reason(F.col("url")).isNull())
 
     # 1. politeness
     if robots_bcast is not None:

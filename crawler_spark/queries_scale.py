@@ -45,9 +45,14 @@ __all__ = ["SCALE_QUERIES", "SCALE_ORACLES"]
 # crawl-trap detection
 # ---------------------------------------------------------------------------
 
-_TRAP_MAX_DEPTH = 10  # segments before we call it a trap
-_TRAP_MAX_REPEAT = 4  # same segment this many times = loop trap
-_TRAP_MAX_PARAMS = 8  # query params before we call it param explosion
+from .functions.traps import (  # shared with the scheduler's refuse_traps filter
+    TRAP_MAX_DEPTH as _TRAP_MAX_DEPTH,
+    TRAP_MAX_PARAMS as _TRAP_MAX_PARAMS,
+    TRAP_MAX_REPEAT as _TRAP_MAX_REPEAT,
+    max_segment_repeat,
+    path_segments,
+    trap_reason,
+)
 
 
 def q_trap_detect(spark: SparkSession, sf: str) -> DataFrame:
@@ -59,7 +64,10 @@ def q_trap_detect(spark: SparkSession, sf: str) -> DataFrame:
     repeat segments, the /a/b/a/b loop-trap signature) and 0..10 query
     params. First-failing-rule cascade like quality_filter:
     too_deep (>= 10 segments) -> repeated_segment (one segment >= 4
-    times) -> param_explosion (>= 8 params) -> ok.
+    times) -> param_explosion (>= 8 params) -> ok. The cascade is
+    functions/traps.py::trap_reason — the same expression the scheduler
+    applies when called with refuse_traps=True, so this oracle check
+    covers the engine filter too.
 
     Scale shape: map-only — pure per-row array functions on the split
     path, no shuffle, no UDF; runs inside the same scan that feeds URL
@@ -83,24 +91,15 @@ def q_trap_detect(spark: SparkSession, sf: str) -> DataFrame:
     )
     # re-derive segments from the URL string itself (what a frontier
     # sees), not from the construction: ['https:', '', host, seg...]
-    segs = F.slice(F.split(F.col("url"), "/"), 4, 20)
-    max_rep = F.array_max(
-        F.expr(
-            "transform(array_distinct(slice(split(url, '/'), 4, 20)),"
-            " d -> size(filter(slice(split(url, '/'), 4, 20), s -> s = d)))"
-        )
-    )
     return built.select(
         "doc_id",
         "url",
-        F.size(segs).cast("int").alias("depth"),
-        max_rep.cast("int").alias("max_repeat"),
+        F.size(path_segments(F.col("url"))).cast("int").alias("depth"),
+        max_segment_repeat(F.col("url")).cast("int").alias("max_repeat"),
         "n_params",
-        F.when(F.size(segs) >= _TRAP_MAX_DEPTH, F.lit("too_deep"))
-        .when(max_rep >= _TRAP_MAX_REPEAT, F.lit("repeated_segment"))
-        .when(F.col("n_params") >= _TRAP_MAX_PARAMS, F.lit("param_explosion"))
-        .otherwise(F.lit("ok"))
-        .alias("reason"),
+        F.coalesce(trap_reason(F.col("url"), n_params=F.col("n_params")), F.lit("ok")).alias(
+            "reason"
+        ),
     ).withColumn("is_trap", F.col("reason") != "ok")
 
 

@@ -269,3 +269,61 @@ def test_fetch_parse_digest_n_tasks_equals_default(spark):
     key = lambda r: (r.url, r.n_internal, r.n_external, r.n_file, r.n_spans, r.md_len)
     assert sorted(map(key, base.collect())) == sorted(map(key, balanced.collect()))
     drained.unpersist()
+
+
+def test_trap_reason_rules_and_edges(spark):
+    from crawler_spark.functions.traps import trap_reason
+
+    cases = [
+        # (url, expected reason)
+        ("https://h.org", None),  # no path at all
+        ("https://h.org/a/b/c", None),
+        ("https://h.org/" + "/".join(f"s{i}" for i in range(10)), "too_deep"),
+        ("https://h.org/" + "/".join(f"s{i}" for i in range(9)), None),  # 9 < 10
+        ("https://h.org/a/b/a/b/a/b/c", None),  # 3 repeats < 4
+        ("https://h.org/a/b/a/b/a/b/a", "repeated_segment"),  # 'a' x4
+        ("https://h.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7", None),  # 7 < 8
+        ("https://h.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8", "param_explosion"),
+        # precedence: depth fires before repeats, repeats before params
+        ("https://h.org/" + "/".join("x" for _ in range(12)) + "?%s" % "&".join(
+            f"k{i}=1" for i in range(9)
+        ), "too_deep"),
+        ("https://h.org/a/a/a/a?%s" % "&".join(f"k{i}=1" for i in range(9)),
+         "repeated_segment"),
+        # query string must not count as a path segment
+        ("https://h.org/a/b?x=" + "/".join("q" for _ in range(20)), None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string").select(
+        "url", trap_reason(F.col("url")).alias("reason")
+    )
+    got = {r["url"]: r["reason"] for r in df.collect()}
+    for u, expect in cases:
+        assert got[u] == expect, (u, got[u], expect)
+
+
+def test_schedule_refuse_traps_is_opt_in(spark):
+    trap_url = "https://h0.org/cal/2024/01/cal/2024/01/cal/2024/01/cal"
+    rows = [
+        ("https://h0.org/p/1", "h0.org", 0, 1),
+        (trap_url, "h0.org", 0, 2),
+        ("https://h0.org/p/3", "h0.org", 0, 3),
+    ]
+    frontier = _frontier_df(spark, rows)
+    # default: behavior unchanged, the trap URL schedules like any other
+    out_default = schedule_batch(frontier, default_k=10)[0]
+    assert {r.url for r in out_default.collect()} == {u for u, *_ in rows}
+    # opt-in: the trap URL is refused, everything else untouched
+    out_refuse = schedule_batch(frontier, default_k=10, refuse_traps=True)[0]
+    got = [r for r in out_refuse.orderBy("rank").collect()]
+    assert [r.url for r in got] == ["https://h0.org/p/1", "https://h0.org/p/3"]
+    # FIFO ranks are assigned AFTER the refusal (no gap where the trap was)
+    assert [r.rank for r in got] == [1, 2]
+
+
+def test_schedule_refuse_traps_stays_map_only(spark):
+    """The trap filter must ride the frontier scan — no extra exchange
+    versus the baseline plan."""
+    frontier = _frontier_df(spark, [("https://h0.org/p/1", "h0.org", 0, 1)])
+    base = schedule_batch(frontier, default_k=10)[0]._jdf.queryExecution().executedPlan().toString()
+    guarded = schedule_batch(frontier, default_k=10, refuse_traps=True)[0]._jdf.queryExecution().executedPlan().toString()
+    assert base.count("Exchange") == guarded.count("Exchange")
