@@ -327,3 +327,60 @@ def test_schedule_refuse_traps_stays_map_only(spark):
     base = schedule_batch(frontier, default_k=10)[0]._jdf.queryExecution().executedPlan().toString()
     guarded = schedule_batch(frontier, default_k=10, refuse_traps=True)[0]._jdf.queryExecution().executedPlan().toString()
     assert base.count("Exchange") == guarded.count("Exchange")
+
+
+def test_trap_reason_differential_sweep(spark):
+    """Differential check of the JVM trap cascade against a pure-Python
+    twin over a seeded generator of awkward URLs: consecutive slashes
+    (empty segments count), trailing slash, multiple '?', query-only
+    repeats, missing scheme-ish strings. Guards the split/slice
+    semantics the scheduler filter rides on."""
+    import random
+
+    from crawler_spark.functions.traps import (
+        TRAP_MAX_DEPTH,
+        TRAP_MAX_PARAMS,
+        TRAP_MAX_REPEAT,
+        trap_reason,
+    )
+
+    def twin(u):
+        no_q = u.split("?", 1)[0]
+        segs = no_q.split("/")[3:]
+        if "?" in u:
+            n_params = len(u.split("?")[1].split("&"))
+        else:
+            n_params = 0
+        max_rep = max((segs.count(s) for s in set(segs)), default=0)
+        if len(segs) >= TRAP_MAX_DEPTH:
+            return "too_deep"
+        if max_rep >= TRAP_MAX_REPEAT:
+            return "repeated_segment"
+        if n_params >= TRAP_MAX_PARAMS:
+            return "param_explosion"
+        return None
+
+    rng = random.Random(20260818)
+    seg_pool = ["a", "b", "cal", "2024", "01", "", "x%20y", "s1", "s2", "s3"]
+    urls = []
+    for _ in range(500):
+        host = f"h{rng.randrange(5)}.org"
+        depth = rng.randrange(0, 14)
+        segs = [rng.choice(seg_pool) for _ in range(depth)]
+        url = f"https://{host}"
+        if segs or rng.random() < 0.3:
+            url += "/" + "/".join(segs)
+        if rng.random() < 0.2:
+            url += "/"
+        if rng.random() < 0.5:
+            nq = rng.randrange(1, 11)
+            url += "?" + "&".join(f"k{i}={i}" for i in range(nq))
+            if rng.random() < 0.2:
+                url += "?again=1"  # second '?' stays in the query tail
+        urls.append(url)
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", trap_reason(F.col("url")).alias("reason")
+    )
+    got = {r["url"]: r["reason"] for r in df.collect()}
+    for u in urls:
+        assert got[u] == twin(u), (u, got[u], twin(u))
