@@ -72,6 +72,7 @@ HEADLINE = [
     "sample_stratified",
     "cms_heavy_hitters",
     "cocitation",
+    "token_pack",
 ]
 
 N_HOSTS = 10_000

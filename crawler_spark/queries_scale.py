@@ -1115,6 +1115,76 @@ out_lists AS (
 SELECT page, partner, cocitations, rk FROM ranked WHERE rk <= {_COCITE_K}"""
 
 
+# ---------------------------------------------------------------------------
+# training-sequence packing (concatenate-and-chunk)
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 512  # context-window length in tokens
+
+
+def q_token_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in a fixed
+    deterministic order and cut into fixed-length context windows (the
+    FineWeb/Pile tokenize-concatenate-chunk step that turns a cleaned
+    corpus into training sequences). Packing runs per language shard —
+    the unit a real pipeline packs independently anyway — ordered by
+    doc_id; token counts use the chars/4 estimate, floor 1. Per document:
+    its stream offset, the first/last window it lands in, and whether it
+    crosses a window boundary (the fraction a packing-aware loader must
+    handle).
+
+    Scale shape: the prefix sum is a window partitioned BY SHARD with an
+    explicit rows frame — never a global single-task cumsum; everything
+    else is map-only integer arithmetic. At 10^10 docs each shard's
+    prefix sum is the classic two-pass pattern Spark's partitioned
+    window already implements (per-partition partials + carry)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = _PACK_WINDOW
+    return (
+        toks.withColumn("offset", F.sum("tokens").over(w) - F.col("tokens"))
+        .withColumn("chunk_first", F.expr(f"offset DIV {L}"))
+        .withColumn("chunk_last", F.expr(f"(offset + tokens - 1) DIV {L}"))
+        .select(
+            "doc_id",
+            "lang",
+            "tokens",
+            "offset",
+            "chunk_first",
+            "chunk_last",
+            (F.col("chunk_last") > F.col("chunk_first")).alias("crosses_boundary"),
+        )
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(greatest(n_chars // 4, 1) AS BIGINT) AS tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, tokens,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tokens AS "offset"
+  FROM toks
+)
+SELECT doc_id, lang, tokens, "offset",
+       "offset" // {_PACK_WINDOW} AS chunk_first,
+       ("offset" + tokens - 1) // {_PACK_WINDOW} AS chunk_last,
+       ("offset" + tokens - 1) // {_PACK_WINDOW} > "offset" // {_PACK_WINDOW}
+         AS crosses_boundary
+FROM packed"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -1130,6 +1200,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cocitation": q_cocitation,
+    "token_pack": q_token_pack,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -1147,4 +1218,5 @@ SCALE_ORACLES: dict[str, str] = {
     "sample_stratified": _SAMPLE_SQL,
     "cms_heavy_hitters": _CMS_SQL,
     "cocitation": _COCITE_SQL,
+    "token_pack": _PACK_SQL,
 }

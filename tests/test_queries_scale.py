@@ -592,3 +592,47 @@ def test_cocitation_pairs_are_generated_map_side(spark):
     import re as _re
 
     assert _re.search(r"Window.*\[page", plan, _re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_token_pack_stream_is_contiguous_and_chunk_math_exact(spark):
+    from crawler_spark.queries_scale import _PACK_WINDOW, q_token_pack
+
+    rows = q_token_pack(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    chars = {d["doc_id"]: d["n_chars"] for d in docs}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # contiguous concatenation: each doc starts where the previous ended
+        off = 0
+        for r in rs:
+            assert r["tokens"] == max(chars[r["doc_id"]] // 4, 1)
+            assert r["offset"] == off
+            off += r["tokens"]
+            assert r["chunk_first"] == r["offset"] // _PACK_WINDOW
+            assert r["chunk_last"] == (r["offset"] + r["tokens"] - 1) // _PACK_WINDOW
+            assert r["crosses_boundary"] == (r["chunk_last"] > r["chunk_first"])
+        # every window boundary inside the stream is crossed by exactly
+        # the docs that straddle it: total crossings = windows touched
+        # minus docs (each doc adds chunk_last-chunk_first extra windows)
+        crossings = sum(r["chunk_last"] - r["chunk_first"] for r in rs)
+        last = rs[-1]
+        n_windows = last["chunk_last"] + 1
+        total_tokens = sum(r["tokens"] for r in rs)
+        assert n_windows == (total_tokens + _PACK_WINDOW - 1) // _PACK_WINDOW
+        assert crossings <= n_windows - 1  # a boundary is crossed at most once
+
+
+def test_token_pack_window_partitions_by_shard(spark):
+    from crawler_spark.queries_scale import q_token_pack
+
+    plan = formatted_plan(q_token_pack(spark, SF))
+    assert re.search(r"Window.*\[lang", plan, re.S), plan
