@@ -73,6 +73,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "cocitation",
     "token_pack",
+    "dedup_clusters",
 ]
 
 N_HOSTS = 10_000

@@ -452,6 +452,59 @@ FROM roll JOIN top ON roll.dst = top.dst"""
 _CC_STAGES = ("hook", "jump", "hook", "jump", "hook", "jump", "hook")
 
 
+def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> DataFrame:
+    """Run the alternating hook/jump schedule over ``ids`` (column v) and
+    directed ``edges`` (columns s, d — pass both directions for an
+    undirected graph). Returns (v, lab) with lab = component minimum
+    once the schedule covers the component diameter. Labels are vertex
+    ids throughout, so the jump self-join always hits. The edge table
+    and each jump input are persisted behind query barriers (each jump
+    consumes its input twice; without the barrier lineage doubles per
+    stage)."""
+    edges = _barrier(edges)
+    lab = ids.select("v", F.col("v").alias("lab"))
+    for stage in stages:
+        if stage == "hook":
+            nbr = (
+                edges.join(lab, edges.s == lab.v)
+                .select(F.col("d").alias("v"), "lab")
+                .groupBy("v")
+                .agg(F.min("lab").alias("mn"))
+            )
+            lab = lab.join(nbr, "v", "left").select(
+                "v", F.least("lab", F.coalesce("mn", "lab")).alias("lab")
+            )
+        else:  # jump: lab <- lab(lab)
+            lab = _barrier(lab)
+            other = lab.select(F.col("v").alias("lv"), F.col("lab").alias("llab"))
+            lab = lab.join(other, lab.lab == other.lv).select("v", F.col("llab").alias("lab"))
+    return lab
+
+
+def _cc_unroll_sql(verts_cte: str, edges_cte: str, stages=_CC_STAGES) -> str:
+    """CTE text for the hook/jump schedule: l0 from ``verts_cte`` (col v),
+    hooks join ``edges_cte`` (cols s, d). Final labels are in l<len>.
+    Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    reference, and hooks reference l{i} twice / jumps self-join it — so
+    inlining doubles the upstream tree PER STAGE, which is exponential
+    when the vertex/edge CTEs are themselves expensive (the dedup_clusters
+    oracle went from minutes to sub-second with materialization; the
+    Spark twin needs the same treatment via localCheckpoint)."""
+    parts = [f"l0 AS MATERIALIZED (SELECT v, v AS lab FROM {verts_cte}),"]
+    for i, stage in enumerate(stages):
+        if stage == "hook":
+            parts.append(
+                f"l{i + 1} AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(m.mn, l.lab)) AS lab"
+                f" FROM l{i} l LEFT JOIN (SELECT e.d AS v, min(x.lab) AS mn"
+                f" FROM {edges_cte} e JOIN l{i} x ON x.v = e.s GROUP BY e.d) m ON m.v = l.v),"
+            )
+        else:
+            parts.append(
+                f"l{i + 1} AS MATERIALIZED (SELECT a.v, b.lab FROM l{i} a JOIN l{i} b ON b.v = a.lab),"
+            )
+    return "\n".join(parts)
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over a duplicate-pair graph (the step AFTER
     LSH dedup emits pairs: near-dup pairs must be closed into clusters so
@@ -482,28 +535,10 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("a") % 16 == 0) & (F.col("b") < n)
     )
     e0 = fwd.unionByName(chord)
-    edges = _barrier(
-        e0.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            e0.select(F.col("b").alias("s"), F.col("a").alias("d"))
-        )
+    edges = e0.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    lab = ids.select("v", F.col("v").alias("lab"))
-    for stage in _CC_STAGES:
-        if stage == "hook":
-            nbr = (
-                edges.join(lab, edges.s == lab.v)
-                .select(F.col("d").alias("v"), "lab")
-                .groupBy("v")
-                .agg(F.min("lab").alias("mn"))
-            )
-            lab = lab.join(nbr, "v", "left").select(
-                "v", F.least("lab", F.coalesce("mn", "lab")).alias("lab")
-            )
-        else:  # jump: lab <- lab(lab); labels are vertex ids, so the join always hits
-            lab = _barrier(lab)
-            other = lab.select(F.col("v").alias("lv"), F.col("lab").alias("llab"))
-            lab = lab.join(other, lab.lab == other.lv).select("v", F.col("llab").alias("lab"))
-    lab = _barrier(lab)
+    lab = _barrier(_label_propagate(ids, edges))
     sizes = lab.groupBy("lab").agg(F.count("*").alias("comp_size"))
     return lab.join(sizes, "lab").select(
         F.col("v").alias("doc_id"), F.col("lab").alias("component"), "comp_size"
@@ -520,19 +555,8 @@ def _cc_sql() -> str:
         " UNION ALL SELECT doc_id, doc_id + 11 FROM documents"
         " WHERE doc_id % 16 = 0 AND doc_id + 11 < (SELECT n FROM nd)),",
         "edges AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),",
-        "l0 AS (SELECT v, v AS lab FROM verts),",
+        _cc_unroll_sql("verts", "edges"),
     ]
-    for i, stage in enumerate(_CC_STAGES):
-        if stage == "hook":
-            parts.append(
-                f"l{i + 1} AS (SELECT l.v, least(l.lab, coalesce(m.mn, l.lab)) AS lab"
-                f" FROM l{i} l LEFT JOIN (SELECT e.d AS v, min(x.lab) AS mn"
-                f" FROM edges e JOIN l{i} x ON x.v = e.s GROUP BY e.d) m ON m.v = l.v),"
-            )
-        else:
-            parts.append(
-                f"l{i + 1} AS (SELECT a.v, b.lab FROM l{i} a JOIN l{i} b ON b.v = a.lab),"
-            )
     k = len(_CC_STAGES)
     parts.append(f"sizes AS (SELECT lab, count(*) AS comp_size FROM l{k} GROUP BY lab)")
     parts.append(
@@ -540,6 +564,121 @@ def _cc_sql() -> str:
         f" FROM l{k} l JOIN sizes ON sizes.lab = l.lab"
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster closure (LSH pairs -> connected components -> representatives)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The full dedup endgame: LSH-verified near-dup PAIRS closed into
+    CLUSTERS, one representative per cluster — the step pairwise keep-min
+    (q_dedup_minhash_lsh) cannot do alone: a~b, b~c with a!~c keeps both
+    a and c unless the pairs are transitively closed. Reuses the exact
+    candidate pipeline of dedup_minhash_lsh (queries.py::
+    _minhash_rep_pairs — band join, hot-bucket guard, exact Jaccard
+    verify at >= 0.5) and runs the hook/jump label propagation over the
+    verified rep-level edges; members inherit their representative's
+    component. Identical-text groups whose text yields no shingle can't
+    be connected by the pair pipeline (the same >= 1-shingle gate as
+    dedup_minhash_lsh's self_edges), so such docs stay singletons.
+    Output: (doc_id, cluster_rep = min doc id of the cluster,
+    cluster_size) for every corpus doc — singletons included, so the
+    downstream keep-filter is just cluster_rep == doc_id.
+
+    Scale shape: everything the LSH query already proves, plus CC over
+    the PAIR graph only (edges = verified candidates, orders of
+    magnitude smaller than the corpus), with O(log diameter) stages."""
+    from .queries import _LSH_JAC_MIN, _lsh_corpus, _minhash_rep_pairs
+
+    docs = _lsh_corpus(load(spark, sf, "documents"))
+    members, groups, sizes, scored = _minhash_rep_pairs(docs)
+    ok = scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN)
+    verts = groups.select(F.col("rep_id").alias("v"))
+    edges = ok.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
+        ok.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    # Truncate lineage BEFORE the propagation loop: each jump stage
+    # references its input twice, doubling the LOGICAL plan per stage —
+    # harmless over a parquet scan (dedup_components) but catastrophic
+    # over the full LSH pipeline (the optimizer re-traverses a 2^stages
+    # copy of the band-join tree and OOMs before a single task runs).
+    # localCheckpoint materializes the tiny vertex/edge tables once and
+    # gives the CC stages a leaf to build on; production would write the
+    # pair table to the state store between the two phases anyway.
+    verts = verts.localCheckpoint()
+    edges = edges.localCheckpoint()
+    lab = _barrier(_label_propagate(verts, edges))
+    sized_reps = sizes.select(F.col("doc_id").alias("rep_id"))
+    with_sh = members.join(sized_reps, "rep_id", "left_semi")
+    no_sh = members.join(sized_reps, "rep_id", "left_anti")
+    doc_lab = _barrier(
+        with_sh.join(lab, with_sh.rep_id == lab.v)
+        .select("doc_id", F.col("lab").alias("cluster_rep"))
+        .unionByName(no_sh.select("doc_id", F.col("doc_id").alias("cluster_rep")))
+    )
+    csize = doc_lab.groupBy("cluster_rep").agg(F.count("*").cast("long").alias("cluster_size"))
+    return doc_lab.join(csize, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
+
+
+def _dedup_clusters_sql() -> str:
+    """Doc-level twin of the Spark rep-level pipeline: the full-corpus
+    pair CTEs of the dedup_minhash_lsh oracle, the same hook/jump unroll
+    over docs with >= 1 shingle, singletons coalesced to themselves.
+    Rep-level and doc-level connectivity agree because identical texts
+    share band keys and verify at Jaccard 1000."""
+    from .queries import _LSH_JAC_MIN, _LSH_OFFSET, _MINHASH_COLS_DUCK, _SHINGLES_DUCK
+
+    k = len(_CC_STAGES)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_LSH_OFFSET}, text || ' zz' FROM documents WHERE doc_id % 10 = 0
+),
+mh AS (
+  SELECT doc_id, {_MINHASH_COLS_DUCK}
+  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(mh2 || mh3) AS band_key FROM mh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM corpus),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter_cnt
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+ok AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE CAST(floor(1000.0 * i.inter_cnt / (x.n_sh + y.n_sh - i.inter_cnt)) AS BIGINT)
+        >= {_LSH_JAC_MIN}
+),
+verts AS MATERIALIZED (SELECT doc_id AS v FROM sizes),
+edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM ok UNION ALL SELECT doc_b, doc_a FROM ok),
+{_cc_unroll_sql("verts", "edges")}
+doc_lab AS (
+  SELECT c.doc_id, coalesce(l.lab, c.doc_id) AS cluster_rep
+  FROM corpus c LEFT JOIN l{k} l ON l.v = c.doc_id
+),
+csize AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM doc_lab GROUP BY cluster_rep)
+SELECT doc_id, doc_lab.cluster_rep AS cluster_rep, cluster_size
+FROM doc_lab JOIN csize ON doc_lab.cluster_rep = csize.cluster_rep"""
 
 
 # ---------------------------------------------------------------------------
@@ -1192,6 +1331,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "anchor_agg": q_anchor_agg,
     "dedup_components": q_dedup_components,
+    "dedup_clusters": q_dedup_clusters,
     "mirror_detect": q_mirror_detect,
     "tfidf_topk": q_tfidf_topk,
     "budget_alloc": q_budget_alloc,
@@ -1210,6 +1350,7 @@ SCALE_ORACLES: dict[str, str] = {
     "hll_distinct": _HLL_SQL,
     "anchor_agg": _ANCHOR_SQL,
     "dedup_components": _cc_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "mirror_detect": _MIRROR_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "budget_alloc": _ALLOC_SQL,

@@ -636,3 +636,85 @@ def test_token_pack_window_partitions_by_shard(spark):
 
     plan = formatted_plan(q_token_pack(spark, SF))
     assert re.search(r"Window.*\[lang", plan, re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster closure
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_is_the_transitive_closure_of_verified_pairs(spark):
+    """Cluster labels must equal union-find over the pipeline's own
+    verified pair set (plus identical-text membership) — the property
+    pairwise keep-min cannot provide."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.queries import _LSH_JAC_MIN, _lsh_corpus, _minhash_rep_pairs
+    from crawler_spark.queries_scale import q_dedup_clusters
+
+    docs = _lsh_corpus(spark.read.parquet(f"{SF}/documents.parquet"))
+    members, groups, sizes, scored = _minhash_rep_pairs(docs)
+    ok = [
+        (r["doc_a"], r["doc_b"])
+        for r in scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN).collect()
+    ]
+    mem = [(r["doc_id"], r["rep_id"]) for r in members.collect()]
+    shingled_reps = {r["doc_id"] for r in sizes.collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in ok:
+        union(a, b)
+    for doc, rep in mem:
+        if rep in shingled_reps:
+            union(doc, rep)
+    expect = {}
+    comp = {}
+    for doc, _ in mem:
+        comp.setdefault(find(doc), []).append(doc)
+    for vs in comp.values():
+        m = min(vs)
+        for v in vs:
+            expect[v] = m
+    rows = {r["doc_id"]: r for r in q_dedup_clusters(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    csize = {}
+    for v, m in expect.items():
+        csize[m] = csize.get(m, 0) + 1
+    for doc, r in rows.items():
+        assert r["cluster_rep"] == expect[doc], (doc, r)
+        assert r["cluster_size"] == csize[expect[doc]]
+    # planted mutations land in their source's cluster whenever the pair
+    # pipeline verifies them (closure adds NO recall of its own — it
+    # closes what the bands found); at this SF the bands catch nearly all
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    planted = [d for d in range(0, n_docs, 10)]
+    assert planted
+    caught = [d for d in planted if rows[d]["cluster_rep"] == rows[d + 1_000_000]["cluster_rep"]]
+    assert len(caught) >= 0.9 * len(planted), (len(caught), len(planted))
+    for d in caught:
+        assert rows[d]["cluster_size"] >= 2
+
+
+def test_dedup_clusters_keep_filter_is_cluster_rep(spark):
+    """Exactly one survivor per cluster: filtering cluster_rep == doc_id
+    keeps one doc per cluster and drops every near-dup."""
+    from crawler_spark.queries_scale import q_dedup_clusters
+
+    rows = q_dedup_clusters(spark, SF).collect()
+    reps = [r for r in rows if r["cluster_rep"] == r["doc_id"]]
+    assert len(reps) == len({r["cluster_rep"] for r in rows})
+    # sizes add back up to the corpus
+    assert sum(r["cluster_size"] for r in reps) == len(rows)
