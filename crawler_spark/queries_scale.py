@@ -458,10 +458,16 @@ def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> Dat
     undirected graph). Returns (v, lab) with lab = component minimum
     once the schedule covers the component diameter. Labels are vertex
     ids throughout, so the jump self-join always hits. The edge table
-    and each jump input are persisted behind query barriers (each jump
-    consumes its input twice; without the barrier lineage doubles per
-    stage)."""
-    edges = _barrier(edges)
+    and each jump input are localCheckpointed, not persisted: a persist
+    barrier pins the DATA but leaves the logical plan growing (each jump
+    references its input twice, doubling the tree per stage — the
+    analyzer/optimizer cost then dominates a 7-stage schedule), while
+    localCheckpoint truncates lineage so every stage plans against a
+    leaf. Measured at sf0.1: 7.0 s (persist) -> 2.2 s (checkpoint) for
+    the identical result. Production on a real cluster would use
+    checkpoint() to reliable storage for fault tolerance; local mode has
+    no executor loss to survive."""
+    edges = edges.localCheckpoint()
     lab = ids.select("v", F.col("v").alias("lab"))
     for stage in stages:
         if stage == "hook":
@@ -475,7 +481,7 @@ def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> Dat
                 "v", F.least("lab", F.coalesce("mn", "lab")).alias("lab")
             )
         else:  # jump: lab <- lab(lab)
-            lab = _barrier(lab)
+            lab = lab.localCheckpoint()
             other = lab.select(F.col("v").alias("lv"), F.col("lab").alias("llab"))
             lab = lab.join(other, lab.lab == other.lv).select("v", F.col("llab").alias("lab"))
     return lab
@@ -522,9 +528,9 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: hook is one hash join (edges x labels, both partitioned
     on the key) + a map-side-combined min; jump is one self-join of the
     label table. Stage count grows with log(diameter), not diameter.
-    Labels are persisted per stage (each jump consumes the table twice;
-    without the barrier the lineage doubles per stage) — production
-    would checkpoint instead."""
+    Jump inputs are localCheckpointed (each jump consumes the table
+    twice — the logical plan would double per stage otherwise; see
+    _label_propagate)."""
     docs = load(spark, sf, "documents")
     n = docs.count()
     ids = docs.select(F.col("doc_id").alias("v"))
