@@ -42,12 +42,18 @@ _SEG_START = 4
 _SEG_CAP = 1000
 
 
+def _no_fragment(url: Column | str) -> Column:
+    """URL with the '#fragment' (if any) removed — fragment text must
+    never count as path segments or query parameters."""
+    return F.split(url, "#").getItem(0)
+
+
 def _no_query(url: Column | str) -> Column:
-    return F.split(url, "[?]").getItem(0)
+    return F.split(_no_fragment(url), "[?]").getItem(0)
 
 
 def path_segments(url: Column | str) -> Column:
-    """Path segments of the URL (query string stripped)."""
+    """Path segments of the URL (fragment and query string stripped)."""
     return F.slice(F.split(_no_query(url), "/"), _SEG_START, _SEG_CAP)
 
 
@@ -66,10 +72,19 @@ def max_segment_repeat(url: Column | str) -> Column:
 
 
 def n_query_params(url: Column | str) -> Column:
-    """Number of &-separated query parameters (0 when no query string)."""
+    """Number of non-empty &-separated query parameters (0 when there is
+    no query string; 'a?' and a trailing '&' contribute nothing — a
+    naive size(split(...)) would count those empty segments as phantom
+    parameters and wrongly refuse URLs one param under the limit)."""
     col = F.col(url) if isinstance(url, str) else url
+    nofrag = _no_fragment(col)
     return F.when(
-        col.contains("?"), F.size(F.split(F.split(col, "[?]").getItem(1), "&"))
+        nofrag.contains("?"),
+        F.size(
+            F.filter(
+                F.split(F.split(nofrag, "[?]").getItem(1), "&"), lambda p: p != ""
+            )
+        ),
     ).otherwise(F.lit(0)).cast("int")
 
 

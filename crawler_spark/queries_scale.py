@@ -119,8 +119,8 @@ WITH built AS (
 ), scored AS (
   SELECT doc_id, url,
          CAST(len(segs) AS INT) AS depth,
-         CAST(list_max(list_transform(list_distinct(segs),
-                       d -> len(list_filter(segs, s -> s = d)))) AS INT) AS max_repeat,
+         CAST(coalesce(list_max(list_transform(list_distinct(segs),
+                       d -> len(list_filter(segs, s -> s = d)))), 0) AS INT) AS max_repeat,
          n_params
   FROM shaped
 )
@@ -266,10 +266,13 @@ SELECT host, shard8, shard9, shard8 <> shard9 AS moved FROM agg"""
 
 _HLL_P = 8  # 2^8 = 256 registers
 _HLL_M = 1 << _HLL_P
-# raw-estimator constant alpha ~= 0.709 in integer fixed-point:
-# E = alpha * m^2 * 2^53 / S  ->  numer // ((S >> 20) * 1000)
-# with numer = 709 * m^2 * 2^33 (exactly representable in int64).
-_HLL_NUMER = 709 * _HLL_M * _HLL_M * (1 << 33)
+# raw-estimator constant for m=256: alpha = 0.7213/(1 + 1.079/256)
+# ~= 0.7183 (Flajolet et al. 2007, table of alpha_m; 0.709 is the m=64
+# constant and would bias every estimate ~1.3% low). Integer fixed-point:
+# E = alpha * m^2 * 2^53 / S  ->  numer // ((S >> 20) * 10000)
+# with numer = 7183 * m^2 * 2^33 ~= 4.0e18, still inside int64.
+_HLL_ALPHA_E4 = 7183
+_HLL_NUMER = _HLL_ALPHA_E4 * _HLL_M * _HLL_M * (1 << 33)
 
 
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
@@ -280,7 +283,7 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit by the DuckDB oracle: the 60-bit hash is the first 15
     hex chars of md5(key), bucket = low 8 bits, rho = leading-zero rank
     of the remaining 52 bits via length(bin(w)), and the raw estimator
-    runs in integer fixed-point (alpha=0.709), so even the APPROXIMATE
+    runs in integer fixed-point (alpha=0.7183, the m=256 constant), so even the APPROXIMATE
     answer hash-matches exactly. Exact distinct + abs error in milli are
     emitted alongside (accuracy at this size: see test_queries_scale).
 
@@ -329,7 +332,7 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     exact = hashed.groupBy("grp").agg(F.countDistinct("key").alias("exact_distinct"))
     return (
         sketch.join(exact, "grp")
-        .withColumn("hll_estimate", F.expr(f"{_HLL_NUMER} DIV (greatest(s DIV 1048576, 1) * 1000)"))
+        .withColumn("hll_estimate", F.expr(f"{_HLL_NUMER} DIV (greatest(s DIV 1048576, 1) * 10000)"))
         .select(
             "grp",
             "exact_distinct",
@@ -365,8 +368,8 @@ WITH rows_in AS (
   SELECT grp, count(DISTINCT key) AS exact_distinct FROM bucketed GROUP BY grp
 )
 SELECT sketch.grp, exact_distinct,
-       {_HLL_NUMER} // (greatest(s // 1048576, 1) * 1000) AS hll_estimate,
-       (1000 * abs({_HLL_NUMER} // (greatest(s // 1048576, 1) * 1000) - exact_distinct))
+       {_HLL_NUMER} // (greatest(s // 1048576, 1) * 10000) AS hll_estimate,
+       (1000 * abs({_HLL_NUMER} // (greatest(s // 1048576, 1) * 10000) - exact_distinct))
          // exact_distinct AS abs_err_milli
 FROM sketch JOIN exact ON sketch.grp = exact.grp"""
 
@@ -452,7 +455,7 @@ FROM roll JOIN top ON roll.dst = top.dst"""
 _CC_STAGES = ("hook", "jump", "hook", "jump", "hook", "jump", "hook")
 
 
-def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> DataFrame:
+def _label_propagate(ids: DataFrame, edges: DataFrame, stages=None) -> DataFrame:
     """Run the alternating hook/jump schedule over ``ids`` (column v) and
     directed ``edges`` (columns s, d — pass both directions for an
     undirected graph). Returns (v, lab) with lab = component minimum
@@ -466,7 +469,11 @@ def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> Dat
     leaf. Measured at sf0.1: 7.0 s (persist) -> 2.2 s (checkpoint) for
     the identical result. Production on a real cluster would use
     checkpoint() to reliable storage for fault tolerance; local mode has
-    no executor loss to survive."""
+    no executor loss to survive. ``stages`` resolves against the module
+    global at CALL time (a def-time default would freeze the schedule
+    and silently defeat the fixpoint test's extra-stage override)."""
+    if stages is None:
+        stages = _CC_STAGES
     edges = edges.localCheckpoint()
     lab = ids.select("v", F.col("v").alias("lab"))
     for stage in stages:
@@ -487,7 +494,7 @@ def _label_propagate(ids: DataFrame, edges: DataFrame, stages=_CC_STAGES) -> Dat
     return lab
 
 
-def _cc_unroll_sql(verts_cte: str, edges_cte: str, stages=_CC_STAGES) -> str:
+def _cc_unroll_sql(verts_cte: str, edges_cte: str, stages=None) -> str:
     """CTE text for the hook/jump schedule: l0 from ``verts_cte`` (col v),
     hooks join ``edges_cte`` (cols s, d). Final labels are in l<len>.
     Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
@@ -496,6 +503,8 @@ def _cc_unroll_sql(verts_cte: str, edges_cte: str, stages=_CC_STAGES) -> str:
     when the vertex/edge CTEs are themselves expensive (the dedup_clusters
     oracle went from minutes to sub-second with materialization; the
     Spark twin needs the same treatment via localCheckpoint)."""
+    if stages is None:
+        stages = _CC_STAGES
     parts = [f"l0 AS MATERIALIZED (SELECT v, v AS lab FROM {verts_cte}),"]
     for i, stage in enumerate(stages):
         if stage == "hook":
@@ -834,6 +843,50 @@ _ALLOC_HOSTS = 23
 _ALLOC_SHARDS = 4
 
 
+def _largest_remainder(
+    df: DataFrame, weight_col: str, tie_col: str, budget: int, group_cols: tuple = ()
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``budget`` across
+    the rows of ``df``, independently per ``group_cols`` pool (empty =
+    one global pool): floor shares first, then one extra unit to the
+    rows with the largest remainders (ties broken by ``tie_col``, so the
+    result is deterministic). Adds columns _lr_base, _lr_rem, _lr_quota;
+    sum(_lr_quota) per pool == budget exactly. Shared by q_budget_alloc
+    (pool = shard) and q_sample_stratified (global pool) so the rounding
+    rule can never drift between them.
+
+    Scale shape: the totals/leftover side tables have pool cardinality
+    (broadcast), and the remainder-rank window is partitioned by the
+    pool columns — with a non-empty pool it never globally sorts; the
+    global-pool variant ranks only the df rows themselves (strata, not
+    corpus)."""
+    g = list(group_cols)
+    totals = (df.groupBy(*g) if g else df.groupBy()).agg(
+        F.sum(weight_col).alias("_lr_total")
+    )
+    j = df.join(F.broadcast(totals), g) if g else df.crossJoin(F.broadcast(totals))
+    based = _barrier(
+        j.withColumn("_lr_base", F.expr(f"({budget} * {weight_col}) DIV _lr_total"))
+        .withColumn("_lr_rem", F.expr(f"({budget} * {weight_col}) % _lr_total"))
+    )
+    leftover = (based.groupBy(*g) if g else based.groupBy()).agg(
+        (F.lit(budget) - F.sum("_lr_base")).alias("_lr_leftover")
+    )
+    win = Window.partitionBy(*g).orderBy(F.desc("_lr_rem"), F.asc(tie_col))
+    withl = based.join(F.broadcast(leftover), g) if g else based.crossJoin(F.broadcast(leftover))
+    return (
+        withl.withColumn("_lr_rk", F.row_number().over(win))
+        .withColumn(
+            "_lr_quota",
+            (
+                F.col("_lr_base")
+                + F.when(F.col("_lr_rk") <= F.col("_lr_leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .drop("_lr_total", "_lr_rk", "_lr_leftover")
+    )
+
+
 def q_budget_alloc(spark: SparkSession, sf: str) -> DataFrame:
     """Per-shard fetch-budget apportionment by the largest-remainder
     (Hamilton) method: each scheduling round hands every fetcher shard
@@ -855,28 +908,17 @@ def q_budget_alloc(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("pending"))
         .withColumn("shard", (F.col("host") % _ALLOC_SHARDS).cast("long"))
     )
-    totals = hosts.groupBy("shard").agg(F.sum("pending").alias("total"))
-    b = _ALLOC_BUDGET
-    based = (
-        hosts.join(F.broadcast(totals), "shard")
-        .withColumn("base_alloc", F.expr(f"({b} * pending) DIV total"))
-        .withColumn("remainder", F.expr(f"({b} * pending) % total"))
+    alloc = _largest_remainder(
+        hosts, "pending", "host", _ALLOC_BUDGET, group_cols=("shard",)
     )
-    based = _barrier(based)
-    leftover = based.groupBy("shard").agg((F.lit(b) - F.sum("base_alloc")).alias("leftover"))
-    win = Window.partitionBy("shard").orderBy(F.desc("remainder"), F.asc("host"))
-    return (
-        based.join(F.broadcast(leftover), "shard")
-        .withColumn("rk", F.row_number().over(win))
-        .select(
-            "host",
-            "shard",
-            "pending",
-            "base_alloc",
-            "remainder",
-            F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("extra"),
-        )
-        .withColumn("alloc", F.col("base_alloc") + F.col("extra"))
+    return alloc.select(
+        "host",
+        "shard",
+        "pending",
+        F.col("_lr_base").alias("base_alloc"),
+        F.col("_lr_rem").alias("remainder"),
+        (F.col("_lr_quota") - F.col("_lr_base")).cast("long").alias("extra"),
+        F.col("_lr_quota").alias("alloc"),
     )
 
 
@@ -1024,25 +1066,8 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     prefix."""
     docs = load(spark, sf, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
-    tot = counts.agg(F.sum("n").alias("total"))
-    s = _SAMPLE_TOTAL
-    based = (
-        counts.crossJoin(F.broadcast(tot))
-        .withColumn("base_q", F.expr(f"({s} * n) DIV total"))
-        .withColumn("rem", F.expr(f"({s} * n) % total"))
-    )
-    based = _barrier(based)
-    leftover = based.agg((F.lit(s) - F.sum("base_q")).alias("leftover"))
-    wq = Window.orderBy(F.desc("rem"), F.asc("lang"))
-    quotas = (
-        based.crossJoin(F.broadcast(leftover))
-        .withColumn("rk", F.row_number().over(wq))
-        .select(
-            "lang",
-            (F.col("base_q") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).alias(
-                "quota"
-            ),
-        )
+    quotas = _largest_remainder(counts, "n", "lang", _SAMPLE_TOTAL).select(
+        "lang", F.col("_lr_quota").alias("quota")
     )
     wd = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     picked = (

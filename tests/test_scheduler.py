@@ -292,6 +292,12 @@ def test_trap_reason_rules_and_edges(spark):
          "repeated_segment"),
         # query string must not count as a path segment
         ("https://h.org/a/b?x=" + "/".join("q" for _ in range(20)), None),
+        # empty query / trailing & add no phantom parameters
+        ("https://h.org/a?", None),
+        ("https://h.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&", None),  # 7 real
+        # fragment text is inert: neither segments nor params
+        ("https://h.org/a#" + "/".join("s" for _ in range(20)), None),
+        ("https://h.org/a#f?" + "&".join(f"k{i}" for i in range(9)), None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string").select(
         "url", trap_reason(F.col("url")).alias("reason")
@@ -345,10 +351,11 @@ def test_trap_reason_differential_sweep(spark):
     )
 
     def twin(u):
-        no_q = u.split("?", 1)[0]
+        nofrag = u.split("#", 1)[0]
+        no_q = nofrag.split("?", 1)[0]
         segs = no_q.split("/")[3:]
-        if "?" in u:
-            n_params = len(u.split("?")[1].split("&"))
+        if "?" in nofrag:
+            n_params = len([p for p in nofrag.split("?")[1].split("&") if p])
         else:
             n_params = 0
         max_rep = max((segs.count(s) for s in set(segs)), default=0)
@@ -377,6 +384,12 @@ def test_trap_reason_differential_sweep(spark):
             url += "?" + "&".join(f"k{i}={i}" for i in range(nq))
             if rng.random() < 0.2:
                 url += "?again=1"  # second '?' stays in the query tail
+            if rng.random() < 0.2:
+                url += "&"  # trailing '&' must not count as a parameter
+        if rng.random() < 0.1:
+            url += "?"  # empty query string counts zero parameters
+        if rng.random() < 0.25:
+            url += "#frag/with/slashes?and&amps"  # fragment text is inert
         urls.append(url)
     df = spark.createDataFrame([(u,) for u in urls], "url string").select(
         "url", trap_reason(F.col("url")).alias("reason")
