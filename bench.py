@@ -74,6 +74,7 @@ HEADLINE = [
     "cocitation",
     "token_pack",
     "dedup_clusters",
+    "registrable_domain",
 ]
 
 N_HOSTS = 10_000

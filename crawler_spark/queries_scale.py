@@ -1355,6 +1355,132 @@ SELECT doc_id, lang, tokens, "offset",
 FROM packed"""
 
 
+# ---------------------------------------------------------------------------
+# registrable-domain extraction (public-suffix longest match)
+# ---------------------------------------------------------------------------
+
+# PSL-lite: a fixed slice of the public suffix list (publicsuffix.org)
+# sufficient for the fixture's host shapes. Multi-label entries are the
+# point — naive "last two labels" grouping would fuse every *.co.uk site
+# into one politeness bucket. github.io models the private-section
+# entries where each user subdomain is its own registrable domain.
+_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "uk", "co.uk", "org.uk", "ac.uk",
+    "au", "com.au", "jp", "co.jp", "github.io",
+)
+_SUFFIX_MAX_LABELS = 3
+
+
+def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction by longest public-suffix
+    match — what politeness quotas, robots caching, and per-site budgets
+    key on at web scale: 'a.b.site.co.uk' must group with
+    'site.co.uk', NOT with every other *.co.uk host, and each
+    '<user>.github.io' is its own site. Deterministic host fixture
+    cycling six shapes (plain com/org, co.uk with subdomains, github.io,
+    com.au, ac.uk). Longest-match semantics with the PSL default rule as
+    fallback (unknown TLD: the last label is the suffix). Pure JVM array
+    expressions; the candidate suffixes per host are at most
+    _SUFFIX_MAX_LABELS rows.
+
+    Scale shape: candidate explode is map-side (<= 3 rows per host), the
+    suffix set is a broadcast join (the real PSL is ~9k rules — always
+    broadcastable), and the longest-match pick is one groupBy(host) max
+    with map-side combine."""
+    docs = load(spark, sf, "documents")
+    hosts = docs.select(
+        F.expr(
+            "CASE CAST(doc_id % 6 AS INT)"
+            " WHEN 0 THEN concat('w', doc_id, '.example.com')"
+            " WHEN 1 THEN concat('sub.w', doc_id, '.example.co.uk')"
+            " WHEN 2 THEN concat('w', doc_id, '.github.io')"
+            " WHEN 3 THEN concat('a.b.w', doc_id, '.com.au')"
+            " WHEN 4 THEN concat('w', doc_id, '.org')"
+            " ELSE concat('deep.x.w', doc_id, '.ac.uk') END"
+        ).alias("host")
+    ).distinct()
+    suffixes = spark.createDataFrame(
+        [(s, len(s.split("."))) for s in _PUBLIC_SUFFIXES], "suffix string, k int"
+    )
+    labels = F.split(F.col("host"), "[.]")
+    cands = hosts.select(
+        "host",
+        F.size(labels).alias("n_labels"),
+        F.explode(
+            F.transform(
+                # a host that IS a public suffix has no registrable domain,
+                # and the k filter must run BEFORE slice (start 0 errors)
+                F.filter(
+                    F.sequence(F.lit(1), F.lit(_SUFFIX_MAX_LABELS)),
+                    lambda k: k < F.size(labels),
+                ),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(F.slice(labels, F.size(labels) - k + 1, k), ".").alias(
+                        "cand"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("host", "n_labels", F.col("c.k").alias("k"), F.col("c.cand").alias("cand"))
+    matched = (
+        cands.join(F.broadcast(suffixes), cands.cand == suffixes.suffix)
+        .groupBy("host")
+        .agg(F.max(cands.k).alias("best_k"))
+    )
+    # PSL default rule: unknown TLD -> last label is the suffix
+    base = hosts.select("host", F.size(labels).alias("n_labels"))
+    with_k = base.join(matched.select("host", "best_k"), "host", "left").withColumn(
+        "suf_k", F.coalesce("best_k", F.lit(1)).cast("int")
+    )
+    lb = F.split(F.col("host"), "[.]")
+    return with_k.select(
+        "host",
+        F.col("n_labels").cast("int").alias("n_labels"),
+        F.array_join(F.slice(lb, F.size(lb) - F.col("suf_k") + 1, F.col("suf_k")), ".").alias(
+            "public_suffix"
+        ),
+        F.array_join(F.slice(lb, F.size(lb) - F.col("suf_k"), F.col("suf_k") + 1), ".").alias(
+            "registrable"
+        ),
+    )
+
+
+def _registrable_sql() -> str:
+    suffix_rows = ", ".join(
+        f"('{s}', {len(s.split('.'))})" for s in _PUBLIC_SUFFIXES
+    )
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN 'w' || CAST(doc_id AS VARCHAR) || '.example.com'
+    WHEN 1 THEN 'sub.w' || CAST(doc_id AS VARCHAR) || '.example.co.uk'
+    WHEN 2 THEN 'w' || CAST(doc_id AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'a.b.w' || CAST(doc_id AS VARCHAR) || '.com.au'
+    WHEN 4 THEN 'w' || CAST(doc_id AS VARCHAR) || '.org'
+    ELSE 'deep.x.w' || CAST(doc_id AS VARCHAR) || '.ac.uk' END AS host
+  FROM documents
+), suffixes(suffix, k) AS (VALUES {suffix_rows}),
+cands AS (
+  SELECT host, len(string_split(host, '.')) AS n_labels, ks.k,
+         array_to_string(string_split(host, '.')[len(string_split(host, '.')) - ks.k + 1:], '.') AS cand
+  FROM hosts, (SELECT unnest(generate_series(1, {_SUFFIX_MAX_LABELS})) AS k) ks
+  WHERE ks.k < len(string_split(host, '.'))
+), matched AS (
+  SELECT host, CAST(max(c.k) AS INT) AS best_k
+  FROM cands c JOIN suffixes s ON c.cand = s.suffix
+  GROUP BY host
+), with_k AS (
+  SELECT h.host, CAST(len(string_split(h.host, '.')) AS INT) AS n_labels,
+         CAST(coalesce(m.best_k, 1) AS INT) AS suf_k
+  FROM hosts h LEFT JOIN matched m ON m.host = h.host
+)
+SELECT host, n_labels,
+       array_to_string(string_split(host, '.')[n_labels - suf_k + 1:], '.') AS public_suffix,
+       array_to_string(string_split(host, '.')[n_labels - suf_k:], '.') AS registrable
+FROM with_k"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -1372,6 +1498,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cocitation": q_cocitation,
     "token_pack": q_token_pack,
+    "registrable_domain": q_registrable_domain,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -1391,4 +1518,5 @@ SCALE_ORACLES: dict[str, str] = {
     "cms_heavy_hitters": _CMS_SQL,
     "cocitation": _COCITE_SQL,
     "token_pack": _PACK_SQL,
+    "registrable_domain": _registrable_sql(),
 }

@@ -718,3 +718,61 @@ def test_dedup_clusters_keep_filter_is_cluster_rep(spark):
     assert len(reps) == len({r["cluster_rep"] for r in rows})
     # sizes add back up to the corpus
     assert sum(r["cluster_size"] for r in reps) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# registrable domain
+# ---------------------------------------------------------------------------
+
+
+def test_registrable_domain_longest_match_semantics(spark):
+    from crawler_spark.queries_scale import _PUBLIC_SUFFIXES, q_registrable_domain
+
+    suffixes = set(_PUBLIC_SUFFIXES)
+
+    def twin(host):
+        labels = host.split(".")
+        best = 1  # PSL default rule: unknown TLD -> last label
+        for k in range(1, min(3, len(labels) - 1) + 1):
+            if ".".join(labels[-k:]) in suffixes:
+                best = max(best, k)
+        return ".".join(labels[-best:]), ".".join(labels[-(best + 1):])
+
+    rows = q_registrable_domain(spark, SF).collect()
+    assert rows
+    shapes = set()
+    for r in rows:
+        suffix, registrable = twin(r["host"])
+        assert r["public_suffix"] == suffix, r
+        assert r["registrable"] == registrable, r
+        shapes.add(suffix.count(".") + 1)
+    # the fixture exercises 1- and 2-label suffixes plus github.io
+    assert shapes == {1, 2}
+    by_suffix = {r["host"]: r for r in rows}
+    gh = [r for r in rows if r["host"].endswith(".github.io")]
+    assert gh
+    for r in gh:
+        # every user subdomain is its OWN registrable domain
+        assert r["registrable"] == r["host"]
+        assert r["public_suffix"] == "github.io"
+    couk = [r for r in rows if r["host"].endswith(".example.co.uk")]
+    assert couk
+    for r in couk:
+        # multi-label suffix: registrable is example.co.uk, not co.uk's child count
+        assert r["registrable"] == "example.co.uk"
+
+
+def test_registrable_domain_groups_politeness_correctly(spark):
+    """The use-case: quota grouping by registrable domain must separate
+    github.io users but fuse deep subdomains of one site."""
+    from crawler_spark.queries_scale import q_registrable_domain
+
+    rows = q_registrable_domain(spark, SF).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["registrable"], []).append(r["host"])
+    # all co.uk fixture hosts collapse into one registrable domain
+    assert len(groups["example.co.uk"]) > 1
+    # github.io hosts never collapse
+    gh_groups = [hs for reg, hs in groups.items() if reg.endswith("github.io")]
+    assert gh_groups and all(len(hs) == 1 for hs in gh_groups)
