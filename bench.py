@@ -75,6 +75,7 @@ HEADLINE = [
     "token_pack",
     "dedup_clusters",
     "registrable_domain",
+    "adaptive_quota",
 ]
 
 N_HOSTS = 10_000

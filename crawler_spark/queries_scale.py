@@ -1481,6 +1481,75 @@ SELECT host, n_labels,
 FROM with_k"""
 
 
+# ---------------------------------------------------------------------------
+# adaptive politeness quota (latency x crawl-delay -> fetch slots)
+# ---------------------------------------------------------------------------
+
+_QUOTA_ROUND_MS = 10_000  # scheduling round length
+_QUOTA_MAX_SLOTS = 100
+
+
+def q_adaptive_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive per-host fetch quota: the slots a politeness scheduler
+    hands a host per round = round_length / max(observed p95 latency,
+    robots crawl-delay), clamped to [1, max]. Ties the two real
+    politeness signals together — a host that answers in 30 ms gets
+    many slots; one that takes 900 ms (or declares Crawl-delay) gets
+    few — which is how a production crawler keeps per-host concurrency
+    proportional to what the host can absorb. Latency fixture shared
+    with latency_quantiles (nearest-rank p95); crawl-delay stand-in:
+    (host % 5) * 300 ms, sized so the gate binds both ways in the
+    fixture (some hosts latency-bound, some delay-bound). All-integer,
+    so the oracle hash-matches.
+    The output plugs directly into schedule_batch(quotas=...) —
+    (host, quota) is exactly its contract.
+
+    Scale shape: one host-partitioned rank window for the p95 (same as
+    latency_quantiles) + map-only arithmetic; output cardinality =
+    hosts, always broadcastable back into the scheduler."""
+    p = q_latency_quantiles(spark, sf).select("host", "n_fetches", "p95")
+    r, mx = _QUOTA_ROUND_MS, _QUOTA_MAX_SLOTS
+    return (
+        p.withColumn("crawl_delay_ms", (F.col("host") % 5) * 300)
+        .withColumn("gate_ms", F.greatest("p95", "crawl_delay_ms", F.lit(1)))
+        .select(
+            "host",
+            "n_fetches",
+            "p95",
+            "crawl_delay_ms",
+            "gate_ms",
+            F.least(F.greatest(F.expr(f"{r} DIV gate_ms"), F.lit(1)), F.lit(mx))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
+_ADAPTIVE_QUOTA_SQL = f"""
+WITH lat AS (
+  SELECT user_id % 50 AS host, (event_id * 37) % 1000 + 1 AS latency_ms, event_id
+  FROM events
+), ranked AS (
+  SELECT host, latency_ms,
+         row_number() OVER (PARTITION BY host ORDER BY latency_ms, event_id) AS rn,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM lat
+), q AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN latency_ms END) AS p95
+  FROM ranked GROUP BY host
+), gated AS (
+  SELECT host, n_fetches, p95,
+         (host % 5) * 300 AS crawl_delay_ms,
+         greatest(p95, (host % 5) * 300, 1) AS gate_ms
+  FROM q
+)
+SELECT host, n_fetches, p95, crawl_delay_ms, gate_ms,
+       CAST(least(greatest({_QUOTA_ROUND_MS} // gate_ms, 1), {_QUOTA_MAX_SLOTS}) AS BIGINT)
+         AS quota
+FROM gated"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -1499,6 +1568,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cocitation": q_cocitation,
     "token_pack": q_token_pack,
     "registrable_domain": q_registrable_domain,
+    "adaptive_quota": q_adaptive_quota,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -1519,4 +1589,5 @@ SCALE_ORACLES: dict[str, str] = {
     "cocitation": _COCITE_SQL,
     "token_pack": _PACK_SQL,
     "registrable_domain": _registrable_sql(),
+    "adaptive_quota": _ADAPTIVE_QUOTA_SQL,
 }

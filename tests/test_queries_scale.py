@@ -776,3 +776,63 @@ def test_registrable_domain_groups_politeness_correctly(spark):
     # github.io hosts never collapse
     gh_groups = [hs for reg, hs in groups.items() if reg.endswith("github.io")]
     assert gh_groups and all(len(hs) == 1 for hs in gh_groups)
+
+
+# ---------------------------------------------------------------------------
+# adaptive politeness quota
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_quota_gates_on_latency_and_crawl_delay(spark):
+    from crawler_spark.queries_scale import (
+        _QUOTA_MAX_SLOTS,
+        _QUOTA_ROUND_MS,
+        q_adaptive_quota,
+        q_latency_quantiles,
+    )
+
+    p95 = {r["host"]: r["p95"] for r in q_latency_quantiles(spark, SF).collect()}
+    rows = {r["host"]: r for r in q_adaptive_quota(spark, SF).collect()}
+    assert set(rows) == set(p95)
+    for h, r in rows.items():
+        assert r["p95"] == p95[h]
+        assert r["crawl_delay_ms"] == (h % 5) * 300
+        gate = max(r["p95"], r["crawl_delay_ms"], 1)
+        assert r["gate_ms"] == gate
+        assert r["quota"] == min(max(_QUOTA_ROUND_MS // gate, 1), _QUOTA_MAX_SLOTS)
+        assert 1 <= r["quota"] <= _QUOTA_MAX_SLOTS
+    # the gate binds both ways somewhere in the fixture: some host is
+    # latency-bound, some is crawl-delay-bound
+    assert any(r["p95"] > r["crawl_delay_ms"] for r in rows.values())
+    assert any(r["crawl_delay_ms"] > r["p95"] for r in rows.values())
+
+
+def test_adaptive_quota_plugs_into_schedule_batch(spark):
+    """The output (host, quota) must be consumable by the scheduler's
+    quotas parameter — the composition the docstring promises."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.scheduler import schedule_batch
+    from crawler_spark.queries_scale import q_adaptive_quota
+
+    quotas = q_adaptive_quota(spark, SF).select(
+        F.concat(F.lit("h"), F.col("host")).alias("host"),
+        F.col("quota").cast("int").alias("quota"),
+    )
+    max_q = max(r["quota"] for r in quotas.collect())
+    rows = [
+        (f"https://h{h}.org/p/{i}", f"h{h}", 0, h * 1000 + i)
+        for h in range(3)
+        for i in range(150)
+    ]
+    frontier = spark.createDataFrame(
+        [(u, h, p, s, 0) for (u, h, p, s) in rows],
+        "url string, host string, priority int, seq long, url_hash long",
+    ).withColumn("url_hash", F.xxhash64("url"))
+    out = schedule_batch(frontier, quotas=quotas, default_k=5, max_quota=int(max_q))[0]
+    got = {}
+    for r in out.collect():
+        got[r["host"]] = got.get(r["host"], 0) + 1
+    qmap = {r["host"]: r["quota"] for r in quotas.collect()}
+    for h, n in got.items():
+        assert n == min(150, qmap.get(h, 5)), (h, n, qmap.get(h))
