@@ -545,10 +545,13 @@ def sessionize_stream_oracle_sql() -> str:
 
 def _url_events() -> list[dict]:
     """Deterministic URL-discovery fixture exercising every dedup path:
-    each base id appears twice (exact dup), every 3rd event is a CASED +
-    fragment variant (collapses only if canonicalization runs before
-    dedup), every 10th is garbage (must drop), and one default-port
-    variant per 7 (collapses to the portless canonical form)."""
+    each base id appears 3 times across the stream (exact dups), events
+    with i % 3 == 1 are CASED + fragment variants (collapse only if
+    canonicalization runs before dedup), i % 10 == 9 is garbage (must
+    drop), and i % 7 == 3 (when not claimed by an earlier branch — the
+    cascade is first-match, so i in {10, 94} stay cased variants) is a
+    default-:443 variant that must collapse to the portless canonical
+    form (hit at i = 3, 17, 24, 38, ...)."""
     evs = []
     t = _STREAM_BASE
     for i in range(120):

@@ -39,6 +39,7 @@ __all__ = [
     "parse_warc_segment",
     "docs_to_warc_segments",
     "warc_segments_to_records",
+    "warc_cdx",
 ]
 
 _CRLF = b"\r\n"
@@ -55,7 +56,14 @@ def warc_record_bytes(
     uri: str, payload: bytes, date: str, warc_type: str = "response"
 ) -> bytes:
     """One spec-shaped WARC/1.0 record. ``date`` is supplied by the
-    caller (deterministic in tests/bench — no wall clock in executors)."""
+    caller (deterministic in tests/bench — no wall clock in executors).
+    Header values must not contain CR/LF: a target URI with an embedded
+    ``\\r\\n`` would inject headers or shift the Content-Length framing
+    and desynchronize every record after it — the exact attack the
+    length-driven parser exists to prevent, so the writer refuses it."""
+    for name, val in (("uri", uri), ("date", date), ("warc_type", warc_type)):
+        if "\r" in val or "\n" in val:
+            raise ValueError(f"CR/LF in WARC header value {name}={val!r}")
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode("ascii"),
@@ -103,7 +111,13 @@ def parse_warc_segment(blob: bytes) -> list[dict]:
             headers[k.decode("ascii").lower()] = v.decode("utf-8")
         if "content-length" not in headers:
             raise ValueError(f"record at offset {pos} missing Content-Length")
-        length = int(headers["content-length"])
+        raw_len = headers["content-length"]
+        # digits only: int() would accept '-4' (negative body_end makes the
+        # terminator check read the header's OWN trailing \r\n\r\n, emitting
+        # a phantom record and desynchronizing the reader), ' 5', '+5', '1_0'
+        if not raw_len.isascii() or not raw_len.isdigit():
+            raise ValueError(f"record at offset {pos} bad Content-Length {raw_len!r}")
+        length = int(raw_len)
         body_start = head_end + 4
         body_end = body_start + length
         if blob[body_end : body_end + 4] != _CRLF + _CRLF:
@@ -152,9 +166,26 @@ def docs_to_warc_segments(docs: DataFrame, docs_per_segment: int = 100) -> DataF
         )
 
     with_key = docs.select(
-        "doc_id", "text", (F.col("doc_id") / docs_per_segment).cast("long").alias("segment_id")
+        "doc_id",
+        "text",
+        # integer DIV, not float-divide-then-cast: cast('long') on a double
+        # truncates toward zero (wrong segment for negative ids) and loses
+        # exactness past 2^53
+        F.expr(f"doc_id DIV {int(docs_per_segment)}").alias("segment_id"),
     )
     return with_key.groupBy("segment_id").applyInPandas(_build, _SEGMENT_SCHEMA)
+
+
+def _iter_response_records(pdf: pd.DataFrame):
+    """Shared segment-walk for the record and CDX mappers: yields
+    (segment_id, record-dict) for every RESPONSE record in the batch
+    (warcinfo records consumed and skipped). One implementation so the
+    response filter and bytes() coercion can never drift between the
+    two read paths."""
+    for seg_id, blob in zip(pdf["segment_id"], pdf["segment"]):
+        for rec in parse_warc_segment(bytes(blob)):
+            if rec["warc_type"] == "response":
+                yield int(seg_id), rec
 
 
 def warc_segments_to_records(segments: DataFrame) -> DataFrame:
@@ -165,14 +196,11 @@ def warc_segments_to_records(segments: DataFrame) -> DataFrame:
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"segment_id": [], "target_uri": [], "content_length": [], "payload_md5": []}
-            for seg_id, blob in zip(pdf["segment_id"], pdf["segment"]):
-                for rec in parse_warc_segment(bytes(blob)):
-                    if rec["warc_type"] != "response":
-                        continue
-                    out["segment_id"].append(int(seg_id))
-                    out["target_uri"].append(rec["target_uri"])
-                    out["content_length"].append(len(rec["payload"]))
-                    out["payload_md5"].append(hashlib.md5(rec["payload"]).hexdigest())
+            for seg_id, rec in _iter_response_records(pdf):
+                out["segment_id"].append(seg_id)
+                out["target_uri"].append(rec["target_uri"])
+                out["content_length"].append(len(rec["payload"]))
+                out["payload_md5"].append(hashlib.md5(rec["payload"]).hexdigest())
             yield pd.DataFrame(
                 {
                     "segment_id": pd.Series(out["segment_id"], dtype="int64"),
@@ -200,14 +228,11 @@ def warc_cdx(segments: DataFrame) -> DataFrame:
     def _index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"segment_id": [], "target_uri": [], "offset": [], "length": []}
-            for seg_id, blob in zip(pdf["segment_id"], pdf["segment"]):
-                for rec in parse_warc_segment(bytes(blob)):
-                    if rec["warc_type"] != "response":
-                        continue
-                    out["segment_id"].append(int(seg_id))
-                    out["target_uri"].append(rec["target_uri"])
-                    out["offset"].append(rec["offset"])
-                    out["length"].append(rec["length"])
+            for seg_id, rec in _iter_response_records(pdf):
+                out["segment_id"].append(seg_id)
+                out["target_uri"].append(rec["target_uri"])
+                out["offset"].append(rec["offset"])
+                out["length"].append(rec["length"])
             yield pd.DataFrame(
                 {
                     "segment_id": pd.Series(out["segment_id"], dtype="int64"),

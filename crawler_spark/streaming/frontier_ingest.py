@@ -4,13 +4,18 @@ canonicalize -> streaming dedup -> idempotent frontier appends.
 The batch engine dedups against its URL-seen state per micro-batch; this
 covers the STREAMING half of that story — a firehose of link discoveries
 (Kafka in production, a file source here) deduplicated on the
-canonical URL with BOUNDED state via ``dropDuplicatesWithinWatermark``:
-a URL's dedup key is held only until the watermark passes its event
-time + threshold, so state does not grow with the full crawl history.
-Duplicates further apart than the threshold are passed through and left
-to the batch engine's exact URL-seen anti-join — the streaming stage is
-a prefilter with a bounded-state guarantee, the same contract as the
-Bloom prefilter on the batch path.
+canonical URL with BOUNDED state via ``dropDuplicatesWithinWatermark``.
+The watermark runs on ARRIVAL time (the micro-batch timestamp), not the
+event's own ts: an event-time watermark would silently DISCARD a
+late-arriving never-seen URL (below-watermark rows are dropped before
+the dedup operator — a prefilter must only ever remove duplicates,
+never new URLs), while arrival time cannot classify any arriving
+discovery as late. A URL's dedup key is held for ~threshold of wall
+clock, so state does not grow with the full crawl history; duplicates
+re-arriving after the threshold pass through and are left to the batch
+engine's exact URL-seen anti-join — the streaming stage is a prefilter
+with a bounded-state guarantee, the same contract as the Bloom
+prefilter on the batch path.
 
 Canonicalization runs BEFORE dedup (the whole point: scheme/host case,
 fragments, default ports, and escape variants must collapse to one
@@ -48,20 +53,25 @@ def read_url_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def dedup_url_stream(urls: DataFrame, late_threshold: str = "10 minutes") -> DataFrame:
     """Canonicalize, drop invalid, dedup on the canonical URL with
-    watermark-bounded state. Output: (url, host) — the kept event's ts
-    is intentionally NOT emitted: which duplicate wins is a processing-
-    order artifact, while the distinct URL set is deterministic."""
-    from ..functions.udfs import canonicalize_rfc3986_udf
+    watermark-bounded state keyed on ARRIVAL time (see module docstring:
+    an event-time watermark would drop late NEW urls, not just
+    duplicates). Output: (url, host) only — neither the input ts nor the
+    arrival ts is emitted: which duplicate wins is a processing-order
+    artifact, while the distinct URL set is deterministic. ``host`` uses
+    the engine's canonical host_of definition (full netloc including
+    port/userinfo, same as the batch path) so per-host politeness keys
+    agree between the streaming and batch frontiers."""
+    from ..functions.udfs import canonicalize_rfc3986_udf, host_udf
 
-    canon = urls.withColumn("url", canonicalize_rfc3986_udf("url")).filter(
-        F.col("url").isNotNull()
+    canon = (
+        urls.withColumn("url", canonicalize_rfc3986_udf("url"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("arrival_ts", F.current_timestamp())
     )
-    deduped = canon.withWatermark("ts", late_threshold).dropDuplicatesWithinWatermark(
-        ["url"]
-    )
-    return deduped.select(
-        "url", F.parse_url("url", F.lit("HOST")).alias("host"), "ts"
-    )
+    deduped = canon.withWatermark(
+        "arrival_ts", late_threshold
+    ).dropDuplicatesWithinWatermark(["url"])
+    return deduped.select("url", host_udf("url").alias("host"))
 
 
 def run_frontier_ingest(
@@ -76,7 +86,7 @@ def run_frontier_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         dest = os.path.join(out_path, f"batch_id={batch_id}")
-        batch_df.drop("ts").write.mode("overwrite").parquet(dest)
+        batch_df.write.mode("overwrite").parquet(dest)
 
     return (
         deduped.writeStream.foreachBatch(_sink)

@@ -416,3 +416,45 @@ def test_frontier_ingest_stream_dedups_canonical(spark):
         assert canonicalize_rfc3986(r.url) == r.url  # output IS canonical
         assert r.host and r.url.startswith("https://" + r.host)
     assert len(urls) == 36  # 40 base ids minus the 4 all-garbage bases
+
+
+def test_frontier_ingest_keeps_late_event_time_new_urls(spark, tmp_path):
+    """The dedup watermark must run on ARRIVAL time: with an event-time
+    watermark, a second micro-batch carrying a never-seen URL whose
+    event ts lies beyond the first batch's watermark would be DISCARDED
+    before the dedup operator — a prefilter may only remove duplicates,
+    never new URLs. Two files, maxFilesPerTrigger=1 -> two batches; the
+    second file's event ts is an hour BEFORE the first's."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.frontier_ingest import dedup_url_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    f1 = in_dir / "a_first.jsonl"
+    f1.write_text(json.dumps({"ts": "2026-01-01T12:00:00", "url": "https://h1.org/new"}) + "\n")
+    f2 = in_dir / "b_second.jsonl"
+    f2.write_text(json.dumps({"ts": "2026-01-01T11:00:00", "url": "https://h2.org/late"}) + "\n")
+    os.utime(f1, (1_700_000_000, 1_700_000_000))
+    os.utime(f2, (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_url_stream(stream, late_threshold="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://h1.org/new", "https://h2.org/late"}, got

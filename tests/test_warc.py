@@ -90,3 +90,39 @@ def test_cdx_offsets_enable_slice_fetch():
         (single,) = parse_warc_segment(window)
         assert single["target_uri"] == rec["target_uri"]
         assert single["payload"] == rec["payload"]
+
+
+def test_negative_or_garbage_content_length_raises():
+    """int() would accept '-4' (phantom record: body_end lands back on
+    the header's own terminator and the real payload is re-parsed as
+    records), ' 5', '+5', '1_0' — the parser must reject all of them."""
+    import pytest
+
+    from crawler_spark.sources.warc import parse_warc_segment, warc_record_bytes
+
+    good = warc_record_bytes("https://h.org/x", b"abcd", "2026-01-01T00:00:00Z")
+    for bad in (b"-4", b" 4", b"+4", b"1_0", b"0x4", b""):
+        corrupt = good.replace(b"Content-Length: 4", b"Content-Length: " + bad)
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_warc_segment(corrupt)
+    # and the embedded-payload attack shape end-to-end: a forged record
+    # whose negative length points the parser back into its own header
+    inner = warc_record_bytes("https://evil.org/fake", b"owned", "2026-01-01T00:00:00Z")
+    outer = good.replace(b"Content-Length: 4", b"Content-Length: -4").replace(
+        b"abcd", inner
+    )
+    with pytest.raises(ValueError):
+        parse_warc_segment(outer)
+
+
+def test_crlf_in_header_values_refused():
+    import pytest
+
+    from crawler_spark.sources.warc import warc_record_bytes
+
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc_record_bytes(
+            "https://h.org/\r\nContent-Length: 0\r\n\r\n", b"x", "2026-01-01T00:00:00Z"
+        )
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc_record_bytes("https://h.org/x", b"x", "2026-01-01\n")
