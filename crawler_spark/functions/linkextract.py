@@ -306,7 +306,9 @@ _TAG_SUBS = [
     (re.compile(r"<\s*(p|div|li|tr|br)[^>]*/?\s*>", re.IGNORECASE), "\n"),
     (re.compile(r"<[^>]+>"), " "),
 ]
-_ENTITY_SUBS = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+# &amp; decodes LAST: decoding it first double-decodes nested escapes
+# ("&amp;lt;" must render "&lt;", not "<") — same rule as sitemap._unescape
+_ENTITY_SUBS = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
 _WS_RE_REF = re.compile(r"[ \t\r\f\v]+")  # original definition (kept for tests)
 # Output-identical fast form: the original matches EVERY single space
 # (sub then rebuilds the whole string); only runs of 2+ or a lone

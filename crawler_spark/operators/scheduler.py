@@ -101,6 +101,17 @@ def schedule_batch(
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_udf("url"))
         )
+        # distinct frontier rows can canonicalize to the SAME url; the
+        # seen-table anti-join below only removes already-crawled urls,
+        # so without this within-batch keep-first (min priority, seq —
+        # the same order the top-K drain uses) one canonical url would
+        # be scheduled, fetched, and seen-inserted twice in one batch
+        wdup = Window.partitionBy("url").orderBy("priority", "seq")
+        cand = (
+            cand.withColumn("_c_rn", F.row_number().over(wdup))
+            .filter(F.col("_c_rn") == 1)
+            .drop("_c_rn")
+        )
 
     if refuse_traps:
         from ..functions.traps import trap_reason
@@ -120,6 +131,10 @@ def schedule_batch(
     # once the batch's downstream action has completed, or a long
     # multi-batch drain accumulates one leaked cache per batch.
     barrier = None
+    if bloom is not None and seen is None:
+        # the prefilter only TAGS maybe-seens; without the exact anti-join
+        # side it would silently schedule every already-crawled URL again
+        raise ValueError("schedule_batch: bloom/cuckoo prefilter requires `seen` for the exact anti-join")
     if bloom is not None and seen is not None:
         if seen_filter == "cuckoo":  # deletable variant, same blob contract
             from .cuckoo import cuckoo_prefilter as _prefilter
@@ -303,7 +318,10 @@ def fetch_parse_digest(
             out = {k: [] for k in ("n_internal", "n_external", "n_file", "n_spans", "md_len")}
             for u, h in zip(urls, hosts):
                 html = fetcher(u)
-                spans, links = build_spans_html(html, f"https://{h}")
+                # base = the DOCUMENT url, matching the engine's real parse
+                # path (udfs.py/oracle.py): path-relative hrefs on
+                # /dir/page must resolve under /dir/, not the host root
+                spans, links = build_spans_html(html, u)
                 out["n_internal"].append(len(links.internal))
                 out["n_external"].append(len(links.external))
                 out["n_file"].append(len(links.file))

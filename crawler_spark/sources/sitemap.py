@@ -60,7 +60,7 @@ def sitemap_xml(entries: list[tuple[str, str, int]]) -> str:
         parts.append(
             "<url>"
             f"<loc>{_escape(loc)}</loc>"
-            f"<lastmod>{lastmod}</lastmod>"
+            f"<lastmod>{_escape(lastmod)}</lastmod>"
             f"<priority>{prio_milli / 1000:.3f}</priority>"
             "</url>"
         )
@@ -78,12 +78,15 @@ def sitemap_index_xml(locs: list[str]) -> str:
     return "\n".join(parts)
 
 
-_URL_RE = re.compile(
-    r"<url>\s*<loc>(.*?)</loc>"
-    r"(?:\s*<lastmod>(.*?)</lastmod>)?"
-    r"(?:\s*<priority>(.*?)</priority>)?\s*</url>",
-    re.S,
-)
+# two-level parse: isolate each <url> BLOCK first, then pull elements out
+# of the block. A single flat regex with optional groups backtracks ACROSS
+# entries when a block carries any other standard element (changefreq,
+# xhtml:link, ...), merging two entries into one corrupt loc — reproduced
+# with a plain <changefreq> before the fix.
+_URL_BLOCK_RE = re.compile(r"<url>(.*?)</url>", re.S)
+_LOC_RE = re.compile(r"<loc>(.*?)</loc>", re.S)
+_LASTMOD_RE = re.compile(r"<lastmod>(.*?)</lastmod>", re.S)
+_PRIORITY_RE = re.compile(r"<priority>(.*?)</priority>", re.S)
 _INDEX_RE = re.compile(r"<sitemap>\s*<loc>(.*?)</loc>\s*</sitemap>", re.S)
 
 
@@ -92,13 +95,29 @@ def parse_sitemap(xml: str) -> dict:
     ``{"kind": "urlset", "urls": [(loc, lastmod, priority_milli), ...]}``
     or ``{"kind": "index", "sitemaps": [loc, ...]}``. priority parses to
     milli-units (int(round(f*1000))); missing lastmod/priority default to
-    "" / 500 per the protocol's 0.5 default."""
+    "" / 500 per the protocol's 0.5 default, and an unparseable priority
+    (comma decimals and other junk occur in wild sitemaps) degrades to
+    the same 500 default instead of killing the executor task. Unknown
+    elements inside a <url> block (changefreq etc.) are ignored; a block
+    without <loc> is skipped."""
     if "<sitemapindex" in xml:
         return {"kind": "index", "sitemaps": [_unescape(m) for m in _INDEX_RE.findall(xml)]}
     urls = []
-    for loc, lastmod, prio in _URL_RE.findall(xml):
-        milli = int(round(float(prio) * 1000)) if prio else 500
-        urls.append((_unescape(loc), lastmod or "", milli))
+    for block in _URL_BLOCK_RE.findall(xml):
+        loc_m = _LOC_RE.search(block)
+        if not loc_m:
+            continue
+        lastmod_m = _LASTMOD_RE.search(block)
+        prio_m = _PRIORITY_RE.search(block)
+        milli = 500
+        if prio_m:
+            try:
+                milli = int(round(float(prio_m.group(1)) * 1000))
+            except ValueError:
+                milli = 500
+        urls.append(
+            (_unescape(loc_m.group(1)), _unescape(lastmod_m.group(1)) if lastmod_m else "", milli)
+        )
     return {"kind": "urlset", "urls": urls}
 
 
@@ -142,13 +161,18 @@ def docs_to_sitemaps(docs: DataFrame, n_hosts: int = 50) -> DataFrame:
 
 def sitemaps_to_urls(sitemaps: DataFrame) -> DataFrame:
     """Sitemap source stage: <urlset> payloads -> flat URL rows (narrow,
-    no shuffle)."""
+    no shuffle). <sitemapindex> payloads contribute no direct URL rows —
+    their child pointers need a fetch round first — so they are skipped
+    here instead of crashing the task (the caller resolves indexes by
+    fetching the child sitemaps and feeding them back through)."""
 
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"host": [], "loc": [], "lastmod": [], "priority_milli": []}
             for host, xml in zip(pdf["host"], pdf["xml"]):
                 doc = parse_sitemap(xml)
+                if doc["kind"] != "urlset":
+                    continue
                 for loc, lastmod, milli in doc["urls"]:
                     out["host"].append(host)
                     out["loc"].append(loc)

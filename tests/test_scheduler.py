@@ -148,7 +148,9 @@ def test_zipf_skew_salting_spreads_hot_host(spark):
 
 def test_schedule_canonicalize_stage(spark):
     """canonicalize=True: dirty URLs collapse to canonical form before
-    hashing/dedup; invalid (non-https) rows are dropped."""
+    hashing/dedup; invalid (non-https) rows are dropped; rows that
+    collapse to the SAME canonical url schedule exactly once (keep-first
+    by priority, seq)."""
     rows = [
         ("https://C.org/p?b=2&a=1", "c.org", 0, 0),
         ("https://c.org/p?a=1&b=2", "c.org", 0, 1),  # same canonical form
@@ -157,8 +159,8 @@ def test_schedule_canonicalize_stage(spark):
     ]
     frontier = _frontier_df(spark, rows)
     out = schedule_batch(frontier, default_k=10, canonicalize=True)[0].collect()
-    urls = sorted(r.url for r in out)
-    assert urls == sorted(["https://c.org/p?a=1&b=2", "https://c.org/p?a=1&b=2", "https://c.org/q"])
+    got = sorted((r.url, r.seq) for r in out)
+    assert got == [("https://c.org/p?a=1&b=2", 0), ("https://c.org/q", 3)]
     assert all(r.host == "c.org" for r in out)
 
 
@@ -397,3 +399,34 @@ def test_trap_reason_differential_sweep(spark):
     got = {r["url"]: r["reason"] for r in df.collect()}
     for u in urls:
         assert got[u] == twin(u), (u, got[u], twin(u))
+
+
+def test_canonicalize_dedups_within_batch(spark):
+    """Distinct frontier rows canonicalizing to the SAME url must
+    schedule once (keep-first by priority, seq) — the seen anti-join
+    only covers already-crawled urls, not within-batch collisions."""
+    rows = [
+        ("https://h0.org/a/", "h0.org", 1, 5),
+        ("https://h0.org/a", "h0.org", 0, 9),  # same canonical, better priority
+        ("https://h0.org/b#frag", "h0.org", 0, 2),
+        ("https://h0.org/b", "h0.org", 0, 7),
+    ]
+    frontier = _frontier_df(spark, rows)
+    out = schedule_batch(frontier, default_k=10, canonicalize=True)[0].collect()
+    got = sorted((r.url, r.priority, r.seq) for r in out)
+    assert got == [
+        ("https://h0.org/a", 0, 9),
+        ("https://h0.org/b", 0, 2),
+    ]
+
+
+def test_bloom_without_seen_raises(spark):
+    import pytest
+
+    from crawler_spark.operators.bloom import build_bloom
+
+    seen = spark.createDataFrame([("https://h0.org/p/1",)], "url string")
+    bloom = build_bloom(seen, n_parts=2, m_bits_per_part=1 << 12)
+    frontier = _frontier_df(spark, [("https://h0.org/p/2", "h0.org", 0, 1)])
+    with pytest.raises(ValueError, match="requires `seen`"):
+        schedule_batch(frontier, bloom=bloom)

@@ -70,3 +70,51 @@ def test_urlset_fuzz_printable_locs():
         assert doc["urls"] == entries
 
     run()
+
+
+def test_parse_survives_unknown_elements_and_junk_priority():
+    """A flat regex with optional groups backtracked ACROSS entries when
+    a block held a standard extra element (changefreq), merging two
+    entries into one corrupt loc — the block-first parse must not."""
+    from crawler_spark.sources.sitemap import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.org/1</loc><changefreq>daily</changefreq></url>\n"
+        "<url><loc>https://a.org/2</loc><lastmod>2026-01-02</lastmod>"
+        "<priority>0,8</priority></url>\n"
+        "<url><loc>https://a.org/3</loc><priority>0.250</priority></url>\n"
+        "<url><changefreq>weekly</changefreq></url>\n"
+        "</urlset>"
+    )
+    doc = parse_sitemap(xml)
+    assert doc["kind"] == "urlset"
+    assert doc["urls"] == [
+        ("https://a.org/1", "", 500),
+        ("https://a.org/2", "2026-01-02", 500),  # junk priority -> default
+        ("https://a.org/3", "", 250),
+    ]
+
+
+def test_sitemaps_to_urls_skips_index_documents(spark):
+    from crawler_spark.sources.sitemap import sitemap_index_xml, sitemap_xml, sitemaps_to_urls
+
+    rows = [
+        ("h1.example.org", 1, sitemap_xml([("https://h1.example.org/p?a=1&b=2", "2026-01-01", 700)])),
+        ("h2.example.org", 0, sitemap_index_xml(["https://h2.example.org/sitemap-1.xml"])),
+    ]
+    df = spark.createDataFrame(rows, "host string, n_urls int, xml string")
+    got = sitemaps_to_urls(df).collect()
+    assert len(got) == 1
+    assert got[0]["host"] == "h1.example.org"
+    assert got[0]["loc"] == "https://h1.example.org/p?a=1&b=2"
+
+
+def test_lastmod_is_escaped_in_generation():
+    from crawler_spark.sources.sitemap import parse_sitemap, sitemap_xml
+
+    xml = sitemap_xml([("https://a.org/x", "2026-01-01&rev=2", 500)])
+    assert "&amp;rev=2" in xml  # well-formed for a real XML parser
+    doc = parse_sitemap(xml)
+    assert doc["urls"] == [("https://a.org/x", "2026-01-01&rev=2", 500)]
