@@ -73,6 +73,10 @@ HEADLINE = [
     "cms_heavy_hitters",
     "cocitation",
     "token_pack",
+    "change_detect",
+    "domain_quality",
+    "hits_scores",
+    "lm_rarity",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

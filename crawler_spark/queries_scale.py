@@ -1550,6 +1550,371 @@ SELECT host, n_fetches, p95, crawl_delay_ms, gate_ms,
 FROM gated"""
 
 
+# ---------------------------------------------------------------------------
+# incremental crawl diff (change detection between two crawl rounds)
+# ---------------------------------------------------------------------------
+
+
+def q_change_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental crawl diff: classify every URL across two crawl
+    rounds as added / deleted / changed / unchanged by content
+    fingerprint (the input to recrawl scheduling and index
+    invalidation; the reference has no second-crawl concept at all —
+    engine-new). Two deterministic rounds derived from documents:
+    round A (previous) omits doc_id % 10 == 7 (those become "added"),
+    round B (current) omits doc_id % 10 == 3 ("deleted"), and
+    doc_id % 5 == 0 pages changed content in B (disjoint from both
+    omission classes, so every status appears at every SF). The
+    fingerprint is md5(text) — the repo-wide cross-engine hash.
+
+    Scale shape: ONE full-outer hash join co-partitioned on the url
+    key; both sides hash-partition on url_id so at 10^10 URLs this is
+    the canonical snapshot-diff shuffle, no skew key (url_id is
+    unique per side), everything else map-only."""
+    docs = load(spark, sf, "documents")
+    prev = docs.filter((F.col("doc_id") % 10) != 7).select(
+        F.col("doc_id").alias("url_id"), F.md5("text").alias("fp_prev")
+    )
+    cur = docs.filter((F.col("doc_id") % 10) != 3).select(
+        F.col("doc_id").alias("url_id"),
+        F.md5(
+            F.when(
+                (F.col("doc_id") % 5) == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_cur"),
+    )
+    j = prev.alias("p").join(
+        cur.alias("c"), F.col("p.url_id") == F.col("c.url_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("p.url_id"), F.col("c.url_id")).alias("url_id"),
+        "fp_prev",
+        "fp_cur",
+        F.when(F.col("p.url_id").isNull(), F.lit("added"))
+        .when(F.col("c.url_id").isNull(), F.lit("deleted"))
+        .when(F.col("fp_prev") != F.col("fp_cur"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+_CHANGE_SQL = """
+WITH prev AS (
+  SELECT doc_id AS url_id, md5(text) AS fp_prev
+  FROM documents WHERE doc_id % 10 <> 7
+), cur AS (
+  SELECT doc_id AS url_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp_cur
+  FROM documents WHERE doc_id % 10 <> 3
+)
+SELECT coalesce(p.url_id, c.url_id) AS url_id, fp_prev, fp_cur,
+       CASE WHEN p.url_id IS NULL THEN 'added'
+            WHEN c.url_id IS NULL THEN 'deleted'
+            WHEN fp_prev <> fp_cur THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM prev p FULL OUTER JOIN cur c ON p.url_id = c.url_id"""
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality aggregation (RefinedWeb-style domain blocklist)
+# ---------------------------------------------------------------------------
+
+_DQ_DOMAINS = 23
+_DQ_MIN_CHARS = 250  # doc is bad if shorter (documents: n_chars 48..553)
+_DQ_MIN_DISTINCT_MILLI = 350  # ...or lexically degenerate (min 276 in data)
+_DQ_BLOCK_MILLI = 600  # block the domain when >= 60% of its docs are bad
+_DQ_MIN_DOCS = 10  # ...and the verdict has support
+
+
+def q_domain_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level quality aggregation (RefinedWeb/C4 practice:
+    individual-document filters are noisy, so pipelines aggregate
+    per-document verdicts to the registrable domain and blocklist
+    domains whose bad fraction is high — spam farms fail wholesale,
+    and the blocklist then prunes the FRONTIER, saving the fetches
+    entirely). Deterministic domain key doc_id % 23; a doc is bad if
+    it is too short (n_chars < 250) or lexically degenerate
+    (distinct-token fraction < 0.35); a domain is blocked when >= 60%
+    of >= 10 docs are bad (thresholds chosen so both verdicts appear
+    at every test SF). Integer fixed-point throughout.
+
+    Scale shape: per-doc verdict is map-only (no UDF: split +
+    array_distinct + size), then ONE partial-agg groupBy(domain) —
+    count/sum all combine map-side, key cardinality = number of
+    domains (millions, not billions), no skew key. The blocklist
+    output is small enough to broadcast back against the frontier."""
+    docs = load(spark, sf, "documents")
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    per = docs.select(
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % _DQ_DOMAINS).cast("string"), F.lit(".example.org")
+        ).alias("domain"),
+        "n_chars",
+        F.expr(
+            f"(1000 * size(array_distinct({toks}))) DIV greatest(1, size({toks}))"
+        ).alias("distinct_milli"),
+    )
+    flagged = per.withColumn(
+        "bad",
+        (
+            (F.col("n_chars") < _DQ_MIN_CHARS)
+            | (F.col("distinct_milli") < _DQ_MIN_DISTINCT_MILLI)
+        ).cast("long"),
+    )
+    agg = flagged.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bad").cast("long").alias("n_bad"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return (
+        agg.withColumn("bad_milli", F.expr("(1000 * n_bad) DIV n_docs"))
+        .withColumn("mean_chars", F.expr("sum_chars DIV n_docs"))
+        .select(
+            "domain",
+            "n_docs",
+            "n_bad",
+            "bad_milli",
+            "mean_chars",
+            (
+                (F.col("bad_milli") >= _DQ_BLOCK_MILLI) & (F.col("n_docs") >= _DQ_MIN_DOCS)
+            ).alias("blocked"),
+        )
+    )
+
+
+_DOMAIN_QUALITY_SQL = f"""
+WITH per AS (
+  SELECT 'd' || CAST(doc_id % {_DQ_DOMAINS} AS VARCHAR) || '.example.org' AS domain,
+         n_chars,
+         (1000 * len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))))
+           // greatest(1, len(list_filter(string_split(text, ' '), x -> x <> ''))) AS distinct_milli
+  FROM documents
+), flagged AS (
+  SELECT domain, n_chars,
+         CASE WHEN n_chars < {_DQ_MIN_CHARS} OR distinct_milli < {_DQ_MIN_DISTINCT_MILLI}
+              THEN 1 ELSE 0 END AS bad
+  FROM per
+), agg AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(bad) AS BIGINT) AS n_bad,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM flagged GROUP BY domain
+)
+SELECT domain, n_docs, n_bad,
+       (1000 * n_bad) // n_docs AS bad_milli,
+       sum_chars // n_docs AS mean_chars,
+       ((1000 * n_bad) // n_docs >= {_DQ_BLOCK_MILLI} AND n_docs >= {_DQ_MIN_DOCS}) AS blocked
+FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (second graph-ranking signal besides PageRank)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_OUT_DEG = 3
+
+
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the deterministic link
+    graph doc_id -> (doc_id*17+k) % n, k=1..3 — the complementary
+    graph signal to q_link_rank's PageRank: authorities feed index
+    ranking, hubs feed seed selection for focused crawling.
+    3 synchronous iterations in integer fixed-point micro-units with
+    max-normalization (a = 1e6 * a_raw DIV max(a_raw)) instead of the
+    usual L2 norm — max and integer sums are aggregation-order
+    independent, so the unrolled-CTE DuckDB oracle hash-matches
+    exactly where a float norm would drift in the last ulp.
+
+    Scale shape: each half-iteration is one hash join (scores x edges
+    on the score key) + one groupBy with map-side partial sums + a
+    single-row broadcast for the max — the same canonical distributed
+    step as PageRank, run alternately along in-edges and out-edges.
+    The raw-score table of every half-iteration is localCheckpointed
+    (same reasoning as _label_propagate: max-normalize references it
+    TWICE — once for the max, once for the divide — so without lineage
+    truncation the logical plan doubles per half-iteration, 2^6 by
+    iteration 3; measured 93 s -> 3.5 s for the identical result).
+    Edges are checkpointed once and rescanned. The remaining cost is
+    O(iterations) stage-scheduling latency, not data — same analysis
+    as dedup_components."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[((F.col("doc_id") * 17 + F.lit(k)) % n) for k in range(1, _HITS_OUT_DEG + 1)]
+            )
+        ).alias("dst"),
+    ).localCheckpoint()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    hubs = docs.select(F.col("doc_id").alias("v"), F.lit(1_000_000).cast("long").alias("h"))
+    auths = None
+    for _ in range(_HITS_ITERS):
+        a_in = (
+            edges.join(hubs, edges.src == hubs.v)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        a_raw = (
+            nodes.join(a_in, nodes.v == a_in.dst, "left")
+            .select("v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("raw"))
+            .localCheckpoint()
+        )
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        auths = a_raw.crossJoin(F.broadcast(amax)).select(
+            "v", F.expr("(1000000 * raw) DIV mx").cast("long").alias("a")
+        )
+        h_out = (
+            edges.join(auths, edges.dst == auths.v)
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        h_raw = (
+            nodes.join(h_out, nodes.v == h_out.src, "left")
+            .select("v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("raw"))
+            .localCheckpoint()
+        )
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "v", F.expr("(1000000 * raw) DIV mx").cast("long").alias("h")
+        )
+    return auths.join(hubs, "v").select(
+        F.col("v").alias("doc_id"),
+        F.col("a").alias("auth_micro"),
+        F.col("h").alias("hub_micro"),
+    )
+
+
+def _hits_sql() -> str:
+    """The q_hits_scores recurrence unrolled as chained CTEs (DuckDB)."""
+    ks = ", ".join(str(k) for k in range(1, _HITS_OUT_DEG + 1))
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS v FROM documents),",
+        "n_docs AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src, (doc_id * 17 + k) % (SELECT n FROM n_docs) AS dst"
+        f" FROM documents, (SELECT unnest([{ks}]) AS k) ks),",
+        "h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes),",
+    ]
+    for i in range(_HITS_ITERS):
+        parts.append(
+            f"a{i + 1}raw AS (SELECT nodes.v, CAST(coalesce(s.s, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(h.h) AS s"
+            f" FROM edges e JOIN h{i} h ON h.v = e.src GROUP BY e.dst) s ON s.v = nodes.v),"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT v, CAST((1000000 * raw) // (SELECT max(raw) FROM a{i + 1}raw)"
+            f" AS BIGINT) AS a FROM a{i + 1}raw),"
+        )
+        parts.append(
+            f"h{i + 1}raw AS (SELECT nodes.v, CAST(coalesce(s.s, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN (SELECT e.src AS v, SUM(a.a) AS s"
+            f" FROM edges e JOIN a{i + 1} a ON a.v = e.dst GROUP BY e.src) s ON s.v = nodes.v),"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT v, CAST((1000000 * raw) // (SELECT max(raw) FROM h{i + 1}raw)"
+            f" AS BIGINT) AS h FROM h{i + 1}raw),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(
+        f"SELECT a{_HITS_ITERS}.v AS doc_id, a{_HITS_ITERS}.a AS auth_micro,"
+        f" h{_HITS_ITERS}.h AS hub_micro"
+        f" FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} ON a{_HITS_ITERS}.v = h{_HITS_ITERS}.v"
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM rarity scoring (CCNet-style head/middle/tail binning)
+# ---------------------------------------------------------------------------
+
+
+def q_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM rarity scoring with head/middle/tail binning — the
+    integer-deterministic stand-in for CCNet's perplexity bucketing
+    (docs scored by how surprising their tokens are under a corpus
+    LM; training pipelines keep head+middle and resample tail).
+    Token surprisal uses the repo's integer idf surrogate
+    (1000 * total_tokens) DIV term_count instead of -log p, which
+    preserves ordering for a fixed corpus; a doc's rarity is the mean
+    surprisal over its token OCCURRENCES; docs are then binned into
+    per-language terciles by nearest-rank (3*r <= n rules), so every
+    language shard gets its own head/middle/tail split exactly as
+    CCNet bins per language.
+
+    Scale shape: tokenize is map-only explode; the term-count table is
+    ONE combine-heavy groupBy(term) (vocab-sized output) joined back
+    broadcast; per-doc mean is groupBy(doc) with map-side partial
+    sums; the tercile window is partitioned BY LANGUAGE — bounded
+    partitions, never a global sort."""
+    docs = load(spark, sf, "documents")
+    words = _barrier(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+        ).filter(F.col("term") != "")
+    )
+    total = words.agg(F.count("*").alias("tot"))
+    surp = (
+        words.groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select("term", F.expr("(1000 * tot) DIV cnt").alias("surp"))
+    )
+    per_doc = (
+        words.join(F.broadcast(surp), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("surp").cast("long").alias("surp_sum"),
+        )
+        .withColumn("rarity_mean", F.expr("surp_sum DIV n_tokens"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.asc("rarity_mean"), F.asc("doc_id"))
+    nwin = Window.partitionBy("lang")
+    return (
+        per_doc.withColumn("r", F.row_number().over(win))
+        .withColumn("n", F.count("*").over(nwin))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "rarity_mean",
+            F.when(3 * F.col("r") <= F.col("n"), F.lit("head"))
+            .when(3 * F.col("r") <= 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+_LM_RARITY_SQL = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+  SELECT * FROM words WHERE term <> ''
+), total AS (SELECT count(*) AS tot FROM w),
+surp AS (
+  SELECT term, (1000 * (SELECT tot FROM total)) // CAST(count(*) AS BIGINT) AS surp
+  FROM w GROUP BY term
+), per_doc AS (
+  SELECT w.doc_id, w.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(surp.surp) AS BIGINT) AS surp_sum
+  FROM w JOIN surp ON w.term = surp.term
+  GROUP BY w.doc_id, w.lang
+), ranked AS (
+  SELECT doc_id, lang, n_tokens, surp_sum // n_tokens AS rarity_mean,
+         row_number() OVER (PARTITION BY lang ORDER BY surp_sum // n_tokens ASC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM per_doc
+)
+SELECT doc_id, lang, n_tokens, rarity_mean,
+       CASE WHEN 3 * r <= n THEN 'head'
+            WHEN 3 * r <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -1569,6 +1934,10 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_pack": q_token_pack,
     "registrable_domain": q_registrable_domain,
     "adaptive_quota": q_adaptive_quota,
+    "change_detect": q_change_detect,
+    "domain_quality": q_domain_quality,
+    "hits_scores": q_hits_scores,
+    "lm_rarity": q_lm_rarity,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -1590,4 +1959,8 @@ SCALE_ORACLES: dict[str, str] = {
     "token_pack": _PACK_SQL,
     "registrable_domain": _registrable_sql(),
     "adaptive_quota": _ADAPTIVE_QUOTA_SQL,
+    "change_detect": _CHANGE_SQL,
+    "domain_quality": _DOMAIN_QUALITY_SQL,
+    "hits_scores": _hits_sql(),
+    "lm_rarity": _LM_RARITY_SQL,
 }

@@ -836,3 +836,182 @@ def test_adaptive_quota_plugs_into_schedule_batch(spark):
     qmap = {r["host"]: r["quota"] for r in quotas.collect()}
     for h, n in got.items():
         assert n == min(150, qmap.get(h, 5)), (h, n, qmap.get(h))
+
+
+# ---------------------------------------------------------------------------
+# incremental crawl diff
+# ---------------------------------------------------------------------------
+
+
+def test_change_detect_statuses_match_replay(spark):
+    """Every status appears, and each row's status equals a pure-Python
+    replay of the two-round construction from the same parquet."""
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import q_change_detect
+
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF, "documents").collect()}
+    expect = {}
+    for d, text in docs.items():
+        in_prev = d % 10 != 7
+        in_cur = d % 10 != 3
+        changed = d % 5 == 0
+        if in_prev and not in_cur:
+            expect[d] = "deleted"
+        elif in_cur and not in_prev:
+            expect[d] = "added"
+        elif in_prev and in_cur:
+            expect[d] = "changed" if changed else "unchanged"
+    rows = {r["url_id"]: r for r in q_change_detect(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for d, r in rows.items():
+        assert r["status"] == expect[d], (d, r["status"], expect[d])
+    assert {r["status"] for r in rows.values()} == {
+        "added",
+        "deleted",
+        "changed",
+        "unchanged",
+    }
+
+
+def test_change_detect_is_one_join(spark):
+    """Snapshot diff must be a single co-partitioned join — one
+    SortMergeJoin/ShuffledHashJoin over the url key, nothing else."""
+    from crawler_spark.queries_scale import q_change_detect
+
+    plan = formatted_plan(q_change_detect(spark, SF))
+    # count detail nodes only — the formatted output also repeats each
+    # operator in the tree header
+    joins = len(
+        re.findall(r"\(\d+\)\s+(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    assert joins == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_domain_quality_verdict_arithmetic_and_mix(spark):
+    from crawler_spark.queries_scale import (
+        _DQ_BLOCK_MILLI,
+        _DQ_MIN_DOCS,
+        q_domain_quality,
+    )
+
+    # sf0.01: n_docs >= 10 per domain, so the block rule is live and
+    # both verdicts appear (sf0.001 has ~2 docs/domain -> all pass)
+    rows = q_domain_quality(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    verdicts = {r["blocked"] for r in rows}
+    assert verdicts == {True, False}
+    for r in rows:
+        assert 0 <= r["n_bad"] <= r["n_docs"]
+        assert r["bad_milli"] == (1000 * r["n_bad"]) // r["n_docs"]
+        assert r["blocked"] == (
+            r["bad_milli"] >= _DQ_BLOCK_MILLI and r["n_docs"] >= _DQ_MIN_DOCS
+        )
+
+
+def test_domain_quality_aggregates_map_side(spark):
+    """One partial-agg groupBy(domain): the count/sum must combine
+    before the exchange (partial_count in the pre-shuffle aggregate)."""
+    from crawler_spark.queries_scale import q_domain_quality
+
+    plan = formatted_plan(q_domain_quality(spark, SF))
+    assert re.search(r"partial_count", plan), plan
+    assert len(re.findall(r"Exchange", plan)) <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def test_hits_scores_match_pure_python(spark):
+    """3-iteration integer HITS replay over the same derived graph."""
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import (
+        _HITS_ITERS,
+        _HITS_OUT_DEG,
+        q_hits_scores,
+    )
+
+    ids = sorted(r["doc_id"] for r in load(spark, SF, "documents").collect())
+    n = len(ids)
+    out_edges = {v: [(v * 17 + k) % n for k in range(1, _HITS_OUT_DEG + 1)] for v in ids}
+    in_edges: dict[int, list[int]] = {v: [] for v in ids}
+    for s, ds in out_edges.items():
+        for d in ds:
+            in_edges[d].append(s)
+    h = {v: 1_000_000 for v in ids}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        raw = {v: sum(h[s] for s in in_edges[v]) for v in ids}
+        mx = max(raw.values())
+        a = {v: (1_000_000 * raw[v]) // mx for v in ids}
+        raw = {v: sum(a[d] for d in out_edges[v]) for v in ids}
+        mx = max(raw.values())
+        h = {v: (1_000_000 * raw[v]) // mx for v in ids}
+    rows = {r["doc_id"]: r for r in q_hits_scores(spark, SF).collect()}
+    assert set(rows) == set(ids)
+    for v in ids:
+        assert rows[v]["auth_micro"] == a[v], (v, rows[v]["auth_micro"], a[v])
+        assert rows[v]["hub_micro"] == h[v]
+    # max-normalization: the top node of each score sits exactly at 1e6
+    assert max(r["auth_micro"] for r in rows.values()) == 1_000_000
+    assert max(r["hub_micro"] for r in rows.values()) == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# unigram LM rarity binning
+# ---------------------------------------------------------------------------
+
+
+def test_lm_rarity_matches_pure_python_and_bins_exact_terciles(spark):
+    from collections import Counter
+
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import q_lm_rarity
+
+    docs = [
+        (r["doc_id"], r["lang"], [t for t in r["text"].split(" ") if t])
+        for r in load(spark, SF, "documents").collect()
+    ]
+    cnt = Counter(t for _, _, toks in docs for t in toks)
+    tot = sum(cnt.values())
+    surp = {t: (1000 * tot) // c for t, c in cnt.items()}
+    means = {
+        d: sum(surp[t] for t in toks) // len(toks) for d, _, toks in docs if toks
+    }
+    rows = q_lm_rarity(spark, SF).collect()
+    assert {r["doc_id"] for r in rows} == set(means)
+    for r in rows:
+        assert r["rarity_mean"] == means[r["doc_id"]]
+    # nearest-rank terciles, per language: bucket sizes are exact
+    from collections import defaultdict
+
+    bylang = defaultdict(list)
+    for r in rows:
+        bylang[r["lang"]].append(r)
+    for lang, rs in bylang.items():
+        n = len(rs)
+        by_bucket = Counter(r["bucket"] for r in rs)
+        assert by_bucket["head"] == n // 3
+        assert by_bucket["middle"] == (2 * n) // 3 - n // 3
+        assert by_bucket["tail"] == n - (2 * n) // 3
+        # head docs are the least rare within their language
+        head_max = max(
+            (r["rarity_mean"] for r in rs if r["bucket"] == "head"), default=0
+        )
+        tail_min = min(
+            (r["rarity_mean"] for r in rs if r["bucket"] == "tail"), default=1 << 60
+        )
+        assert head_max <= tail_min
+
+
+def test_lm_rarity_window_partitions_by_lang(spark):
+    from crawler_spark.queries_scale import q_lm_rarity
+
+    plan = formatted_plan(q_lm_rarity(spark, SF))
+    assert re.search(r"Window.*\[lang", plan, re.S), plan
