@@ -77,6 +77,9 @@ HEADLINE = [
     "domain_quality",
     "hits_scores",
     "lm_rarity",
+    "wet_export",
+    "sitemap_gap",
+    "host_graph",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

@@ -1667,6 +1667,23 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return warc_segments_to_records(docs_to_warc_segments(docs, docs_per_segment=100))
 
 
+def q_wet_export(spark: SparkSession, sf: str) -> DataFrame:
+    """WET export roundtrip (the Common Crawl text-extraction sidecar,
+    sources/warc.py::docs_to_wet_segments): encode the documents table
+    into conversion-record segments whose WARC-Refers-To header carries
+    the deterministic record id of the corresponding WARC response
+    capture, then parse the segments back. The oracle recomputes the
+    refers-to urn:uuid from md5(target_uri) in SQL, so the hash check
+    verifies the WET container framing AND the cross-archive id chain
+    (a WET row can be joined back to its WARC capture without parsing
+    the archive). Scale shape identical to warc_roundtrip: one hash
+    shuffle to build segments, narrow Arrow parse back."""
+    from .sources.warc import docs_to_wet_segments, wet_segments_to_records
+
+    docs = load(spark, sf, "documents")
+    return wet_segments_to_records(docs_to_wet_segments(docs, docs_per_segment=100))
+
+
 def q_warc_cdx(spark: SparkSession, sf: str) -> DataFrame:
     """CDX capture index over the WARC segments (sources/warc.py): byte
     offset + record length per response record — random access into a
@@ -2473,6 +2490,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": q_audio_stats,
     "robots_rules": q_robots_rules,
     "warc_roundtrip": q_warc_roundtrip,
+    "wet_export": q_wet_export,
     "link_rank": q_link_rank,
     "sitemap_roundtrip": q_sitemap_roundtrip,
     "redirect_resolve": q_redirect_resolve,
@@ -2513,3 +2531,19 @@ SELECT doc_id // 100 AS segment_id,
        CAST(octet_length(encode(text)) AS INT) AS content_length,
        md5(text) AS payload_md5
 FROM documents"""
+
+ORACLE_SQL["wet_export"] = """
+WITH u AS (
+  SELECT doc_id, text,
+         'https://corpus.example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri
+  FROM documents
+), h AS (
+  SELECT *, md5(target_uri) AS hh FROM u
+)
+SELECT doc_id // 100 AS segment_id, target_uri,
+       'urn:uuid:' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4) || '-'
+         || substr(hh, 13, 4) || '-' || substr(hh, 17, 4) || '-'
+         || substr(hh, 21, 12) AS refers_to,
+       CAST(octet_length(encode(text)) AS INT) AS content_length,
+       md5(text) AS payload_md5
+FROM h"""

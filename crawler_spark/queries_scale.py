@@ -1915,6 +1915,160 @@ SELECT doc_id, lang, n_tokens, rarity_mean,
 FROM ranked"""
 
 
+# ---------------------------------------------------------------------------
+# sitemap coverage audit (discovery gap between sitemap and crawl log)
+# ---------------------------------------------------------------------------
+
+
+def q_sitemap_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap coverage audit: the per-URL discovery gap between what a
+    host's sitemap advertises and what the crawler actually fetched —
+    'sitemap_only' rows are the enqueue backlog, 'crawled_only' rows
+    are orphan pages the site forgot to list (a real crawl-ops report;
+    Google Search Console's Coverage panel is exactly this join). The
+    sitemap side runs the REAL container path (docs_to_sitemaps XML
+    generation -> parse back), so the audit also covers the parser; the
+    crawled side is a deterministic subset (doc_id % 3 != 1) plus
+    orphan URLs (doc_id % 7 == 0) that no sitemap lists — all three
+    statuses appear at every SF.
+
+    Scale shape: sitemap build/parse is one bounded groupBy(host) +
+    narrow Arrow parse; the audit itself is ONE full-outer hash join on
+    the loc key, both sides co-partitioned — same snapshot-diff shape
+    as change_detect."""
+    from .sources.sitemap import docs_to_sitemaps, sitemaps_to_urls
+
+    docs = load(spark, sf, "documents")
+    sm = sitemaps_to_urls(docs_to_sitemaps(docs, n_hosts=50)).select("host", "loc")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org")
+    )
+    crawled = (
+        docs.filter(F.col("doc_id") % 3 != 1)
+        .select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit("/doc?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref=sitemap"),
+            ).alias("loc"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                host.alias("host"),
+                F.concat(
+                    F.lit("https://"),
+                    host,
+                    F.lit("/orphan?id="),
+                    F.col("doc_id").cast("string"),
+                ).alias("loc"),
+            )
+        )
+    )
+    j = sm.alias("s").join(crawled.alias("c"), F.col("s.loc") == F.col("c.loc"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s.host"), F.col("c.host")).alias("host"),
+        F.coalesce(F.col("s.loc"), F.col("c.loc")).alias("loc"),
+        F.when(F.col("s.loc").isNull(), F.lit("crawled_only"))
+        .when(F.col("c.loc").isNull(), F.lit("sitemap_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )
+
+
+_SITEMAP_GAP_SQL = """
+WITH sm AS (
+  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/doc?id='
+           || CAST(doc_id AS VARCHAR) || '&ref=sitemap' AS loc
+  FROM documents
+), crawled AS (
+  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/doc?id='
+           || CAST(doc_id AS VARCHAR) || '&ref=sitemap' AS loc
+  FROM documents WHERE doc_id % 3 <> 1
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/orphan?id='
+           || CAST(doc_id AS VARCHAR) AS loc
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT coalesce(s.host, c.host) AS host, coalesce(s.loc, c.loc) AS loc,
+       CASE WHEN s.loc IS NULL THEN 'crawled_only'
+            WHEN c.loc IS NULL THEN 'sitemap_only'
+            ELSE 'both' END AS status
+FROM sm s FULL OUTER JOIN crawled c ON s.loc = c.loc"""
+
+
+# ---------------------------------------------------------------------------
+# host-level graph collapse (weights + reciprocity)
+# ---------------------------------------------------------------------------
+
+
+def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph collapse: aggregate the page link graph (same derived
+    edges as q_link_rank: doc_id -> (doc_id*31+k) % n, k=1..3) to
+    host-level edges with weights and a reciprocity flag — the
+    structure link-spam detection and crawl partitioning run on (a
+    10^10-page graph collapses to a ~10^8-host graph that fits
+    standard graph tooling; reciprocal heavy pairs flag link farms).
+    Host = id % 50, internal = same host both sides.
+
+    Scale shape: page->host projection is map-only; ONE groupBy on the
+    (src_host, dst_host) pair (bounded key space, heavy map-side
+    combine — this is where 10^10 edges shrink to 10^8); reciprocity is
+    a self-join of the COLLAPSED table on the reversed pair key, cost
+    proportional to the host graph, never the page graph."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src_host"),
+        F.explode(
+            F.array(*[((F.col("doc_id") * 31 + F.lit(k)) % n) for k in range(1, 4)])
+        ).alias("dst"),
+    ).select("src_host", (F.col("dst") % 50).alias("dst_host"))
+    hg = _barrier(
+        edges.groupBy("src_host", "dst_host").agg(F.count("*").cast("long").alias("weight"))
+    )
+    rev = hg.select(
+        F.col("src_host").alias("r_dst"),
+        F.col("dst_host").alias("r_src"),
+    ).distinct()
+    return (
+        hg.join(
+            rev,
+            (hg.src_host == rev.r_src) & (hg.dst_host == rev.r_dst),
+            "left",
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            "weight",
+            (F.col("src_host") == F.col("dst_host")).alias("internal"),
+            F.col("r_src").isNotNull().alias("reciprocal"),
+        )
+    )
+
+
+_HOST_GRAPH_SQL = """
+WITH n_docs AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id % 50 AS src_host,
+         ((doc_id * 31 + k) % (SELECT n FROM n_docs)) % 50 AS dst_host
+  FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks
+), hg AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight
+  FROM edges GROUP BY src_host, dst_host
+)
+SELECT a.src_host, a.dst_host, a.weight,
+       a.src_host = a.dst_host AS internal,
+       b.src_host IS NOT NULL AS reciprocal
+FROM hg a LEFT JOIN (SELECT DISTINCT src_host, dst_host FROM hg) b
+  ON a.src_host = b.dst_host AND a.dst_host = b.src_host"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -1938,6 +2092,8 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quality": q_domain_quality,
     "hits_scores": q_hits_scores,
     "lm_rarity": q_lm_rarity,
+    "sitemap_gap": q_sitemap_gap,
+    "host_graph": q_host_graph,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -1963,4 +2119,6 @@ SCALE_ORACLES: dict[str, str] = {
     "domain_quality": _DOMAIN_QUALITY_SQL,
     "hits_scores": _hits_sql(),
     "lm_rarity": _LM_RARITY_SQL,
+    "sitemap_gap": _SITEMAP_GAP_SQL,
+    "host_graph": _HOST_GRAPH_SQL,
 }

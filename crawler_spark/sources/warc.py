@@ -40,6 +40,8 @@ __all__ = [
     "docs_to_warc_segments",
     "warc_segments_to_records",
     "warc_cdx",
+    "docs_to_wet_segments",
+    "wet_segments_to_records",
 ]
 
 _CRLF = b"\r\n"
@@ -53,26 +55,44 @@ def _record_id(uri: str) -> str:
 
 
 def warc_record_bytes(
-    uri: str, payload: bytes, date: str, warc_type: str = "response"
+    uri: str,
+    payload: bytes,
+    date: str,
+    warc_type: str = "response",
+    extra_headers: list[tuple[str, str]] | None = None,
+    record_key: str | None = None,
 ) -> bytes:
     """One spec-shaped WARC/1.0 record. ``date`` is supplied by the
     caller (deterministic in tests/bench — no wall clock in executors).
     Header values must not contain CR/LF: a target URI with an embedded
     ``\\r\\n`` would inject headers or shift the Content-Length framing
     and desynchronize every record after it — the exact attack the
-    length-driven parser exists to prevent, so the writer refuses it."""
-    for name, val in (("uri", uri), ("date", date), ("warc_type", warc_type)):
+    length-driven parser exists to prevent, so the writer refuses it.
+    ``record_key`` overrides the WARC-Record-ID derivation source (a
+    conversion record for the same URI must not collide with its
+    response record's id); ``extra_headers`` append after the target
+    URI (e.g. WARC-Refers-To for WET conversion records)."""
+    checks = [("uri", uri), ("date", date), ("warc_type", warc_type)]
+    checks.extend(extra_headers or [])
+    for name, val in checks:
         if "\r" in val or "\n" in val:
             raise ValueError(f"CR/LF in WARC header value {name}={val!r}")
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode("ascii"),
-        b"WARC-Record-ID: <" + _record_id(uri).encode("ascii") + b">",
+        b"WARC-Record-ID: <" + _record_id(record_key or uri).encode("ascii") + b">",
         b"WARC-Date: " + date.encode("ascii"),
         b"WARC-Target-URI: " + uri.encode("utf-8"),
-        b"Content-Type: text/plain",
-        b"Content-Length: " + str(len(payload)).encode("ascii"),
     ]
+    headers.extend(
+        k.encode("ascii") + b": " + v.encode("utf-8") for k, v in (extra_headers or [])
+    )
+    headers.extend(
+        [
+            b"Content-Type: text/plain",
+            b"Content-Length: " + str(len(payload)).encode("ascii"),
+        ]
+    )
     return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
 
 
@@ -127,6 +147,7 @@ def parse_warc_segment(blob: bytes) -> list[dict]:
                 "warc_type": headers.get("warc-type", ""),
                 "target_uri": headers.get("warc-target-uri", ""),
                 "date": headers.get("warc-date", ""),
+                "refers_to": headers.get("warc-refers-to", "").strip("<>"),
                 "payload": blob[body_start:body_end],
                 "offset": pos,  # record start — the CDX random-access key
                 "length": body_end + 4 - pos,
@@ -243,3 +264,91 @@ def warc_cdx(segments: DataFrame) -> DataFrame:
             )
 
     return segments.mapInPandas(_index, _CDX_SCHEMA)
+
+_WET_RECORD_SCHEMA = (
+    "segment_id long, target_uri string, refers_to string, "
+    "content_length int, payload_md5 string"
+)
+
+
+def docs_to_wet_segments(docs: DataFrame, docs_per_segment: int = 100) -> DataFrame:
+    """WET sink stage (the Common Crawl text-extraction sidecar): the
+    same segment framing as docs_to_warc_segments, but records are
+    ``WARC-Type: conversion`` whose payload is the EXTRACTED text and
+    whose ``WARC-Refers-To`` header points at the response record the
+    text was derived from (id = the same deterministic urn the response
+    writer assigns that URI, so a WET record can be joined back to its
+    WARC capture without parsing the archive). The conversion record's
+    own id derives from "conversion:" + uri — same URI, distinct id.
+
+    Scale shape: identical to the WARC sink — one hash shuffle on the
+    segment key, bytes built in doc_id order inside each group."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            uri = f"https://corpus.example.org/doc/{int(doc_id)}"
+            recs.append(
+                warc_record_bytes(
+                    uri,
+                    text.encode("utf-8"),
+                    f"2026-01-01T00:00:{int(doc_id) % 60:02d}Z",
+                    warc_type="conversion",
+                    extra_headers=[("WARC-Refers-To", f"<{_record_id(uri)}>")],
+                    record_key=f"conversion:{uri}",
+                )
+            )
+        info_payload = b"software: crawler_spark\r\nformat: WARC File Format 1.0"
+        seg = warc_record_bytes(
+            "urn:crawler-spark:warcinfo", info_payload, "2026-01-01T00:00:00Z", "warcinfo"
+        ) + b"".join(recs)
+        return pd.DataFrame(
+            {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "n_records": pd.Series([len(recs)], dtype="int32"),
+                "segment": [seg],
+            }
+        )
+
+    with_key = docs.select(
+        "doc_id",
+        "text",
+        F.expr(f"doc_id DIV {int(docs_per_segment)}").alias("segment_id"),
+    )
+    return with_key.groupBy("segment_id").applyInPandas(_build, _SEGMENT_SCHEMA)
+
+
+def wet_segments_to_records(segments: DataFrame) -> DataFrame:
+    """WET source stage: segments -> flat conversion-record rows with
+    the refers-to link (narrow, no shuffle)."""
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "segment_id": [],
+                "target_uri": [],
+                "refers_to": [],
+                "content_length": [],
+                "payload_md5": [],
+            }
+            for seg_id, blob in zip(pdf["segment_id"], pdf["segment"]):
+                for rec in parse_warc_segment(bytes(blob)):
+                    if rec["warc_type"] != "conversion":
+                        continue
+                    out["segment_id"].append(int(seg_id))
+                    out["target_uri"].append(rec["target_uri"])
+                    out["refers_to"].append(rec["refers_to"])
+                    out["content_length"].append(len(rec["payload"]))
+                    out["payload_md5"].append(hashlib.md5(rec["payload"]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "segment_id": pd.Series(out["segment_id"], dtype="int64"),
+                    "target_uri": pd.Series(out["target_uri"], dtype="object"),
+                    "refers_to": pd.Series(out["refers_to"], dtype="object"),
+                    "content_length": pd.Series(out["content_length"], dtype="int32"),
+                    "payload_md5": pd.Series(out["payload_md5"], dtype="object"),
+                }
+            )
+
+    return segments.mapInPandas(_parse, _WET_RECORD_SCHEMA)

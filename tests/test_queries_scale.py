@@ -1015,3 +1015,119 @@ def test_lm_rarity_window_partitions_by_lang(spark):
 
     plan = formatted_plan(q_lm_rarity(spark, SF))
     assert re.search(r"Window.*\[lang", plan, re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# sitemap coverage audit
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_gap_statuses_match_replay(spark):
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import q_sitemap_gap
+
+    ids = [r["doc_id"] for r in load(spark, SF, "documents").collect()]
+    sm = {
+        f"https://h{d % 50}.example.org/doc?id={d}&ref=sitemap" for d in ids
+    }
+    crawled = {
+        f"https://h{d % 50}.example.org/doc?id={d}&ref=sitemap"
+        for d in ids
+        if d % 3 != 1
+    } | {f"https://h{d % 50}.example.org/orphan?id={d}" for d in ids if d % 7 == 0}
+    expect = {}
+    for loc in sm | crawled:
+        if loc not in crawled:
+            expect[loc] = "sitemap_only"
+        elif loc not in sm:
+            expect[loc] = "crawled_only"
+        else:
+            expect[loc] = "both"
+    rows = {r["loc"]: r["status"] for r in q_sitemap_gap(spark, SF).collect()}
+    assert rows == expect
+    assert set(rows.values()) == {"sitemap_only", "crawled_only", "both"}
+
+
+def test_sitemap_gap_audit_is_one_join(spark):
+    """The audit join itself must be a single full-outer join on loc
+    (the sitemap parse side adds no extra join)."""
+    from crawler_spark.queries_scale import q_sitemap_gap
+
+    plan = formatted_plan(q_sitemap_gap(spark, SF))
+    joins = len(
+        re.findall(r"\(\d+\)\s+(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    assert joins == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# host-graph collapse
+# ---------------------------------------------------------------------------
+
+
+def test_host_graph_matches_pure_python(spark):
+    from collections import Counter
+
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import q_host_graph
+
+    ids = sorted(r["doc_id"] for r in load(spark, SF, "documents").collect())
+    n = len(ids)
+    pairs = Counter()
+    for d in ids:
+        for k in (1, 2, 3):
+            pairs[(d % 50, ((d * 31 + k) % n) % 50)] += 1
+    rows = {(r["src_host"], r["dst_host"]): r for r in q_host_graph(spark, SF).collect()}
+    assert set(rows) == set(pairs)
+    for key, r in rows.items():
+        assert r["weight"] == pairs[key]
+        assert r["internal"] == (key[0] == key[1])
+        assert r["reciprocal"] == ((key[1], key[0]) in pairs)
+    # total edge mass is conserved by the collapse
+    assert sum(r["weight"] for r in rows.values()) == 3 * n
+
+
+def test_host_graph_collapses_before_reciprocity_join(spark):
+    """The pair groupBy must combine map-side (10^10 page edges shrink
+    to the host graph BEFORE any join), and the reciprocity join runs
+    on the collapsed table."""
+    from crawler_spark.queries_scale import q_host_graph
+
+    plan = formatted_plan(q_host_graph(spark, SF))
+    assert re.search(r"partial_count", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# WET export (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wet_refers_to_matches_warc_response_record_id(spark):
+    """A WET conversion record's WARC-Refers-To must equal the id the
+    WARC writer assigns the SAME URI's response record, while the
+    conversion record's own id differs (no id collision)."""
+    from crawler_spark.sources.warc import (
+        _record_id,
+        docs_to_wet_segments,
+        parse_warc_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta"), (8, "gamma")], "doc_id long, text string"
+    )
+    segs = docs_to_wet_segments(docs, docs_per_segment=100).collect()
+    assert len(segs) == 1
+    recs = [
+        r for r in parse_warc_segment(bytes(segs[0]["segment"]))
+        if r["warc_type"] == "conversion"
+    ]
+    assert len(recs) == 2
+    blob = bytes(segs[0]["segment"])
+    for rec in recs:
+        uri = rec["target_uri"]
+        assert rec["refers_to"] == _record_id(uri)
+        # the conversion record's own id is the "conversion:"-keyed urn
+        own = _record_id(f"conversion:{uri}")
+        assert f"WARC-Record-ID: <{own}>".encode() in blob
+        assert own != rec["refers_to"]
+        assert rec["payload"].decode() in ("alpha beta", "gamma")
