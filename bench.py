@@ -80,6 +80,7 @@ HEADLINE = [
     "wet_export",
     "sitemap_gap",
     "host_graph",
+    "semdedup",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

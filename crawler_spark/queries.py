@@ -1026,6 +1026,69 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w))
 
 
+_SEMDEDUP_COS_MIN = 900  # milli-cosine within-cluster dedup threshold
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    embedding space, then remove near-duplicates WITHIN each cluster
+    only — the blocking that makes semantic dedup tractable at corpus
+    scale). Clusters reuse the IVF coarse quantizer (first nlist
+    vectors as deterministic centroids, broadcast max-cosine
+    assignment); candidate pairs form inside a cluster only; exact
+    fixed-point cosine >= 0.9 verifies; keep = min(vec_id) per dup.
+    Planted dups (every 10th vector re-appears at vec_id + 1e6) share
+    their original's embedding, hence provably its cluster, so recall
+    is testable. Same keep-min output contract as dedup_embedding_lsh.
+
+    Scale shape: assignment is a broadcast join (map-side, no
+    shuffle); the pair join is hash-partitioned on the cluster id, so
+    candidate generation never compares across clusters. Production
+    SemDeDup additionally caps cluster size (nlist ~ sqrt(N) keeps
+    E[cluster] ~ sqrt(N)); a skewed cluster here has the same
+    quadratic risk as an LSH hot bucket and would take the same
+    rep-collapse guard dedup_embedding_lsh applies."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _LSH_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_NLIST)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = _barrier(
+        corpus.join(F.broadcast(cents))
+        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
+        .withColumn("ark", F.row_number().over(w_assign))
+        .filter("ark = 1")
+        .select("vec_id", "embedding", "cent_id")
+    )
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "cent_id")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "cent_id")
+    scored = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cent_id", "id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+    )
+    return (
+        scored.filter(F.col("cos_milli") >= _SEMDEDUP_COS_MIN)
+        .groupBy("id_b", "cent_id")
+        .agg(
+            F.min("id_a").cast("long").alias("keep_vec_id"),
+            F.max("cos_milli").cast("long").alias("cos_milli"),
+        )
+        .select(
+            F.col("id_b").alias("dup_vec_id"),
+            F.col("cent_id").alias("cluster_id"),
+            "keep_vec_id",
+            "cos_milli",
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: per-user session ids from >30-minute inactivity
     gaps (lag + cumulative sum window), with per-session aggregates —
@@ -2442,8 +2505,35 @@ SELECT vec_id, cent_id, cos_milli,
 FROM scored QUALIFY rk <= 5"""
 
 
+def _semdedup_sql() -> str:
+    cosc = _cos_milli_duck("embedding", "ce")
+    cosp = _cos_milli_duck("ea", "eb")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_LSH_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+), cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, embedding, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {cosc} DESC, cent_id ASC) AS ark
+  FROM corpus, cents
+  QUALIFY ark = 1
+), pairs AS (
+  SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+), scored AS (SELECT cent_id, id_a, id_b, {cosp} AS cos_milli FROM pairs)
+SELECT id_b AS dup_vec_id, cent_id AS cluster_id,
+       CAST(min(id_a) AS BIGINT) AS keep_vec_id,
+       CAST(max(cos_milli) AS BIGINT) AS cos_milli
+FROM scored WHERE cos_milli >= {_SEMDEDUP_COS_MIN} GROUP BY id_b, cent_id"""
+
+
 ORACLE_SQL["dedup_embedding_lsh"] = _dedup_embedding_lsh_sql()
 ORACLE_SQL["ann_ivf_search"] = _ann_ivf_sql()
+ORACLE_SQL["semdedup"] = _semdedup_sql()
 
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2474,6 +2564,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_search": q_ann_lsh_search,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_ivf_search": q_ann_ivf_search,
+    "semdedup": q_semdedup,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "text_tokens_bpe": q_text_tokens_bpe,

@@ -113,3 +113,39 @@ def test_embedding_lsh_plan_joins_on_bucket_key(spark):
     assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin/SortMerge
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_recovers_planted_dups_within_clusters(spark):
+    """SemDeDup: identical planted vectors share their original's
+    max-cosine centroid, so every planted dup must be recovered, its
+    keeper must sit in the SAME cluster, and no reported pair may
+    cross clusters (the blocking contract)."""
+    from crawler_spark.queries import _SEMDEDUP_COS_MIN, q_semdedup
+
+    rows = q_semdedup(spark, SF).collect()
+    n_vecs = load(spark, SF, "embeddings").count()
+    out = {r.dup_vec_id: r for r in rows}
+    for v in range(0, n_vecs, 10):
+        r = out.get(v + _LSH_OFFSET)
+        assert r is not None, f"planted dup of vec {v} not recovered"
+        assert r.keep_vec_id <= v
+        assert r.cos_milli >= _SEMDEDUP_COS_MIN
+    # cluster ids come from the deterministic coarse quantizer
+    for r in rows:
+        assert 0 <= r.cluster_id < _IVF_NLIST
+        assert r.keep_vec_id < r.dup_vec_id
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    """Centroid assignment must be a broadcast join (map-side at
+    10^10 vectors), never a shuffled join of corpus x centroids."""
+    import re as _re
+
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import q_semdedup, release_query_barriers
+
+    plan = formatted_plan(q_semdedup(spark, SF))
+    release_query_barriers()
+    assert "BroadcastExchange" in plan, plan
+    # the centroid join specifically: corpus side joins a broadcast
+    assert _re.search(r"BroadcastNestedLoopJoin|BroadcastHashJoin", plan), plan
