@@ -990,6 +990,21 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 _IVF_NLIST = 8  # coarse centroids; nlist ~ sqrt(N) and nprobe>1 at scale
 
 
+def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (vec_id, embedding) row to its max-cosine coarse
+    centroid via a BROADCAST join (map-side, no shuffle; ties break on
+    cent_id asc). Shared by q_ann_ivf_search and q_semdedup so the
+    quantizer can never diverge between its consumers."""
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    return (
+        vectors.join(F.broadcast(cents))
+        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
+        .withColumn("ark", F.row_number().over(w_assign))
+        .filter("ark = 1")
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
 def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN search: deterministic coarse centroids (first nlist
     vectors by vec_id — a fixed coarse quantizer, the role k-means plays in
@@ -1004,14 +1019,7 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_IVF_NLIST)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
-        .withColumn("ark", F.row_number().over(w_assign))
-        .filter("ark = 1")
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = _ivf_assign(emb, cents)
     q = (
         assigned.orderBy("vec_id")
         .limit(1)
@@ -1042,12 +1050,16 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     is testable. Same keep-min output contract as dedup_embedding_lsh.
 
     Scale shape: assignment is a broadcast join (map-side, no
-    shuffle); the pair join is hash-partitioned on the cluster id, so
-    candidate generation never compares across clusters. Production
-    SemDeDup additionally caps cluster size (nlist ~ sqrt(N) keeps
-    E[cluster] ~ sqrt(N)); a skewed cluster here has the same
-    quadratic risk as an LSH hot bucket and would take the same
-    rep-collapse guard dedup_embedding_lsh applies."""
+    shuffle) shared with q_ann_ivf_search (_ivf_assign); the pair join
+    is hash-partitioned on the cluster id, so candidate generation
+    never compares across clusters. The in-cluster pair count is
+    quadratic in CLUSTER size, which is why production SemDeDup picks
+    nlist ∝ N to bound clusters (the paper's 50k clusters for LAION;
+    _IVF_NLIST=8 is a fixture constant, not the scale setting) — and
+    why identical vectors are collapsed to one representative before
+    the pair join (same guard as dedup_embedding_lsh; the planted
+    copies would otherwise double hot-cluster pair counts), then
+    expanded back losslessly via _lsh_expand_groups."""
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + _LSH_OFFSET).alias("vec_id"), "embedding"
@@ -1058,34 +1070,64 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_IVF_NLIST)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    assigned = _barrier(
-        corpus.join(F.broadcast(cents))
-        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
-        .withColumn("ark", F.row_number().over(w_assign))
-        .filter("ark = 1")
-        .select("vec_id", "embedding", "cent_id")
+    # identical-vector rep collapse (hot-cluster guard): only group
+    # representatives are assigned and paired; members share their
+    # rep's embedding, hence provably its cluster and all its cosines
+    keyed = _barrier(corpus.withColumn("ekey", F.md5(F.col("embedding").cast("string"))))
+    groups = keyed.groupBy("ekey").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("grp_n")
     )
+    members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select(
+        F.col("vec_id").alias("doc_id"), "rep_id"
+    )
+    reps_vec = keyed.join(
+        groups.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    assigned = _barrier(_ivf_assign(reps_vec, cents))
     a = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "cent_id")
     b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "cent_id")
-    scored = (
+    ok_pairs = (
         a.join(b, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("cent_id", "id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+        .select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+        .filter(F.col("cos_milli") >= _SEMDEDUP_COS_MIN)
     )
-    return (
-        scored.filter(F.col("cos_milli") >= _SEMDEDUP_COS_MIN)
-        .groupBy("id_b", "cent_id")
-        .agg(
-            F.min("id_a").cast("long").alias("keep_vec_id"),
-            F.max("cos_milli").cast("long").alias("cos_milli"),
+    edges = ok_pairs.select(
+        F.col("id_a").alias("rep_id"),
+        F.col("id_b").alias("partner_min"),
+        F.col("cos_milli").alias("score"),
+    ).unionByName(
+        ok_pairs.select(
+            F.col("id_b").alias("rep_id"),
+            F.col("id_a").alias("partner_min"),
+            F.col("cos_milli").alias("score"),
+        )
+    )
+    # identical-copy pairs score at the rep's self-cosine (same
+    # fixed-point formula the naive pipeline computes for them)
+    self_edges = (
+        groups.filter(F.col("grp_n") >= 2)
+        .join(
+            assigned.withColumnRenamed("vec_id", "rep_id").select("rep_id", "embedding"),
+            "rep_id",
         )
         .select(
-            F.col("id_b").alias("dup_vec_id"),
-            F.col("cent_id").alias("cluster_id"),
-            "keep_vec_id",
-            "cos_milli",
+            "rep_id",
+            F.col("rep_id").alias("partner_min"),
+            _cos_milli_col("embedding", "embedding").alias("score"),
         )
+        .filter(F.col("score") >= _SEMDEDUP_COS_MIN)
+    )
+    expanded = _lsh_expand_groups(members, edges.unionByName(self_edges))
+    # a dup's cluster is its rep's cluster (identical embedding)
+    dup_cluster = members.join(
+        assigned.select(F.col("vec_id").alias("rep_id"), "cent_id"), "rep_id"
+    ).select(F.col("doc_id").alias("dup_id"), "cent_id")
+    return expanded.join(dup_cluster, "dup_id").select(
+        F.col("dup_id").alias("dup_vec_id"),
+        F.col("cent_id").alias("cluster_id"),
+        F.col("keep_id").cast("long").alias("keep_vec_id"),
+        F.col("score").cast("long").alias("cos_milli"),
     )
 
 

@@ -1845,9 +1845,12 @@ def q_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: tokenize is map-only explode; the term-count table is
     ONE combine-heavy groupBy(term) (vocab-sized output) joined back
-    broadcast; per-doc mean is groupBy(doc) with map-side partial
-    sums; the tercile window is partitioned BY LANGUAGE — bounded
-    partitions, never a global sort."""
+    on term — a plain hash join, broadcastable when the vocab fits
+    (AQE decides; a forced broadcast hint would fail on a web-scale
+    vocabulary — same policy as q_tfidf_topk); per-doc mean is
+    groupBy(doc) with map-side partial sums; the tercile window is
+    partitioned BY LANGUAGE — bounded partitions, never a global
+    sort."""
     docs = load(spark, sf, "documents")
     words = _barrier(
         docs.select(
@@ -1862,7 +1865,7 @@ def q_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
         .select("term", F.expr("(1000 * tot) DIV cnt").alias("surp"))
     )
     per_doc = (
-        words.join(F.broadcast(surp), "term")
+        words.join(surp, "term")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -2032,10 +2035,13 @@ def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
     hg = _barrier(
         edges.groupBy("src_host", "dst_host").agg(F.count("*").cast("long").alias("weight"))
     )
+    # hg is unique on the pair (it is the groupBy output), so the
+    # reversed-key projection needs no distinct — and the left join can
+    # never fan out
     rev = hg.select(
         F.col("src_host").alias("r_dst"),
         F.col("dst_host").alias("r_src"),
-    ).distinct()
+    )
     return (
         hg.join(
             rev,

@@ -27,6 +27,7 @@ idempotent and the roundtrip is oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -45,6 +46,7 @@ __all__ = [
 ]
 
 _CRLF = b"\r\n"
+_HEADER_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9-]*")
 
 
 def _record_id(uri: str) -> str:
@@ -77,6 +79,12 @@ def warc_record_bytes(
     for name, val in checks:
         if "\r" in val or "\n" in val:
             raise ValueError(f"CR/LF in WARC header value {name}={val!r}")
+    # header NAMES are as injectable as values: a name with an embedded
+    # CRLF forges whole header lines, and one containing ': ' splits
+    # early in the parser — restrict to the spec's token shape
+    for name, _ in extra_headers or []:
+        if not _HEADER_NAME_RE.fullmatch(name):
+            raise ValueError(f"bad WARC header name {name!r}")
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode("ascii"),
@@ -96,15 +104,19 @@ def warc_record_bytes(
     return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
 
 
+def _warcinfo_record() -> bytes:
+    """The shared segment-header record — one definition so WARC and WET
+    segments can never drift in their warcinfo payload or date."""
+    info_payload = b"software: crawler_spark\r\nformat: WARC File Format 1.0"
+    return warc_record_bytes(
+        "urn:crawler-spark:warcinfo", info_payload, "2026-01-01T00:00:00Z", "warcinfo"
+    )
+
+
 def warc_segment_bytes(records: list[tuple[str, bytes, str]]) -> bytes:
     """A full segment: warcinfo header record + response records.
     ``records``: [(uri, payload, date), ...] in the intended order."""
-    info_payload = b"software: crawler_spark\r\nformat: WARC File Format 1.0"
-    out = [
-        warc_record_bytes(
-            "urn:crawler-spark:warcinfo", info_payload, "2026-01-01T00:00:00Z", "warcinfo"
-        )
-    ]
+    out = [_warcinfo_record()]
     out.extend(warc_record_bytes(u, p, d) for u, p, d in records)
     return b"".join(out)
 
@@ -299,10 +311,7 @@ def docs_to_wet_segments(docs: DataFrame, docs_per_segment: int = 100) -> DataFr
                     record_key=f"conversion:{uri}",
                 )
             )
-        info_payload = b"software: crawler_spark\r\nformat: WARC File Format 1.0"
-        seg = warc_record_bytes(
-            "urn:crawler-spark:warcinfo", info_payload, "2026-01-01T00:00:00Z", "warcinfo"
-        ) + b"".join(recs)
+        seg = _warcinfo_record() + b"".join(recs)
         return pd.DataFrame(
             {
                 "segment_id": [int(pdf["segment_id"].iloc[0])],

@@ -115,25 +115,63 @@ def test_embedding_lsh_plan_joins_on_bucket_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _cos_milli_py(va, vb):
+    """Pure-python replay of _cos_milli_col's fixed-point cosine (same
+    IEEE double ops, so results match Spark/DuckDB bit-for-bit)."""
+    import math
+
+    fa = [math.floor(float(x) * 1000) for x in va]
+    fb = [math.floor(float(x) * 1000) for x in vb]
+    dot = sum(int(a) * int(b) for a, b in zip(fa, fb))
+    na = sum(int(a) * int(a) for a in fa)
+    nb = sum(int(b) * int(b) for b in fb)
+    if na == 0 or nb == 0:
+        return None
+    return math.floor(1000.0 * dot / math.sqrt(float(na) * float(nb)))
+
+
 def test_semdedup_recovers_planted_dups_within_clusters(spark):
     """SemDeDup: identical planted vectors share their original's
     max-cosine centroid, so every planted dup must be recovered, its
     keeper must sit in the SAME cluster, and no reported pair may
-    cross clusters (the blocking contract)."""
+    cross clusters (the blocking contract) — clusters replayed in
+    pure python from the deterministic coarse quantizer."""
     from crawler_spark.queries import _SEMDEDUP_COS_MIN, q_semdedup
 
     rows = q_semdedup(spark, SF).collect()
-    n_vecs = load(spark, SF, "embeddings").count()
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in load(spark, SF, "embeddings").collect()
+    }
+    n_vecs = len(vecs)
+    corpus = dict(vecs)
+    for v in range(0, n_vecs, 10):
+        corpus[v + _LSH_OFFSET] = vecs[v]
+    cents = {cid: vecs[cid] for cid in sorted(vecs)[:_IVF_NLIST]}
+
+    def cluster_of(vid):
+        scored = [
+            (c, _cos_milli_py(corpus[vid], ce)) for c, ce in sorted(cents.items())
+        ]
+        # max cosine, ties (and all-NULL zero vectors) -> min cent_id
+        best = max(
+            scored, key=lambda t: (t[1] if t[1] is not None else -(1 << 60), -t[0])
+        )
+        return best[0]
+
     out = {r.dup_vec_id: r for r in rows}
     for v in range(0, n_vecs, 10):
         r = out.get(v + _LSH_OFFSET)
         assert r is not None, f"planted dup of vec {v} not recovered"
         assert r.keep_vec_id <= v
         assert r.cos_milli >= _SEMDEDUP_COS_MIN
-    # cluster ids come from the deterministic coarse quantizer
+    # blocking contract: the reported cluster is the dup's replayed
+    # cluster AND the keeper's — no pair crosses clusters
     for r in rows:
         assert 0 <= r.cluster_id < _IVF_NLIST
         assert r.keep_vec_id < r.dup_vec_id
+        assert r.cluster_id == cluster_of(r.dup_vec_id), r
+        assert r.cluster_id == cluster_of(r.keep_vec_id), r
 
 
 def test_semdedup_assignment_broadcasts_centroids(spark):

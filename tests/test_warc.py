@@ -126,3 +126,35 @@ def test_crlf_in_header_values_refused():
         )
     with pytest.raises(ValueError, match="CR/LF"):
         warc_record_bytes("https://h.org/x", b"x", "2026-01-01\n")
+
+
+def test_writer_refuses_header_name_injection():
+    """A crafted extra-header NAME with embedded CRLF (or ': ') would
+    forge whole header lines / split early in the parser — the writer
+    must refuse names outside the spec token shape."""
+    import pytest
+
+    from crawler_spark.sources.warc import warc_record_bytes
+
+    for bad in (
+        "X-Evil\r\nWARC-Target-URI",
+        "X-Evil: sneaky",
+        "X Evil",
+        "",
+        "-leading-dash",
+    ):
+        with pytest.raises(ValueError):
+            warc_record_bytes(
+                "https://a.example.org/",
+                b"p",
+                "2026-01-01T00:00:00Z",
+                extra_headers=[(bad, "v")],
+            )
+    # a legitimate name still passes
+    rec = warc_record_bytes(
+        "https://a.example.org/",
+        b"p",
+        "2026-01-01T00:00:00Z",
+        extra_headers=[("WARC-Refers-To", "<urn:uuid:x>")],
+    )
+    assert b"WARC-Refers-To: <urn:uuid:x>\r\n" in rec
