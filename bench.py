@@ -81,6 +81,7 @@ HEADLINE = [
     "sitemap_gap",
     "host_graph",
     "semdedup",
+    "robots_sitemaps",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

@@ -287,6 +287,61 @@ def parse_robots_txt(
     return list(dis), list(allow), delay_ms
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """Extract ``Sitemap:`` directives from a robots.txt body — the
+    discovery hook that links politeness to the sitemap source (a
+    crawler that fetches robots.txt gets the host's sitemap URLs for
+    free; sitemaps.org specifies the directive lives in robots.txt).
+    Per the spec, Sitemap lines are record-INDEPENDENT: they apply
+    regardless of user-agent grouping, so this scans every line, not
+    the winning group. Absolute http(s) URLs only; duplicates keep
+    first; order of appearance preserved."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if not (val.startswith("http://") or val.startswith("https://")):
+            continue
+        if val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
+
+
+ROBOTS_SITEMAPS_SCHEMA = "host string, rank int, sitemap_url string"
+
+
+def robots_sitemaps_from_bodies(bodies: DataFrame) -> DataFrame:
+    """Distributed Sitemap-directive extraction: (host, robots_txt) ->
+    one (host, rank, sitemap_url) row per directive, rank = order of
+    appearance. Narrow mapInPandas, embarrassingly parallel; the output
+    feeds sources/sitemap.py::sitemaps_to_urls for frontier seeding."""
+
+    def _parse(it):
+        for pdf in it:
+            out = {"host": [], "rank": [], "sitemap_url": []}
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                for i, sm in enumerate(parse_robots_sitemaps(body or "")):
+                    out["host"].append(host)
+                    out["rank"].append(i)
+                    out["sitemap_url"].append(sm)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(out["host"], dtype="object"),
+                    "rank": pd.Series(out["rank"], dtype="int32"),
+                    "sitemap_url": pd.Series(out["sitemap_url"], dtype="object"),
+                }
+            )
+
+    return bodies.mapInPandas(_parse, ROBOTS_SITEMAPS_SCHEMA)
+
+
 def robots_rules_from_bodies(
     bodies: DataFrame, user_agent: str = "*"
 ) -> DataFrame:

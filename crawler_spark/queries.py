@@ -1294,6 +1294,16 @@ def _robots_body(k: int) -> str:
         lines.append("Disallow: /*.tmp$")
     if k % 5 == 0:
         lines += ["", "User-agent: specialbot", "Disallow: /"]
+    # Sitemap directives (record-independent per sitemaps.org; ignored
+    # by the rule parser, extracted by parse_robots_sitemaps): k%2 hosts
+    # advertise one, k%8 hosts add a second plus a duplicate (keep-first)
+    # and a relative URL the extractor must refuse
+    if k % 2 == 0:
+        lines.append(f"Sitemap: https://h{k}.example.org/sitemap.xml")
+    if k % 8 == 0:
+        lines.append(f"Sitemap: https://h{k}.example.org/sitemap-news.xml")
+        lines.append(f"Sitemap: https://h{k}.example.org/sitemap.xml")
+        lines.append("Sitemap: /relative-sitemap.xml")
     return "\n".join(lines)
 
 
@@ -1331,6 +1341,37 @@ def _robots_rules_sql() -> str:
     return (
         "SELECT host, disallow, allow, CAST(crawl_delay_ms AS INT) AS crawl_delay_ms\n"
         "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(host, disallow, allow, crawl_delay_ms)"
+    )
+
+
+def q_robots_sitemaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (the sitemaps.org directive —
+    a crawler gets each host's sitemap URLs from the robots fetch it
+    already makes; the extracted URLs feed sources/sitemap.py for
+    frontier seeding). Runs the distributed extractor over the same
+    synthetic bodies as robots_rules, covering: hosts with zero/one/
+    multiple directives, duplicate directives (keep-first), and a
+    relative URL the extractor refuses. Oracle = the same pure
+    function as VALUES literals. Map-only narrow stage."""
+    from .operators.politeness import robots_sitemaps_from_bodies
+
+    bodies = spark.createDataFrame(
+        [(f"h{k}.example.org", _robots_body(k)) for k in range(N_ROBOTS)],
+        "host string, robots_txt string",
+    )
+    return robots_sitemaps_from_bodies(bodies)
+
+
+def _robots_sitemaps_sql() -> str:
+    from .operators.politeness import parse_robots_sitemaps
+
+    rows = []
+    for k in range(N_ROBOTS):
+        for i, sm in enumerate(parse_robots_sitemaps(_robots_body(k))):
+            rows.append("('h%d.example.org', %d, '%s')" % (k, i, sm))
+    return (
+        "SELECT host, CAST(rank AS INT) AS rank, sitemap_url\n"
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(host, rank, sitemap_url)"
     )
 
 
@@ -2276,6 +2317,7 @@ SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "video_frames": _video_frames_sql(),
     "audio_stats": _audio_stats_sql(),
     "robots_rules": _robots_rules_sql(),
+    "robots_sitemaps": _robots_sitemaps_sql(),
     "ann_lsh_search": None,  # filled below (needs the bucket expr)
     "sessionize": """
 WITH gapped AS (
@@ -2622,6 +2664,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "audio_stats": q_audio_stats,
     "robots_rules": q_robots_rules,
+    "robots_sitemaps": q_robots_sitemaps,
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
     "link_rank": q_link_rank,

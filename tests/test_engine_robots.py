@@ -261,3 +261,61 @@ def test_robots_allow_parsed_from_body_end_to_end(spark):
     )
     kept = sorted(r.url for r in robots_filter(urls, bcast).collect())
     assert kept == ["https://a.org/docs/public/x", "https://a.org/home"]
+
+
+def test_parse_robots_sitemaps_record_independent_and_keepfirst():
+    """Sitemap directives are record-independent (extracted wherever
+    they appear, before/inside/after user-agent groups), keep-first
+    deduped, and relative URLs are refused."""
+    from crawler_spark.operators.politeness import (
+        parse_robots_sitemaps,
+        parse_robots_txt,
+    )
+
+    body = "\n".join(
+        [
+            "Sitemap: https://a.org/before.xml",
+            "User-agent: *",
+            "Disallow: /x",
+            "Sitemap: https://a.org/mid.xml  # comment",
+            "",
+            "User-agent: specialbot",
+            "Disallow: /",
+            "Sitemap: https://a.org/after.xml",
+            "Sitemap: https://a.org/before.xml",  # dup -> keep first
+            "Sitemap: /relative.xml",  # refused
+            "sitemap: HTTPS://a.org/CASE.xml",  # key case-insensitive
+        ]
+    )
+    assert parse_robots_sitemaps(body) == [
+        "https://a.org/before.xml",
+        "https://a.org/mid.xml",
+        "https://a.org/after.xml",
+    ]
+    # ...and the rule parser is unperturbed by the directives
+    dis, allow, delay = parse_robots_txt(body)
+    assert dis == ["/x"] and allow == [] and delay == 0
+
+
+def test_robots_sitemaps_distributed_matches_pure(spark):
+    from crawler_spark.operators.politeness import (
+        parse_robots_sitemaps,
+        robots_sitemaps_from_bodies,
+    )
+
+    cases = [
+        ("h0", "Sitemap: https://h0/s1.xml\nSitemap: https://h0/s2.xml"),
+        ("h1", "User-agent: *\nDisallow: /"),
+        ("h2", None),
+    ]
+    bodies = spark.createDataFrame(cases, "host string, robots_txt string")
+    got = {
+        (r.host, r.rank): r.sitemap_url
+        for r in robots_sitemaps_from_bodies(bodies).collect()
+    }
+    expect = {}
+    for host, body in cases:
+        for i, sm in enumerate(parse_robots_sitemaps(body or "")):
+            expect[(host, i)] = sm
+    assert got == expect
+    assert got == {("h0", 0): "https://h0/s1.xml", ("h0", 1): "https://h0/s2.xml"}
