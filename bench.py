@@ -82,6 +82,7 @@ HEADLINE = [
     "host_graph",
     "semdedup",
     "robots_sitemaps",
+    "seed_ppr",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

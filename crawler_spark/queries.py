@@ -1712,6 +1712,83 @@ def _link_rank_sql() -> str:
     return "\n".join(parts)
 
 
+_PPR_ITERS = 4
+_PPR_SEED_MOD = 37  # doc_id % 37 == 0 -> seed (a curated whitelist stand-in)
+
+
+def q_seed_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from a seed whitelist — the focused-crawl
+    prioritization signal (TrustRank-style: teleport mass restarts at
+    CURATED seeds only, so score measures proximity to trusted pages;
+    pages unreachable from seeds score 0 and a focused crawler skips
+    them). Same derived link graph and fixed-point micro-unit
+    arithmetic as q_link_rank, but the restart term 150000 lands on
+    seeds (doc_id % 37 == 0) instead of every node:
+    r' = is_seed * 150000 + (85 * sum(r_in DIV outdeg)) DIV 100,
+    4 synchronous iterations. Integer sums keep the unrolled-CTE
+    DuckDB oracle hash-exact.
+
+    Scale shape: identical to q_link_rank — each iteration is one
+    hash join (ranks x edges) + one map-side-combined groupBy(dst);
+    edges scanned from the persisted barrier. Lineage stays linear
+    (each iteration references its predecessor once), so no
+    checkpoint is needed."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    edges = _barrier(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[((F.col("doc_id") * 31 + F.lit(k)) % n) for k in range(1, _RANK_OUT_DEG + 1)]
+                )
+            ).alias("dst"),
+        )
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("v"),
+        (F.col("doc_id") % _PPR_SEED_MOD == 0).cast("long").alias("is_seed"),
+    )
+    ranks = nodes.select("v", (F.col("is_seed") * 1_000_000).cast("long").alias("r"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .select("dst", F.expr(f"r DIV {_RANK_OUT_DEG}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.v == contrib.dst, "left").select(
+            "v",
+            (F.col("is_seed") * 150_000 + F.expr("(85 * coalesce(c, 0)) DIV 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("ppr_micro"))
+
+
+def _seed_ppr_sql() -> str:
+    """The q_seed_ppr recurrence unrolled as chained CTEs (DuckDB)."""
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS v,"
+        f" CASE WHEN doc_id % {_PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed FROM documents),",
+        "n_docs AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM n_docs) AS dst"
+        " FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks),",
+        "r0 AS (SELECT v, CAST(is_seed * 1000000 AS BIGINT) AS r FROM nodes),",
+    ]
+    for i in range(_PPR_ITERS):
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.v,"
+            f" CAST(nodes.is_seed * 150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(r.r // {_RANK_OUT_DEG}) AS c"
+            f" FROM edges e JOIN r{i} r ON r.v = e.src GROUP BY e.dst) s ON s.v = nodes.v),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(f"SELECT v AS doc_id, r AS ppr_micro FROM r{_PPR_ITERS}")
+    return "\n".join(parts)
+
+
 _REDIRECT_HOPS = 4
 
 
@@ -2668,6 +2745,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
     "link_rank": q_link_rank,
+    "seed_ppr": q_seed_ppr,
     "sitemap_roundtrip": q_sitemap_roundtrip,
     "redirect_resolve": q_redirect_resolve,
     "warc_cdx": q_warc_cdx,
@@ -2701,6 +2779,7 @@ SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
 FROM documents"""
 
 ORACLE_SQL["link_rank"] = _link_rank_sql()
+ORACLE_SQL["seed_ppr"] = _seed_ppr_sql()
 ORACLE_SQL["warc_roundtrip"] = """
 SELECT doc_id // 100 AS segment_id,
        'https://corpus.example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,

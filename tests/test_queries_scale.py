@@ -1131,3 +1131,43 @@ def test_wet_refers_to_matches_warc_response_record_id(spark):
         assert f"WARC-Record-ID: <{own}>".encode() in blob
         assert own != rec["refers_to"]
         assert rec["payload"].decode() in ("alpha beta", "gamma")
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank from seeds
+# ---------------------------------------------------------------------------
+
+
+def test_seed_ppr_matches_pure_python_and_concentrates_on_seeds(spark):
+    """4-iteration integer PPR replay; restart mass lands on seeds only,
+    so every seed scores >= the restart term and the mean seed score
+    exceeds the mean non-seed score (proximity-to-whitelist signal)."""
+    from crawler_spark.queries import (
+        _PPR_ITERS,
+        _PPR_SEED_MOD,
+        _RANK_OUT_DEG,
+        load,
+        q_seed_ppr,
+    )
+
+    ids = sorted(r["doc_id"] for r in load(spark, SF, "documents").collect())
+    n = len(ids)
+    out_edges = {v: [(v * 31 + k) % n for k in range(1, _RANK_OUT_DEG + 1)] for v in ids}
+    in_edges: dict[int, list[int]] = {v: [] for v in ids}
+    for s, ds in out_edges.items():
+        for d in ds:
+            in_edges[d].append(s)
+    seed = {v: 1 if v % _PPR_SEED_MOD == 0 else 0 for v in ids}
+    r = {v: seed[v] * 1_000_000 for v in ids}
+    for _ in range(_PPR_ITERS):
+        r = {
+            v: seed[v] * 150_000
+            + (85 * sum(r[s] // _RANK_OUT_DEG for s in in_edges[v])) // 100
+            for v in ids
+        }
+    rows = {x["doc_id"]: x["ppr_micro"] for x in q_seed_ppr(spark, SF).collect()}
+    assert rows == r
+    seeds = [v for v in ids if seed[v]]
+    non = [v for v in ids if not seed[v]]
+    assert all(rows[v] >= 150_000 for v in seeds)
+    assert sum(rows[v] for v in seeds) / len(seeds) > sum(rows[v] for v in non) / len(non)
