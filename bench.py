@@ -83,6 +83,7 @@ HEADLINE = [
     "semdedup",
     "robots_sitemaps",
     "seed_ppr",
+    "url_identity",
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",

@@ -1919,6 +1919,117 @@ FROM ranked"""
 
 
 # ---------------------------------------------------------------------------
+# canonical URL identity (redirect aliases + identical content -> one page)
+# ---------------------------------------------------------------------------
+
+# pointer-doubling schedule: two more rounds than _CC_STAGES because the
+# alias graph composes two star families (redirect-terminal stars and
+# fingerprint stars) whose overlap chains deeper than either alone; the
+# fixpoint test pins that one extra stage changes nothing
+_IDENTITY_STAGES = ("hook", "jump") * 4 + ("hook",)
+_IDENTITY_HOPS = 4  # same bound as queries.py::_REDIRECT_HOPS
+
+
+def q_url_identity(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical URL identity: the alias table a crawler maintains so
+    two frontier entries that are THE SAME PAGE count once — aliases
+    arise from redirect chains (301 to a terminal) and from byte-
+    identical content served at different URLs; both must be closed
+    TRANSITIVELY (A redirects to B, C carries B's bytes => {A,B,C} is
+    one identity). Composes three operators this repo already proves:
+    the 4-hop redirect resolution (terminal stars only — a redirect
+    CYCLE never yields content, so its members are parked as distinct,
+    not aliased), exact-fingerprint grouping (md5(text) star to the
+    group minimum), and hook/jump label propagation over the union.
+    Output: (doc_id, identity_rep = min doc id of the identity group,
+    group_size) for every doc — the downstream frontier-dedup filter
+    is identity_rep == doc_id.
+
+    Scale shape: redirect resolution is _IDENTITY_HOPS bounded hash
+    joins; fingerprint stars are one groupBy(md5) with map-side
+    combine; CC runs over the ALIAS edges only (orders of magnitude
+    smaller than the corpus) in O(log diameter) stages, lineage
+    truncated per stage by _label_propagate."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    redirects = _barrier(
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
+        )
+    )
+    cur = docs.select(
+        F.col("doc_id").alias("start_id"), F.col("doc_id").alias("cur")
+    )
+    for _ in range(_IDENTITY_HOPS):
+        cur = cur.join(redirects, cur.cur == redirects.src, "left").select(
+            "start_id", F.coalesce("dst", "cur").alias("cur")
+        )
+    resolved = cur.join(redirects, cur.cur == redirects.src, "left").select(
+        "start_id", F.col("cur").alias("final_id"), F.col("src").isNull().alias("terminal")
+    )
+    r_edges = resolved.filter(
+        F.col("terminal") & (F.col("start_id") != F.col("final_id"))
+    ).select(F.col("start_id").alias("a"), F.col("final_id").alias("b"))
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    fmin = fp.groupBy("fp").agg(F.min("doc_id").alias("fp_min"))
+    f_edges = (
+        fp.join(fmin, "fp")
+        .filter(F.col("doc_id") != F.col("fp_min"))
+        .select(F.col("doc_id").alias("a"), F.col("fp_min").alias("b"))
+    )
+    e0 = r_edges.unionByName(f_edges)
+    edges = e0.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    ids = docs.select(F.col("doc_id").alias("v"))
+    lab = _label_propagate(ids, edges, stages=_IDENTITY_STAGES)
+    sizes = lab.groupBy("lab").agg(F.count("*").cast("long").alias("group_size"))
+    return lab.join(sizes, "lab").select(
+        F.col("v").alias("doc_id"),
+        F.col("lab").alias("identity_rep"),
+        "group_size",
+    )
+
+
+def _url_identity_sql() -> str:
+    parts = [
+        "WITH n_docs AS (SELECT count(*) AS n FROM documents),",
+        "redirects AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n_docs) AS dst"
+        " FROM documents WHERE doc_id % 3 = 1),",
+        "c0 AS (SELECT doc_id AS start_id, doc_id AS cur FROM documents),",
+    ]
+    for i in range(_IDENTITY_HOPS):
+        parts.append(
+            f"c{i + 1} AS (SELECT start_id, COALESCE(r.dst, c.cur) AS cur"
+            f" FROM c{i} c LEFT JOIN redirects r ON r.src = c.cur),"
+        )
+    parts.append(
+        f"resolved AS (SELECT start_id, c.cur AS final_id, r.src IS NULL AS terminal"
+        f" FROM c{_IDENTITY_HOPS} c LEFT JOIN redirects r ON r.src = c.cur),"
+    )
+    parts.append("fp AS (SELECT doc_id, md5(text) AS f FROM documents),")
+    parts.append("fmin AS (SELECT f, min(doc_id) AS fp_min FROM fp GROUP BY f),")
+    parts.append(
+        "e0 AS (SELECT start_id AS a, final_id AS b FROM resolved"
+        " WHERE terminal AND start_id <> final_id"
+        " UNION ALL SELECT fp.doc_id, fmin.fp_min FROM fp JOIN fmin ON fp.f = fmin.f"
+        " WHERE fp.doc_id <> fmin.fp_min),"
+    )
+    parts.append("verts AS (SELECT doc_id AS v FROM documents),")
+    parts.append("edges AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),")
+    parts.append(_cc_unroll_sql("verts", "edges", stages=_IDENTITY_STAGES))
+    k = len(_IDENTITY_STAGES)
+    parts.append(
+        f"sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS group_size FROM l{k} GROUP BY lab)"
+    )
+    parts.append(
+        f"SELECT l.v AS doc_id, l.lab AS identity_rep, sizes.group_size"
+        f" FROM l{k} l JOIN sizes ON sizes.lab = l.lab"
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # sitemap coverage audit (discovery gap between sitemap and crawl log)
 # ---------------------------------------------------------------------------
 
@@ -2100,6 +2211,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_rarity": q_lm_rarity,
     "sitemap_gap": q_sitemap_gap,
     "host_graph": q_host_graph,
+    "url_identity": q_url_identity,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -2127,4 +2239,5 @@ SCALE_ORACLES: dict[str, str] = {
     "lm_rarity": _LM_RARITY_SQL,
     "sitemap_gap": _SITEMAP_GAP_SQL,
     "host_graph": _HOST_GRAPH_SQL,
+    "url_identity": _url_identity_sql(),
 }

@@ -1171,3 +1171,98 @@ def test_seed_ppr_matches_pure_python_and_concentrates_on_seeds(spark):
     non = [v for v in ids if not seed[v]]
     assert all(rows[v] >= 150_000 for v in seeds)
     assert sum(rows[v] for v in seeds) / len(seeds) > sum(rows[v] for v in non) / len(non)
+
+
+# ---------------------------------------------------------------------------
+# canonical URL identity
+# ---------------------------------------------------------------------------
+
+
+def _identity_expected(spark):
+    """Union-find replay of the alias construction at SF."""
+    import hashlib
+
+    from crawler_spark.queries import load
+    from crawler_spark.queries_scale import _IDENTITY_HOPS
+
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF, "documents").collect()}
+    ids = sorted(docs)
+    n = len(ids)
+    redirect = {d: (d * 7 + 1) % n for d in ids if d % 3 == 1}
+    parent = {v: v for v in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for d in ids:
+        cur = d
+        for _ in range(_IDENTITY_HOPS):
+            cur = redirect.get(cur, cur)
+        if cur not in redirect and cur != d:  # terminal, non-trivial
+            union(d, cur)
+    by_fp = {}
+    for d in ids:
+        by_fp.setdefault(hashlib.md5(docs[d].encode()).hexdigest(), []).append(d)
+    for group in by_fp.values():
+        for d in group[1:]:
+            union(d, group[0])
+    comp = {}
+    for v in ids:
+        comp.setdefault(find(v), []).append(v)
+    # canonical rep = min member (find() roots at the min by construction)
+    out = {}
+    for root, members in comp.items():
+        rep = min(members)
+        for v in members:
+            out[v] = (rep, len(members))
+    return out
+
+
+def test_url_identity_matches_union_find(spark):
+    from crawler_spark.queries_scale import q_url_identity
+
+    expect = _identity_expected(spark)
+    rows = {r["doc_id"]: r for r in q_url_identity(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for d, (rep, size) in expect.items():
+        assert rows[d]["identity_rep"] == rep, (d, rows[d], rep)
+        assert rows[d]["group_size"] == size
+    # the construction must actually exercise multi-member identities
+    assert any(size > 1 for _, size in expect.values())
+
+
+def test_url_identity_stage_schedule_is_a_fixpoint(spark):
+    """One extra hook/jump round must not change any label — the
+    schedule covers the alias graph's diameter with margin."""
+    from crawler_spark.queries_scale import (
+        _IDENTITY_STAGES,
+        _label_propagate,
+        q_url_identity,
+    )
+    from pyspark.sql import functions as F
+
+    from crawler_spark.queries import load
+
+    base = {
+        r["doc_id"]: r["identity_rep"] for r in q_url_identity(spark, SF).collect()
+    }
+    # rebuild the same edges and run with two extra stages
+    import crawler_spark.queries_scale as qs
+
+    orig = qs._IDENTITY_STAGES
+    try:
+        qs._IDENTITY_STAGES = orig + ("jump", "hook")
+        more = {
+            r["doc_id"]: r["identity_rep"] for r in q_url_identity(spark, SF).collect()
+        }
+    finally:
+        qs._IDENTITY_STAGES = orig
+    assert base == more
