@@ -230,10 +230,12 @@ def _crawl_e2e_oracle_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark.queries import SPARK_QUERIES
     from crawler_spark.queries_scale import SCALE_QUERIES
+    from crawler_spark.queries_search import SEARCH_QUERIES
     from crawler_spark.queries_state import STATE_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(SPARK_QUERIES)
     out.update(SCALE_QUERIES)
+    out.update(SEARCH_QUERIES)
     out.update(STATE_QUERIES)
     out["crawl_e2e"] = _crawl_e2e
     out["review_workflow"] = _review_workflow
@@ -258,10 +260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from crawler_spark.queries import ORACLE_SQL
     from crawler_spark.queries_scale import SCALE_ORACLES
+    from crawler_spark.queries_search import SEARCH_ORACLES
     from crawler_spark.queries_state import state_oracle_sql
 
     out = dict(ORACLE_SQL)
     out.update(SCALE_ORACLES)
+    out.update(SEARCH_ORACLES)
     out.update(state_oracle_sql())
     out["crawl_e2e"] = _crawl_e2e_oracle_sql()
     out["review_workflow"] = _review_workflow_oracle_sql()

@@ -87,6 +87,12 @@ HEADLINE = [
     "dedup_clusters",
     "registrable_domain",
     "adaptive_quota",
+    "bm25_topk",
+    "crawl_depth",
+    "url_templates",
+    "host_similarity",
+    "quality_classifier",
+    "boilerplate_strip",
 ]
 
 N_HOSTS = 10_000
@@ -244,9 +250,10 @@ def main() -> None:
     from crawler_spark.queries import SPARK_QUERIES as _BASE_QUERIES
     from crawler_spark.queries import release_query_barriers
     from crawler_spark.queries_scale import SCALE_QUERIES
+    from crawler_spark.queries_search import SEARCH_QUERIES
     from crawler_spark.session import get_spark
 
-    SPARK_QUERIES = {**_BASE_QUERIES, **SCALE_QUERIES}
+    SPARK_QUERIES = {**_BASE_QUERIES, **SCALE_QUERIES, **SEARCH_QUERIES}
 
     spark = get_spark("crawler_spark_bench", cores=cpus)
     try:

@@ -1,0 +1,755 @@
+"""Search-index and corpus-curation operators (engine-new surface,
+round 3b).
+
+What a production crawl feeds downstream once the frontier machinery
+works: the search-engine side (BM25 ranking over the posting lists the
+crawl built, seed-distance BFS for focused-crawl depth budgets, URL
+template mining that generalizes single-URL trap detection to whole URL
+*spaces*) and the training-data side (host-level near-mirror detection
+by MinHash signatures, fastText-shaped quality-classifier inference
+with broadcast weights, CCNet-style per-host boilerplate stripping).
+The reference (a sequential fetch loop, backend/tasks/config.py:29 caps
+one URL in flight) has no analog for any of these.
+
+Same determinism rules as queries.py / queries_scale.py: integer
+fixed-point only (no raw doubles), md5 as the only cross-engine hash,
+every column aliased identically on both sides, negative divisions
+avoided by positive-offset rewrites so Spark's DIV and DuckDB's //
+agree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _barrier, load
+
+__all__ = ["SEARCH_QUERIES", "SEARCH_ORACLES"]
+
+
+def _md5_int(col):
+    """First 15 hex digits of md5 as a non-negative BIGINT (< 2^60) —
+    the repo-wide cross-engine hash idiom (DuckDB twin:
+    CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the crawl corpus
+# ---------------------------------------------------------------------------
+
+_BM25_K = 10          # results per query
+_BM25_QUERIES = 4     # deterministic query count
+_BM25_QTERMS = 3      # terms per query
+# k1 = 1.2, b = 0.75 in milli units: (k1+1)*1000 = 2200,
+# k1*(1-b)*1000 = 300, k1*b*1000 = 900.
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval — the ranking function the search index
+    built from the crawl actually serves (tf-idf's production sibling;
+    q_tfidf_topk builds per-doc term weights, this scores DOCUMENTS
+    against QUERIES). Queries are derived deterministically from the
+    corpus vocabulary: rank terms by (df DESC, term ASC), terms
+    3q+1..3q+3 form query q (mid/high-frequency terms, so every query
+    matches many docs and the length normalization matters).
+
+    All arithmetic is integer fixed-point so the DuckDB oracle
+    hash-matches bit-for-bit: idf surrogate
+    (1000000 * (N - df + 1)) DIV (df + 1) (monotone in the real
+    Robertson idf for fixed N), tf normalization in milli units
+    (tf * 2200000) DIV (tf * 1000 + 300 + (900 * dl) DIV avgdl),
+    per-term contribution (idf * norm) DIV 1000, summed per
+    (query, doc).
+
+    Scale shape: tf is the classic posting-list groupBy with map-side
+    combine; df aggregates the postings by term (vocab-sized); the
+    query-term table is BROADCAST (queries are always tiny next to the
+    corpus) so the postings side never shuffles for the match — only
+    matching postings reach the (query_id, doc_id) combine; the final
+    top-k window partitions BY QUERY, never a global sort. The qterm
+    derivation window runs over the VOCABULARY (a bounded lexicon),
+    not the corpus."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    avgdl = words.count() // n
+    tf = _barrier(
+        words.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vocab_win = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_tbl.withColumn("rn", F.row_number().over(vocab_win))
+        .filter(F.col("rn") <= _BM25_QUERIES * _BM25_QTERMS)
+        .select(
+            F.expr(f"(rn - 1) DIV {_BM25_QTERMS}").cast("long").alias("query_id"),
+            "term",
+            (F.lit(1_000_000) * (F.lit(n) - F.col("df") + 1))
+            .cast("long")
+            .alias("idf_num"),
+            (F.col("df") + 1).alias("idf_den"),
+        )
+        .withColumn("idf_fp", F.expr("idf_num DIV idf_den").cast("long"))
+        .drop("idf_num", "idf_den")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "norm_fp",
+            F.expr(f"(tf * 2200000) DIV (tf * 1000 + 300 + (900 * dl) DIV {avgdl})"),
+        )
+        .withColumn("contrib", F.expr("(idf_fp * norm_fp) DIV 1000"))
+    )
+    hits = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_terms"),
+        F.sum("contrib").cast("long").alias("score"),
+    )
+    topk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rk", F.row_number().over(topk))
+        .filter(F.col("rk") <= _BM25_K)
+        .select(
+            "query_id", "doc_id", "n_hit_terms", "score", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
+_BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w2 AS (
+  SELECT doc_id, term FROM words WHERE term <> ''
+), consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM w2) // (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w2 GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT CAST((rn - 1) // {_BM25_QTERMS} AS BIGINT) AS query_id, term,
+         CAST((1000000 * ((SELECT n FROM consts) - df + 1)) // (df + 1) AS BIGINT) AS idf_fp
+  FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn FROM df)
+  WHERE rn <= {_BM25_QUERIES * _BM25_QTERMS}
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+         (q.idf_fp * ((t.tf * 2200000) // (t.tf * 1000 + 300 + (900 * dl.dl) // (SELECT avgdl FROM consts)))) // 1000 AS contrib
+  FROM tf t JOIN qterms q ON t.term = q.term JOIN dl ON t.doc_id = dl.doc_id
+), hits AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, n_hit_terms, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+  FROM hits
+)
+SELECT query_id, doc_id, n_hit_terms, score, rk FROM ranked WHERE rk <= {_BM25_K}"""
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth from seeds
+# ---------------------------------------------------------------------------
+
+_DEPTH_HOPS = 5
+_DEPTH_SEED_MOD = 41  # doc_id % 41 == 0 -> seed page
+_DEPTH_OUT_DEG = 3
+
+
+def q_crawl_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-distance BFS over the link graph — the depth signal a
+    focused crawler budgets on (pages more than H hops from any curated
+    seed are skipped; the reference's max_pages budget counts PAGES,
+    this is the hop-distance analog it cannot express). Same derived
+    link graph as q_link_rank (doc_id -> (doc_id*31+k) % n, k=1..3),
+    seeds = doc_id % 41 == 0, depth = min over seeds of shortest-path
+    hops, capped at 5 iterations; unreached pages report depth -1.
+
+    Min-plus propagation: d'(v) = min(d(v), min over edges u->v of
+    d(u) + 1) — a different algebra from PageRank's sum and CC's label
+    min over undirected stars, so the iteration is NOT a rename of
+    either. Each step merges the frontier by UNION + groupBy(min),
+    which references the previous state twice — localCheckpoint per
+    iteration keeps the logical plan linear (same lesson as
+    _label_propagate: a persist barrier pins data but the analyzer cost
+    doubles per stage without truncation).
+
+    Scale shape: per hop, one hash join (reached x edges, both
+    partitioned on the key) + one map-side-combined groupBy(dst) min —
+    the canonical distributed BFS step; the reached set only grows, and
+    the hop count bounds the number of shuffles, not the data."""
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[((F.col("doc_id") * 31 + F.lit(k)) % n) for k in range(1, _DEPTH_OUT_DEG + 1)]
+            )
+        ).alias("dst"),
+    ).localCheckpoint()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    reached = nodes.filter(F.col("v") % _DEPTH_SEED_MOD == 0).select(
+        "v", F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(_DEPTH_HOPS):
+        reached = reached.localCheckpoint()
+        expanded = edges.join(reached, edges.src == reached.v).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        reached = (
+            reached.unionByName(expanded).groupBy("v").agg(F.min("d").cast("long").alias("d"))
+        )
+    return nodes.join(reached, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        F.coalesce("d", F.lit(-1)).cast("long").alias("depth"),
+        F.col("d").isNotNull().alias("reached"),
+    )
+
+
+def _crawl_depth_sql() -> str:
+    """The q_crawl_depth BFS unrolled as chained CTEs (DuckDB)."""
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS v FROM documents),",
+        "n_docs AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM n_docs) AS dst"
+        " FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks),",
+        f"d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM nodes WHERE v % {_DEPTH_SEED_MOD} = 0),",
+    ]
+    for i in range(_DEPTH_HOPS):
+        parts.append(
+            f"d{i + 1} AS (SELECT v, CAST(min(d) AS BIGINT) AS d FROM ("
+            f"SELECT v, d FROM d{i}"
+            f" UNION ALL SELECT e.dst AS v, r.d + 1 AS d FROM edges e JOIN d{i} r ON r.v = e.src"
+            f") GROUP BY v),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(
+        f"SELECT nodes.v AS doc_id, CAST(COALESCE(d.d, -1) AS BIGINT) AS depth,"
+        f" d.v IS NOT NULL AS reached"
+        f" FROM nodes LEFT JOIN d{_DEPTH_HOPS} d ON nodes.v = d.v"
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# URL template mining
+# ---------------------------------------------------------------------------
+
+_TPL_HOSTS = 20
+_TPL_MIN_URLS = 5       # a template below this is not a URL *space*
+_TPL_DUP_FP = 500       # >= 50% duplicate content -> explosive
+
+
+def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """URL template mining — the generalization of per-URL trap
+    detection (q_trap_detect scores one URL's shape; this groups the
+    frontier by TEMPLATE — digit runs collapsed to {d} — and flags
+    whole URL spaces that serve duplicate content, the
+    calendar/session-id signature at the space level). Deterministic
+    URLs synthesized from documents: kind 0 = static page
+    (/about/team, no digits), kind 1 = article (/post/{id}, distinct
+    content per URL), kind 2 = calendar (/cal/{y}/{m}/{d}, the SAME
+    content per host — soft-dup). Per (host, template): URL count,
+    distinct content fingerprints, fixed-point duplicate-content rate
+    (1000 * (n_urls - n_distinct_fp)) DIV n_urls, and the explosive
+    flag (>= 5 URLs and >= 50% dup content) — the calendar template
+    trips it, the article template does not despite equal URL counts.
+
+    Scale shape: map-only synthesis + one regexp_replace (no UDF), one
+    groupBy(host, template) with exact distinct-fp count — a
+    bounded-key hash shuffle (template cardinality ~ site count, never
+    corpus); runs inside the same scan that canonicalizes URLs."""
+    docs = load(spark, sf, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % _TPL_HOSTS).cast("string")).alias("host"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/about/team"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("/post/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/cal/20"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+            )
+        )
+        .alias("path"),
+    ).withColumn(
+        "fp",
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.md5(F.concat(F.lit("calpage:"), F.col("host"))),
+        ).otherwise(F.md5(F.concat(F.lit("page:"), F.col("doc_id").cast("string")))),
+    )
+    templ = built.withColumn(
+        "template", F.regexp_replace(F.col("path"), "[0-9]+", "{d}")
+    )
+    stats = templ.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+    )
+    return stats.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_distinct_fp",
+        F.expr("(1000 * (n_urls - n_distinct_fp)) DIV n_urls").cast("long").alias("dup_rate_fp"),
+        (
+            (F.col("n_urls") >= _TPL_MIN_URLS)
+            & (F.expr("(1000 * (n_urls - n_distinct_fp)) DIV n_urls") >= _TPL_DUP_FP)
+        ).alias("explosive"),
+    )
+
+
+_TPL_SQL = f"""
+WITH built AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % {_TPL_HOSTS} AS VARCHAR) AS host,
+         CASE WHEN doc_id % 3 = 0 THEN '/about/team'
+              WHEN doc_id % 3 = 1 THEN '/post/' || CAST(doc_id AS VARCHAR)
+              ELSE '/cal/20' || CAST(doc_id % 10 AS VARCHAR)
+                   || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                   || '/' || CAST(doc_id % 28 + 1 AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 3 = 2
+              THEN md5('calpage:h' || CAST(doc_id % {_TPL_HOSTS} AS VARCHAR))
+              ELSE md5('page:' || CAST(doc_id AS VARCHAR)) END AS fp
+  FROM documents
+), templ AS (
+  SELECT host, regexp_replace(path, '[0-9]+', '{{d}}', 'g') AS template, fp FROM built
+), stats AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+  FROM templ GROUP BY host, template
+)
+SELECT host, template, n_urls, n_distinct_fp,
+       CAST((1000 * (n_urls - n_distinct_fp)) // n_urls AS BIGINT) AS dup_rate_fp,
+       (n_urls >= {_TPL_MIN_URLS}
+        AND (1000 * (n_urls - n_distinct_fp)) // n_urls >= {_TPL_DUP_FP}) AS explosive
+FROM stats"""
+
+
+# ---------------------------------------------------------------------------
+# host-level near-mirror detection via MinHash signatures
+# ---------------------------------------------------------------------------
+
+_HSIM_SLOTS = 16     # minhash signature length
+_HSIM_BAND_ROWS = 1  # rows per band -> 16 bands; recall at J=0.8 is
+# 1 - 0.2^16 (2-row bands measurably missed 4/20 planted mirrors), and
+# unrelated hosts share no fingerprints so 1-row bands stay candidate-tight
+_HSIM_MIRROR_FP = 300  # exact Jaccard (fixed-point /1000) to call a near-mirror
+_HSIM_COPY_SKIP = 5  # planted mirror keeps docs with (doc_id DIV 20) % 5 != 0
+# (source is doc_id % 20, so the skip rule must vary WITHIN a source —
+# doc_id % 5 would be constant per source: 4 empty mirrors, 16 exact copies)
+
+
+def q_host_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level NEAR-mirror detection — q_mirror_detect's approximate
+    tier (exact signature equality only finds byte-identical mirrors;
+    real mirrors lag their origin, so their page SETS overlap at
+    J < 1). Per host, a 16-slot MinHash signature over the host's page
+    content fingerprints (slot i = min over pages of
+    md5int('hs' || i || ':' || fp)); candidate host pairs share at
+    least one LSH band (16 bands x 1 row); candidates are then verified
+    EXACTLY — intersection / union of the two hosts' distinct
+    fingerprint sets in fixed-point. Planted mirrors: every source gets
+    a '<source>_m' twin carrying ~80% of its docs
+    ((doc_id DIV 20) % 5 != 0, varying within each source since source
+    is doc_id % 20), so J ~ 0.8 — a NEAR mirror that band-blocking must
+    recall without an all-pairs host join.
+
+    Scale shape: signatures are one groupBy(host, slot) min with
+    map-side combine (16 rows per host out); band keys explode from the
+    signature (8 rows per host); the candidate join groups by band
+    value — bounded buckets, never host x host; the exact verify
+    touches candidate pairs only (same candidates-then-verify contract
+    as dedup_minhash_lsh). Host cardinality is site-count, orders below
+    corpus size."""
+    docs = load(spark, sf, "documents")
+    pages = docs.select(
+        F.col("source").alias("host"), F.md5(F.col("text")).alias("fp")
+    ).unionByName(
+        docs.filter(F.expr(f"(doc_id DIV 20) % {_HSIM_COPY_SKIP}") != 0).select(
+            F.concat(F.col("source"), F.lit("_m")).alias("host"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+    )
+    pages = _barrier(pages.distinct())
+    slots = pages.select(
+        "host",
+        F.explode(F.expr(f"sequence(0, {_HSIM_SLOTS - 1})")).alias("slot"),
+        "fp",
+    ).select(
+        "host",
+        "slot",
+        _md5_int(
+            F.concat(F.lit("hs"), F.col("slot").cast("string"), F.lit(":"), F.col("fp"))
+        ).alias("hv"),
+    )
+    sig = _barrier(
+        slots.groupBy("host", "slot").agg(F.min("hv").cast("long").alias("sig"))
+    )
+    bands = sig.withColumn("band", F.expr(f"slot DIV {_HSIM_BAND_ROWS}")).groupBy(
+        "host", "band"
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "sig"))),
+                    lambda s: s.getField("sig").cast("string"),
+                ),
+                "-",
+            )
+        ).alias("bkey")
+    )
+    b2 = bands.select(
+        F.col("host").alias("host_b"), F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band == b2.band_b)
+            & (bands.bkey == b2.bkey_b)
+            & (bands.host < b2.host_b),
+        )
+        .groupBy(F.col("host").alias("host_a"), F.col("host_b"))
+        .agg(F.count("*").cast("long").alias("n_common_bands"))
+    )
+    s2 = sig.select(
+        F.col("host").alias("sh"), F.col("slot").alias("ss"), F.col("sig").alias("sv")
+    )
+    est = (
+        cand.join(sig, cand.host_a == sig.host)
+        .join(s2, (F.col("sh") == cand.host_b) & (F.col("ss") == F.col("slot")))
+        .groupBy("host_a", "host_b", "n_common_bands")
+        .agg(
+            F.sum((F.col("sig") == F.col("sv")).cast("long")).cast("long").alias("n_match_slots")
+        )
+        .withColumn("est_fp", F.expr(f"(1000 * n_match_slots) DIV {_HSIM_SLOTS}").cast("long"))
+    )
+    sizes = pages.groupBy("host").agg(F.count("*").cast("long").alias("sz"))
+    p2 = pages.select(F.col("host").alias("ph"), F.col("fp").alias("pfp"))
+    inter = (
+        est.select("host_a", "host_b")
+        .join(pages, F.col("host") == F.col("host_a"))
+        .join(p2, (F.col("ph") == F.col("host_b")) & (F.col("pfp") == F.col("fp")))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes_a = sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("sz_a"))
+    sizes_b = sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("sz_b"))
+    return (
+        est.join(inter, ["host_a", "host_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes_a, "host_a")
+        .join(sizes_b, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_common_bands",
+            "est_fp",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long").alias("union_ct"),
+            F.expr("(1000 * inter) DIV (sz_a + sz_b - inter)").cast("long").alias("jaccard_fp"),
+            (F.expr("(1000 * inter) DIV (sz_a + sz_b - inter)") >= _HSIM_MIRROR_FP).alias(
+                "near_mirror"
+            ),
+        )
+    )
+
+
+_HSIM_SQL = f"""
+WITH pages AS (
+  SELECT DISTINCT host, fp FROM (
+    SELECT source AS host, md5(text) AS fp FROM documents
+    UNION ALL
+    SELECT source || '_m' AS host, md5(text) AS fp FROM documents
+    WHERE (doc_id // 20) % {_HSIM_COPY_SKIP} <> 0
+  )
+), slots AS (
+  SELECT host, s.slot,
+         CAST(concat('0x', substring(md5('hs' || CAST(s.slot AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) AS hv
+  FROM pages, (SELECT unnest(generate_series(0, {_HSIM_SLOTS - 1})) AS slot) s
+), sig AS (
+  SELECT host, slot, CAST(min(hv) AS BIGINT) AS sig FROM slots GROUP BY host, slot
+), bands AS (
+  SELECT host, slot // {_HSIM_BAND_ROWS} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '-' ORDER BY slot)) AS bkey
+  FROM sig GROUP BY host, slot // {_HSIM_BAND_ROWS}
+), cand AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS n_common_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.host < b.host
+  GROUP BY a.host, b.host
+), est AS (
+  SELECT c.host_a, c.host_b, c.n_common_bands,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match_slots
+  FROM cand c
+  JOIN sig sa ON sa.host = c.host_a
+  JOIN sig sb ON sb.host = c.host_b AND sb.slot = sa.slot
+  GROUP BY c.host_a, c.host_b, c.n_common_bands
+), sizes AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS sz FROM pages GROUP BY host
+), inter AS (
+  SELECT e.host_a, e.host_b, CAST(count(*) AS BIGINT) AS inter
+  FROM est e
+  JOIN pages pa ON pa.host = e.host_a
+  JOIN pages pb ON pb.host = e.host_b AND pb.fp = pa.fp
+  GROUP BY e.host_a, e.host_b
+)
+SELECT e.host_a, e.host_b, e.n_common_bands,
+       CAST((1000 * e.n_match_slots) // {_HSIM_SLOTS} AS BIGINT) AS est_fp,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS union_ct,
+       CAST((1000 * COALESCE(i.inter, 0)) // (za.sz + zb.sz - COALESCE(i.inter, 0)) AS BIGINT) AS jaccard_fp,
+       (1000 * COALESCE(i.inter, 0)) // (za.sz + zb.sz - COALESCE(i.inter, 0)) >= {_HSIM_MIRROR_FP} AS near_mirror
+FROM est e
+LEFT JOIN inter i ON i.host_a = e.host_a AND i.host_b = e.host_b
+JOIN sizes za ON za.host = e.host_a
+JOIN sizes zb ON zb.host = e.host_b"""
+
+
+# ---------------------------------------------------------------------------
+# fastText-shaped quality classifier inference
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 256   # hashed-feature dimensionality
+_QC_W_RANGE = 2001  # weights uniform in [-1000, 1000]
+_QC_OFFSET = 1_000_000  # positive-offset rewrite so DIV never sees a negative
+
+
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear classifier inference — the fastText-shaped
+    quality gate every LLM-data pipeline runs (CCNet/RefinedWeb filter
+    models): token -> feature bucket by hash (md5 % 256), model =
+    a 256-bucket weight vector, document score = mean bucket weight
+    over token occurrences, label = keep iff score >= 0. Weights here
+    are derived deterministically from md5 so the DuckDB oracle
+    reproduces the model bit-for-bit; a production model would swap in
+    trained weights with the identical plan.
+
+    Fixed-point mean with the positive-offset rewrite: Spark's DIV
+    truncates toward zero while floor division is what both engines
+    must agree on, so score_fp =
+    ((1000 * sum_w + OFFSET * n_toks) DIV n_toks) - OFFSET with
+    OFFSET = 1e6 >= 1000 * |w|_max, keeping the dividend non-negative
+    (floor == trunc) on both engines.
+
+    Scale shape: the model is BROADCAST (256 rows — model parameters
+    always fit) so inference is map-side: explode tokens, hash to
+    bucket, broadcast-join weights, one groupBy(doc_id) with map-side
+    partial sums. This is the canonical model-inference-at-scale plan:
+    no shuffle of the corpus, ever."""
+    docs = load(spark, sf, "documents")
+    weights = spark.range(_QC_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            _md5_int(F.concat(F.lit("w:"), F.col("id").cast("string"))) % _QC_W_RANGE
+            - (_QC_W_RANGE - 1) // 2
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    feats = toks.select("doc_id", (_md5_int(F.col("term")) % _QC_BUCKETS).alias("bucket"))
+    summed = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("w").cast("long").alias("sum_w"),
+        )
+    )
+    return summed.select(
+        "doc_id",
+        "n_toks",
+        "sum_w",
+        (
+            F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET
+        )
+        .cast("long")
+        .alias("score_fp"),
+        F.when(
+            F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET >= 0,
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+_QC_SQL = f"""
+WITH weights AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST(CAST(concat('0x', substring(md5('w:' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {_QC_W_RANGE} - {(_QC_W_RANGE - 1) // 2} AS BIGINT) AS w
+  FROM (SELECT unnest(generate_series(0, {_QC_BUCKETS - 1})) AS b)
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % {_QC_BUCKETS} AS bucket
+  FROM toks WHERE term <> ''
+), summed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
+  FROM feats JOIN weights USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_toks, sum_w,
+       CAST((1000 * sum_w + {_QC_OFFSET} * n_toks) // n_toks - {_QC_OFFSET} AS BIGINT) AS score_fp,
+       CASE WHEN (1000 * sum_w + {_QC_OFFSET} * n_toks) // n_toks - {_QC_OFFSET} >= 0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM summed"""
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate stripping
+# ---------------------------------------------------------------------------
+
+_BP_BLOCK = 5        # tokens per block (nav/header chrome is short)
+_BP_NUM = 6          # boilerplate when 10 * df >= 6 * host docs (60%)
+_BP_DEN = 10
+
+
+def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host boilerplate stripping — the CCNet/trafilatura pass that
+    removes site chrome (nav bars, footers, cookie banners) BEFORE
+    dedup and quality scoring: a text block that recurs on >= 60% of a
+    host's pages is boilerplate for that host, not content. Documents
+    are prefixed with a synthesized 5-token nav block
+    ('nav home about contact <source>') so every host has real chrome
+    to find; blocks are the same fixed 5-token grid per doc. Unlike
+    q_dedup_blocks (global keep-first), the frequency threshold is PER
+    HOST — the same block can be boilerplate on one host and unique
+    content on another.
+
+    Scale shape: one narrow explode, one groupBy(host, block) distinct
+    doc count with map-side combine, one hash join back on
+    (host, block), one groupBy(doc_id) reassemble — all bounded-key
+    shuffles; the boilerplate table is host x chrome-block sized,
+    orders below the corpus. The integer threshold compare
+    (10 * df >= 6 * n_docs) avoids a division entirely."""
+    docs = load(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
+        ).alias("text2"),
+    )
+    blocks = corpus.select(
+        "doc_id", "host", F.split(F.col("text2"), " ").alias("toks")
+    ).select(
+        "doc_id",
+        "host",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i * {_BP_BLOCK} + 1, {_BP_BLOCK})))"
+            )
+        ).alias("pos", "block"),
+    )
+    blocks = _barrier(blocks)
+    host_docs = corpus.groupBy("host").agg(F.count("*").cast("long").alias("n_docs"))
+    block_df = blocks.groupBy("host", "block").agg(
+        F.countDistinct("doc_id").cast("long").alias("bdf")
+    )
+    boiler = (
+        block_df.join(F.broadcast(host_docs), "host")
+        .filter(F.col("bdf") * _BP_DEN >= F.col("n_docs") * _BP_NUM)
+        .select("host", "block")
+        .withColumn("is_boiler", F.lit(True))
+    )
+    marked = blocks.join(boiler, ["host", "block"], "left").withColumn(
+        "keep", F.col("is_boiler").isNull()
+    )
+    return marked.groupBy("doc_id", "host").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_boiler"),
+        F.sum(
+            F.when(F.col("keep"), F.size(F.split(F.col("block"), " "))).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "block")))
+                    ),
+                    lambda s: s.getField("block"),
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+
+
+_BP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, source AS host,
+         'nav home about contact ' || source || ' ' || text AS text2
+  FROM documents
+), toked AS (
+  SELECT doc_id, host, string_split(text2, ' ') AS toks FROM corpus
+), blk AS (
+  SELECT doc_id, host,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / {_BP_BLOCK}.0) AS BIGINT)),
+           i -> {{'pos': i, 'block': array_to_string(toks[i * {_BP_BLOCK} + 1 : i * {_BP_BLOCK} + {_BP_BLOCK}], ' ')}})) AS z
+  FROM toked
+), blocks AS (
+  SELECT doc_id, host, CAST(z.pos AS INT) AS pos, z.block AS block FROM blk
+), host_docs AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM corpus GROUP BY host
+), block_df AS (
+  SELECT host, block, CAST(count(DISTINCT doc_id) AS BIGINT) AS bdf
+  FROM blocks GROUP BY host, block
+), boiler AS (
+  SELECT bd.host, bd.block FROM block_df bd JOIN host_docs h ON bd.host = h.host
+  WHERE bd.bdf * {_BP_DEN} >= h.n_docs * {_BP_NUM}
+), marked AS (
+  SELECT b.doc_id, b.host, b.pos, b.block, o.block IS NULL AS keep
+  FROM blocks b LEFT JOIN boiler o ON b.host = o.host AND b.block = o.block
+)
+SELECT doc_id, host,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN keep THEN len(string_split(block, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_toks,
+       md5(coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '')) AS kept_fp
+FROM marked GROUP BY doc_id, host"""
+
+
+SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "crawl_depth": q_crawl_depth,
+    "url_templates": q_url_templates,
+    "host_similarity": q_host_similarity,
+    "quality_classifier": q_quality_classifier,
+    "boilerplate_strip": q_boilerplate_strip,
+}
+
+SEARCH_ORACLES: dict[str, str] = {
+    "bm25_topk": _BM25_SQL,
+    "crawl_depth": _crawl_depth_sql(),
+    "url_templates": _TPL_SQL,
+    "host_similarity": _HSIM_SQL,
+    "quality_classifier": _QC_SQL,
+    "boilerplate_strip": _BP_SQL,
+}

@@ -1,0 +1,334 @@
+"""Property tests for the search-index / corpus-curation queries
+(queries_search.py).
+
+tools/selfcheck.py hash-checks every query against its DuckDB oracle;
+these pin the SEMANTIC invariants the hash can't express — BM25 replay
+against a pure-Python scorer, BFS depths against a dict-based BFS,
+planted near-mirror recall, the per-host boilerplate threshold — plus
+the plan shapes the 100 TB design requires (broadcast model weights,
+query-partitioned top-k, no corpus self-joins).
+"""
+
+import hashlib
+import re
+from collections import Counter, defaultdict, deque
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.inspect import formatted_plan
+from crawler_spark.queries_search import (
+    _BM25_K,
+    _BM25_QTERMS,
+    _BM25_QUERIES,
+    _BP_BLOCK,
+    _BP_DEN,
+    _BP_NUM,
+    _DEPTH_HOPS,
+    _DEPTH_OUT_DEG,
+    _DEPTH_SEED_MOD,
+    _HSIM_MIRROR_FP,
+    _HSIM_SLOTS,
+    _QC_BUCKETS,
+    _QC_W_RANGE,
+    q_bm25_topk,
+    q_boilerplate_strip,
+    q_crawl_depth,
+    q_host_similarity,
+    q_quality_classifier,
+    q_url_templates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_scorer(spark):
+    docs = _docs()
+    n = len(docs)
+    tf = {}
+    dl = {}
+    for doc_id, text, _ in docs:
+        toks = [t for t in text.split(" ") if t]
+        dl[doc_id] = len(toks)
+        tf[doc_id] = Counter(toks)
+    avgdl = sum(dl.values()) // n
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    ranked_terms = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    qterms = {}
+    for i, (term, d) in enumerate(ranked_terms[: _BM25_QUERIES * _BM25_QTERMS]):
+        qterms[term] = (i // _BM25_QTERMS, (1_000_000 * (n - d + 1)) // (d + 1))
+    hits = defaultdict(lambda: [0, 0])  # (q, doc) -> [n_terms, score]
+    for doc_id, c in tf.items():
+        for term, (q, idf_fp) in qterms.items():
+            t = c.get(term)
+            if not t:
+                continue
+            norm_fp = (t * 2200000) // (t * 1000 + 300 + (900 * dl[doc_id]) // avgdl)
+            hits[(q, doc_id)][0] += 1
+            hits[(q, doc_id)][1] += (idf_fp * norm_fp) // 1000
+    expect = {}
+    byq = defaultdict(list)
+    for (q, d), (nh, sc) in hits.items():
+        byq[q].append((d, nh, sc))
+    for q, rows in byq.items():
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        for rk, (d, nh, sc) in enumerate(rows[:_BM25_K], 1):
+            expect[(q, d)] = (nh, sc, rk)
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score"], r["rk"])
+        for r in q_bm25_topk(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_bm25_plan_broadcasts_queries_and_partitions_topk_by_query(spark):
+    plan = formatted_plan(q_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the top-k window must be partitioned by query_id, never global
+    assert re.search(r"Window.*partition.*query_id|Window.*\[query_id", plan, re.S), plan
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_depth_matches_pure_python_bfs(spark):
+    docs = _docs()
+    n = len(docs)
+    adj = defaultdict(list)
+    for doc_id, _, _ in docs:
+        for k in range(1, _DEPTH_OUT_DEG + 1):
+            adj[doc_id].append((doc_id * 31 + k) % n)
+    dist = {d: 0 for d, _, _ in docs if d % _DEPTH_SEED_MOD == 0}
+    frontier = deque(dist)
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] >= _DEPTH_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                frontier.append(v)
+    got = {r["doc_id"]: (r["depth"], r["reached"]) for r in q_crawl_depth(spark, SF).collect()}
+    assert len(got) == n
+    for d, _, _ in docs:
+        if d in dist:
+            assert got[d] == (dist[d], True), (d, got[d], dist[d])
+        else:
+            assert got[d] == (-1, False)
+
+
+def test_crawl_depth_seeds_are_zero_and_neighbors_bounded(spark):
+    rows = {r["doc_id"]: r["depth"] for r in q_crawl_depth(spark, SF).collect()}
+    n = len(rows)
+    for d, depth in rows.items():
+        if d % _DEPTH_SEED_MOD == 0:
+            assert depth == 0
+    # triangle inequality along every edge: reached node's successor is
+    # reached within depth+1 (or the hop cap)
+    for d, depth in rows.items():
+        if depth < 0 or depth >= _DEPTH_HOPS:
+            continue
+        for k in range(1, _DEPTH_OUT_DEG + 1):
+            v = (d * 31 + k) % n
+            assert rows[v] != -1 and rows[v] <= depth + 1, (d, v, depth, rows[v])
+
+
+# ---------------------------------------------------------------------------
+# URL template mining
+# ---------------------------------------------------------------------------
+
+
+def test_url_templates_flags_only_the_calendar_space(spark):
+    rows = q_url_templates(spark, SF).collect()
+    by_tpl = defaultdict(list)
+    for r in rows:
+        by_tpl[r["template"]].append(r)
+    assert set(by_tpl) == {"/about/team", "/post/{d}", "/cal/{d}/{d}/{d}"}
+    for r in rows:
+        if r["template"] == "/cal/{d}/{d}/{d}":
+            # same content per host -> one distinct fp -> explosive
+            assert r["n_distinct_fp"] == 1
+            assert r["explosive"] == (r["n_urls"] >= 5 and r["dup_rate_fp"] >= 500)
+            if r["n_urls"] >= 5:
+                assert r["explosive"], r
+        else:
+            # static page and articles carry distinct content
+            assert r["n_distinct_fp"] == r["n_urls"]
+            assert r["dup_rate_fp"] == 0
+            assert not r["explosive"]
+
+
+# ---------------------------------------------------------------------------
+# host near-mirror similarity
+# ---------------------------------------------------------------------------
+
+
+def test_host_similarity_recalls_every_planted_mirror_exactly(spark):
+    docs = _docs()
+    rows = q_host_similarity(spark, SF).collect()
+    hosts = {s for _, _, s in docs}
+    planted = {(r["host_a"], r["host_b"]) for r in rows if r["host_b"] == r["host_a"] + "_m"}
+    assert planted == {(h, h + "_m") for h in hosts}
+    # exact Jaccard replay for every planted pair
+    sets_a = defaultdict(set)
+    sets_b = defaultdict(set)
+    for doc_id, text, source in docs:
+        fp = hashlib.md5(text.encode()).hexdigest()
+        sets_a[source].add(fp)
+        if (doc_id // 20) % 5 != 0:
+            sets_b[source + "_m"].add(fp)
+    for r in rows:
+        if (r["host_a"], r["host_b"]) not in planted:
+            assert not r["near_mirror"], r
+            continue
+        a = sets_a[r["host_a"]]
+        b = sets_b[r["host_b"]]
+        inter = len(a & b)
+        union = len(a | b)
+        assert r["inter"] == inter
+        assert r["union_ct"] == union
+        assert r["jaccard_fp"] == (1000 * inter) // union
+        assert r["near_mirror"] == (r["jaccard_fp"] >= _HSIM_MIRROR_FP)
+        assert 0 <= r["est_fp"] <= 1000
+        assert 1 <= r["n_common_bands"] <= _HSIM_SLOTS
+
+
+def test_host_similarity_candidates_stay_far_below_all_pairs(spark):
+    rows = q_host_similarity(spark, SF).collect()
+    n_hosts = len({r["host_a"] for r in rows} | {r["host_b"] for r in rows})
+    # band blocking, not host x host: candidates ~ planted pairs, never
+    # quadratic in the host count
+    assert len(rows) <= 3 * n_hosts, (len(rows), n_hosts)
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_matches_pure_python_inference(spark):
+    weights = {
+        b: _md5_int(f"w:{b}") % _QC_W_RANGE - (_QC_W_RANGE - 1) // 2
+        for b in range(_QC_BUCKETS)
+    }
+    got = {r["doc_id"]: r for r in q_quality_classifier(spark, SF).collect()}
+    docs = _docs()
+    assert len(got) == len(docs)
+    for doc_id, text, _ in docs:
+        toks = [t for t in text.split(" ") if t]
+        s = sum(weights[_md5_int(t) % _QC_BUCKETS] for t in toks)
+        r = got[doc_id]
+        assert r["n_toks"] == len(toks)
+        assert r["sum_w"] == s
+        # floor-division mean (offset rewrite == mathematical floor)
+        import math
+
+        assert r["score_fp"] == math.floor(1000 * s / len(toks))
+        assert r["label"] == ("keep" if r["score_fp"] >= 0 else "drop")
+
+
+def test_quality_classifier_weights_are_broadcast(spark):
+    plan = formatted_plan(q_quality_classifier(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strip_removes_the_planted_nav_block_everywhere(spark):
+    docs = _docs()
+    rows = {r["doc_id"]: r for r in q_boilerplate_strip(spark, SF).collect()}
+    assert len(rows) == len(docs)
+    # pure-Python replay of the per-host threshold
+    blocks_by_host = defaultdict(Counter)
+    doc_blocks = {}
+    host_docs = Counter()
+    for doc_id, text, source in docs:
+        toks = ("nav home about contact " + source + " " + text).split(" ")
+        blks = [
+            " ".join(toks[i * _BP_BLOCK : (i + 1) * _BP_BLOCK])
+            for i in range((len(toks) + _BP_BLOCK - 1) // _BP_BLOCK)
+        ]
+        doc_blocks[doc_id] = (source, blks)
+        host_docs[source] += 1
+        for b in set(blks):
+            blocks_by_host[source][b] += 1
+    for doc_id, (source, blks) in doc_blocks.items():
+        boiler = {
+            b
+            for b in blks
+            if blocks_by_host[source][b] * _BP_DEN >= host_docs[source] * _BP_NUM
+        }
+        kept = [b for b in blks if b not in boiler]
+        r = rows[doc_id]
+        assert r["n_blocks"] == len(blks)
+        assert r["n_boiler"] == sum(1 for b in blks if b in boiler)
+        assert r["n_kept_toks"] == sum(len(b.split(" ")) for b in kept)
+        assert r["kept_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        # the planted nav block is chrome on every host
+        assert r["n_boiler"] >= 1, r
+        # unique content blocks always survive (df == 1 < 60% once a host
+        # has >= 2 docs)
+        if host_docs[source] >= 2:
+            assert r["n_kept_toks"] >= 1
+
+
+def test_boilerplate_threshold_is_per_host_not_global(spark):
+    """A block recurring on every page of host A but on one page of
+    host B must be stripped from A and kept on B."""
+    from crawler_spark.queries_search import q_boilerplate_strip as _  # noqa: F401
+    from crawler_spark import queries_search as qs
+
+    spark_df = spark.createDataFrame(
+        [(i, "hostA", "promo banner sale now on " + f"unique{i} filler words here pad") for i in range(4)]
+        + [(10, "hostB", "promo banner sale now on " + "solo content entirely different pad")]
+        + [(11, "hostB", "other text nothing shared here " + "second doc of host b pad")],
+        "doc_id long, source string, text string",
+    )
+    # run the same pipeline body over a constructed frame via monkeypatched load
+    import crawler_spark.queries_search as mod
+
+    orig = mod.load
+    mod.load = lambda s, sf, t: spark_df
+    try:
+        rows = {(r["doc_id"]): r for r in qs.q_boilerplate_strip(spark, SF).collect()}
+    finally:
+        mod.load = orig
+    # hostA: 4/4 docs share the prefix (plus the synthesized nav) -> stripped
+    for i in range(4):
+        assert rows[i]["n_boiler"] >= 2, rows[i]  # nav block + promo block
+    # hostB: promo block present on 1 of 2 docs (50% < 60%) -> kept there
+    assert rows[10]["n_boiler"] == 1, rows[10]  # only the nav block
+    assert rows[11]["n_boiler"] == 1, rows[11]
+
+
+def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
+    plan = formatted_plan(q_boilerplate_strip(spark, SF))
+    # no cartesian / no corpus self-join: the only joins are the tiny
+    # host_docs broadcast and the (host, block) hash join back
+    assert "CartesianProduct" not in plan, plan
