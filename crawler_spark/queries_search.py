@@ -652,10 +652,17 @@ def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("source").alias("host"),
         F.concat(
             F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
-        ).alias("text2"),
+        ).alias("text"),
     )
+    return strip_boilerplate(corpus)
+
+
+def strip_boilerplate(corpus: DataFrame) -> DataFrame:
+    """Per-host boilerplate stripping over any (doc_id, host, text)
+    frame; see q_boilerplate_strip for the operator contract and scale
+    shape."""
     blocks = corpus.select(
-        "doc_id", "host", F.split(F.col("text2"), " ").alias("toks")
+        "doc_id", "host", F.split(F.col("text"), " ").alias("toks")
     ).select(
         "doc_id",
         "host",

@@ -301,30 +301,22 @@ def test_boilerplate_strip_removes_the_planted_nav_block_everywhere(spark):
 def test_boilerplate_threshold_is_per_host_not_global(spark):
     """A block recurring on every page of host A but on one page of
     host B must be stripped from A and kept on B."""
-    from crawler_spark.queries_search import q_boilerplate_strip as _  # noqa: F401
-    from crawler_spark import queries_search as qs
+    from crawler_spark.queries_search import strip_boilerplate
 
-    spark_df = spark.createDataFrame(
+    corpus = spark.createDataFrame(
         [(i, "hostA", "promo banner sale now on " + f"unique{i} filler words here pad") for i in range(4)]
         + [(10, "hostB", "promo banner sale now on " + "solo content entirely different pad")]
         + [(11, "hostB", "other text nothing shared here " + "second doc of host b pad")],
-        "doc_id long, source string, text string",
+        "doc_id long, host string, text string",
     )
-    # run the same pipeline body over a constructed frame via monkeypatched load
-    import crawler_spark.queries_search as mod
-
-    orig = mod.load
-    mod.load = lambda s, sf, t: spark_df
-    try:
-        rows = {(r["doc_id"]): r for r in qs.q_boilerplate_strip(spark, SF).collect()}
-    finally:
-        mod.load = orig
-    # hostA: 4/4 docs share the prefix (plus the synthesized nav) -> stripped
+    rows = {r["doc_id"]: r for r in strip_boilerplate(corpus).collect()}
+    # hostA: 4/4 docs share the promo block -> stripped everywhere
     for i in range(4):
-        assert rows[i]["n_boiler"] >= 2, rows[i]  # nav block + promo block
+        assert rows[i]["n_boiler"] == 1, rows[i]
+        assert rows[i]["n_kept_toks"] == 5, rows[i]  # the unique tail block
     # hostB: promo block present on 1 of 2 docs (50% < 60%) -> kept there
-    assert rows[10]["n_boiler"] == 1, rows[10]  # only the nav block
-    assert rows[11]["n_boiler"] == 1, rows[11]
+    assert rows[10]["n_boiler"] == 0, rows[10]
+    assert rows[11]["n_boiler"] == 0, rows[11]
 
 
 def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
