@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .queries import _barrier, load
 
-__all__ = ["SEARCH_QUERIES", "SEARCH_ORACLES"]
+__all__ = ["SEARCH_QUERIES", "SEARCH_ORACLES", "strip_boilerplate"]
 
 
 def _md5_int(col):
@@ -78,10 +78,12 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    avgdl = words.count() // n
     tf = _barrier(
         words.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     )
+    # avgdl from the barriered tf table — a words.count() here would
+    # re-scan and re-explode the whole corpus for one scalar
+    avgdl = tf.agg(F.sum("tf")).first()[0] // n
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     vocab_win = Window.orderBy(F.desc("df"), F.asc("term"))
@@ -223,7 +225,7 @@ def _crawl_depth_sql() -> str:
         "WITH nodes AS (SELECT doc_id AS v FROM documents),",
         "n_docs AS (SELECT count(*) AS n FROM documents),",
         "edges AS (SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM n_docs) AS dst"
-        " FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks),",
+        f" FROM documents, (SELECT unnest([{', '.join(str(k) for k in range(1, _DEPTH_OUT_DEG + 1))}]) AS k) ks),",
         f"d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM nodes WHERE v % {_DEPTH_SEED_MOD} = 0),",
     ]
     for i in range(_DEPTH_HOPS):
@@ -376,7 +378,7 @@ def q_host_similarity(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: signatures are one groupBy(host, slot) min with
     map-side combine (16 rows per host out); band keys explode from the
-    signature (8 rows per host); the candidate join groups by band
+    signature (16 one-row bands per host); the candidate join groups by band
     value — bounded buckets, never host x host; the exact verify
     touches candidate pairs only (same candidates-then-verify contract
     as dedup_minhash_lsh). Host cardinality is site-count, orders below
@@ -434,7 +436,9 @@ def q_host_similarity(spark: SparkSession, sf: str) -> DataFrame:
     s2 = sig.select(
         F.col("host").alias("sh"), F.col("slot").alias("ss"), F.col("sig").alias("sv")
     )
-    est = (
+    # est forks into the inter join AND the final select — barrier it so
+    # the band self-join + slot-match pipeline runs once, not per branch
+    est = _barrier(
         cand.join(sig, cand.host_a == sig.host)
         .join(s2, (F.col("sh") == cand.host_b) & (F.col("ss") == F.col("slot")))
         .groupBy("host_a", "host_b", "n_common_bands")
@@ -539,7 +543,9 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     quality gate every LLM-data pipeline runs (CCNet/RefinedWeb filter
     models): token -> feature bucket by hash (md5 % 256), model =
     a 256-bucket weight vector, document score = mean bucket weight
-    over token occurrences, label = keep iff score >= 0. Weights here
+    over token occurrences, label = keep iff score >= 0 (a zero-token
+    document still gets a verdict — drop — rather than silently
+    emitting no decision). Weights here
     are derived deterministically from md5 so the DuckDB oracle
     reproduces the model bit-for-bit; a production model would swap in
     trained weights with the identical plan.
@@ -578,21 +584,32 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("w").cast("long").alias("sum_w"),
         )
     )
-    return summed.select(
-        "doc_id",
-        "n_toks",
-        "sum_w",
-        (
-            F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET
+    # left join from docs so a zero-token document still gets a verdict
+    # (drop — an empty doc is bad quality, and a filter that silently
+    # emits no decision for it would let it through a label-based keep)
+    return (
+        docs.select("doc_id")
+        .join(summed, "doc_id", "left")
+        .na.fill({"n_toks": 0, "sum_w": 0})
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.col("sum_w").cast("long").alias("sum_w"),
+            F.when(F.col("n_toks") == 0, F.lit(0))
+            .otherwise(
+                F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET
+            )
+            .cast("long")
+            .alias("score_fp"),
+            F.when(F.col("n_toks") == 0, F.lit("drop"))
+            .when(
+                F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET
+                >= 0,
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("label"),
         )
-        .cast("long")
-        .alias("score_fp"),
-        F.when(
-            F.expr(f"(1000 * sum_w + {_QC_OFFSET} * n_toks) DIV n_toks") - _QC_OFFSET >= 0,
-            F.lit("keep"),
-        )
-        .otherwise(F.lit("drop"))
-        .alias("label"),
     )
 
 
@@ -612,11 +629,16 @@ WITH weights AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
   FROM feats JOIN weights USING (bucket) GROUP BY doc_id
 )
-SELECT doc_id, n_toks, sum_w,
-       CAST((1000 * sum_w + {_QC_OFFSET} * n_toks) // n_toks - {_QC_OFFSET} AS BIGINT) AS score_fp,
-       CASE WHEN (1000 * sum_w + {_QC_OFFSET} * n_toks) // n_toks - {_QC_OFFSET} >= 0
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE(s.sum_w, 0) AS BIGINT) AS sum_w,
+       CAST(CASE WHEN COALESCE(s.n_toks, 0) = 0 THEN 0
+            ELSE (1000 * s.sum_w + {_QC_OFFSET} * s.n_toks) // s.n_toks - {_QC_OFFSET}
+            END AS BIGINT) AS score_fp,
+       CASE WHEN COALESCE(s.n_toks, 0) = 0 THEN 'drop'
+            WHEN (1000 * s.sum_w + {_QC_OFFSET} * s.n_toks) // s.n_toks - {_QC_OFFSET} >= 0
             THEN 'keep' ELSE 'drop' END AS label
-FROM summed"""
+FROM documents d LEFT JOIN summed s ON d.doc_id = s.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -626,6 +648,9 @@ FROM summed"""
 _BP_BLOCK = 5        # tokens per block (nav/header chrome is short)
 _BP_NUM = 6          # boilerplate when 10 * df >= 6 * host docs (60%)
 _BP_DEN = 10
+_BP_MIN_DOCS = 3     # below this many pages the host has no frequency
+# signal and the 60% rule degenerates (a 1-page host would strip 100%
+# of its own content) — CCNet applies the same small-shard guard
 
 
 def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
@@ -638,7 +663,9 @@ def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     to find; blocks are the same fixed 5-token grid per doc. Unlike
     q_dedup_blocks (global keep-first), the frequency threshold is PER
     HOST — the same block can be boilerplate on one host and unique
-    content on another.
+    content on another. Hosts with fewer than 3 pages have no frequency
+    signal and are exempt (a 1-page host would otherwise strip 100% of
+    its own content — the CCNet small-shard guard).
 
     Scale shape: one narrow explode, one groupBy(host, block) distinct
     doc count with map-side combine, one hash join back on
@@ -680,7 +707,10 @@ def strip_boilerplate(corpus: DataFrame) -> DataFrame:
     )
     boiler = (
         block_df.join(F.broadcast(host_docs), "host")
-        .filter(F.col("bdf") * _BP_DEN >= F.col("n_docs") * _BP_NUM)
+        .filter(
+            (F.col("bdf") * _BP_DEN >= F.col("n_docs") * _BP_NUM)
+            & (F.col("n_docs") >= _BP_MIN_DOCS)
+        )
         .select("host", "block")
         .withColumn("is_boiler", F.lit(True))
     )
@@ -730,7 +760,7 @@ WITH corpus AS (
   FROM blocks GROUP BY host, block
 ), boiler AS (
   SELECT bd.host, bd.block FROM block_df bd JOIN host_docs h ON bd.host = h.host
-  WHERE bd.bdf * {_BP_DEN} >= h.n_docs * {_BP_NUM}
+  WHERE bd.bdf * {_BP_DEN} >= h.n_docs * {_BP_NUM} AND h.n_docs >= {_BP_MIN_DOCS}
 ), marked AS (
   SELECT b.doc_id, b.host, b.pos, b.block, o.block IS NULL AS keep
   FROM blocks b LEFT JOIN boiler o ON b.host = o.host AND b.block = o.block

@@ -249,6 +249,29 @@ def test_quality_classifier_matches_pure_python_inference(spark):
         assert r["label"] == ("keep" if r["score_fp"] >= 0 else "drop")
 
 
+def test_quality_classifier_gives_empty_docs_a_drop_verdict(spark):
+    """A zero-token document must still appear in the output, labeled
+    drop — a gate that emits no decision lets the doc through any
+    label-based keep filter."""
+    from crawler_spark import queries_search as mod
+
+    frame = spark.createDataFrame(
+        [(0, "good words here"), (1, ""), (2, " ")],
+        "doc_id long, text string",
+    )
+    orig = mod.load
+    mod.load = lambda s, sf, t: frame
+    try:
+        rows = {r["doc_id"]: r for r in mod.q_quality_classifier(spark, SF).collect()}
+    finally:
+        mod.load = orig
+    assert set(rows) == {0, 1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_toks"] == 0
+        assert rows[d]["score_fp"] == 0
+        assert rows[d]["label"] == "drop"
+
+
 def test_quality_classifier_weights_are_broadcast(spark):
     plan = formatted_plan(q_quality_classifier(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
@@ -317,6 +340,25 @@ def test_boilerplate_threshold_is_per_host_not_global(spark):
     # hostB: promo block present on 1 of 2 docs (50% < 60%) -> kept there
     assert rows[10]["n_boiler"] == 0, rows[10]
     assert rows[11]["n_boiler"] == 0, rows[11]
+
+
+def test_boilerplate_small_host_guard_never_strips_single_page_hosts(spark):
+    """The 60% rule degenerates on tiny hosts (df == n_docs == 1 for
+    every block) — a 1-page host must keep 100% of its content."""
+    from crawler_spark.queries_search import strip_boilerplate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "solo", "every block on a one page host would be boiler without the guard"),
+            (1, "duo", "two page hosts also lack any frequency signal blocks"),
+            (2, "duo", "two page hosts also lack any frequency signal blocks"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    rows = {r["doc_id"]: r for r in strip_boilerplate(corpus).collect()}
+    for d in rows.values():
+        assert d["n_boiler"] == 0, d
+        assert d["n_kept_toks"] > 0, d
 
 
 def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
