@@ -82,8 +82,9 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         words.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     )
     # avgdl from the barriered tf table — a words.count() here would
-    # re-scan and re-explode the whole corpus for one scalar
-    avgdl = tf.agg(F.sum("tf")).first()[0] // n
+    # re-scan and re-explode the whole corpus for one scalar; floor of 1
+    # so a degenerate (near-empty) corpus can't zero the norm divisor
+    avgdl = max(1, (tf.agg(F.sum("tf")).first()[0] or 0) // n)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     vocab_win = Window.orderBy(F.desc("df"), F.asc("term"))
@@ -131,7 +132,7 @@ WITH words AS (
   SELECT doc_id, term FROM words WHERE term <> ''
 ), consts AS (
   SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT count(*) FROM w2) // (SELECT count(*) FROM documents) AS avgdl
+         GREATEST(1, (SELECT count(*) FROM w2) // (SELECT count(*) FROM documents)) AS avgdl
 ), tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w2 GROUP BY doc_id, term
 ), dl AS (

@@ -59,16 +59,17 @@ def _md5_int(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def test_bm25_matches_pure_python_scorer(spark):
-    docs = _docs()
+def _bm25_expected(docs):
+    """Pure-Python BM25 replay over [(doc_id, text), ...] — the
+    integer fixed-point twin of q_bm25_topk."""
     n = len(docs)
     tf = {}
     dl = {}
-    for doc_id, text, _ in docs:
+    for doc_id, text in docs:
         toks = [t for t in text.split(" ") if t]
         dl[doc_id] = len(toks)
         tf[doc_id] = Counter(toks)
-    avgdl = sum(dl.values()) // n
+    avgdl = max(1, sum(dl.values()) // n)
     df = Counter()
     for c in tf.values():
         df.update(c.keys())
@@ -93,12 +94,52 @@ def test_bm25_matches_pure_python_scorer(spark):
         rows.sort(key=lambda r: (-r[2], r[0]))
         for rk, (d, nh, sc) in enumerate(rows[:_BM25_K], 1):
             expect[(q, d)] = (nh, sc, rk)
+    return expect
 
+
+def test_bm25_matches_pure_python_scorer(spark):
+    expect = _bm25_expected([(d, t) for d, t, _ in _docs()])
     got = {
         (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score"], r["rk"])
         for r in q_bm25_topk(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_bm25_fuzz_random_corpora_match_replay(spark):
+    """Differential fuzz on adversarial tiny corpora (ties everywhere:
+    a 4-word vocabulary forces equal df/score collisions, empty and
+    single-token docs stress the length norm) — Spark must equal the
+    pure-Python replay on every draw."""
+    from hypothesis import given, settings, strategies as st
+    from crawler_spark import queries_search as mod
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    corpus_st = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=0, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus_st)
+    def run(texts):
+        docs = list(enumerate(texts))
+        if not any(t for _, t in docs):
+            return  # all-empty corpus: no postings, no queries
+        frame = spark.createDataFrame(docs, "doc_id long, text string")
+        orig = mod.load
+        mod.load = lambda s, sf, t: frame
+        try:
+            got = {
+                (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score"], r["rk"])
+                for r in mod.q_bm25_topk(spark, SF).collect()
+            }
+        finally:
+            mod.load = orig
+        assert got == _bm25_expected(docs)
+
+    run()
 
 
 def test_bm25_plan_broadcasts_queries_and_partitions_topk_by_query(spark):
