@@ -93,6 +93,7 @@ HEADLINE = [
     "host_similarity",
     "quality_classifier",
     "boilerplate_strip",
+    "curation_pipeline",
 ]
 
 N_HOSTS = 10_000

@@ -740,8 +740,7 @@ def strip_boilerplate(corpus: DataFrame) -> DataFrame:
     )
 
 
-_BP_SQL = f"""
-WITH corpus AS (
+_BP_CTES = f"""corpus AS (
   SELECT doc_id, source AS host,
          'nav home about contact ' || source || ' ' || text AS text2
   FROM documents
@@ -765,13 +764,100 @@ WITH corpus AS (
 ), marked AS (
   SELECT b.doc_id, b.host, b.pos, b.block, o.block IS NULL AS keep
   FROM blocks b LEFT JOIN boiler o ON b.host = o.host AND b.block = o.block
+), stripped AS (
+  SELECT doc_id, host,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+         CAST(sum(CASE WHEN keep THEN len(string_split(block, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_toks,
+         md5(coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '')) AS kept_fp
+  FROM marked GROUP BY doc_id, host
+)"""
+
+_BP_SQL = f"""
+WITH {_BP_CTES}
+SELECT doc_id, host, n_blocks, n_boiler, n_kept_toks, kept_fp FROM stripped"""
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline (strip -> quality -> clean-text dedup)
+# ---------------------------------------------------------------------------
+
+_CUR_MIN_TOKS = 15  # quality gate on the DE-BOILERPLATED token count
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pass a 100 TB corpus actually runs, in the
+    order that makes it correct: per-host boilerplate strip FIRST, then
+    the quality gate on the CLEANED token count, then exact dedup on
+    the CLEANED text fingerprint. The order is the point — two copies
+    of the same article on different hosts carry different chrome, so
+    raw-text dedup misses them; stripped first, their fingerprints
+    converge and the duplicate is caught (pinned in pytest). Each doc
+    gets a first-failing disposition: boiler_only (nothing survives the
+    strip) -> too_short (cleaned text under the gate) -> duplicate
+    (another quality-passing doc owns the same cleaned fingerprint,
+    keep-min doc_id) -> kept.
+
+    Scale shape: the strip stages as in q_boilerplate_strip (all
+    bounded-key shuffles); the quality gate is map-only; the dedup is
+    one window partitioned by kept_fp (duplicate-group-sized, the exact
+    shuffle an exact-dedup groupBy needs). The stripped table forks
+    into the rank and the verdict join, so it sits behind a barrier."""
+    docs = load(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    stripped = _barrier(strip_boilerplate(corpus))
+    quality = stripped.withColumn("quality_ok", F.col("n_kept_toks") >= _CUR_MIN_TOKS)
+    dup_win = Window.partitionBy("kept_fp").orderBy("doc_id")
+    ranked = (
+        quality.filter(F.col("quality_ok"))
+        .withColumn("rn", F.row_number().over(dup_win))
+        .select("doc_id", "rn")
+    )
+    disposition = (
+        F.when(F.col("n_kept_toks") == 0, F.lit("boiler_only"))
+        .when(~F.col("quality_ok"), F.lit("too_short"))
+        .when(F.col("rn") > 1, F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        quality.join(ranked, "doc_id", "left")
+        .withColumn("disposition", disposition)
+        .select(
+            "doc_id",
+            "host",
+            "n_kept_toks",
+            "kept_fp",
+            "disposition",
+            (F.col("disposition") == "kept").alias("is_output"),
+        )
+    )
+
+
+_CURATION_SQL = f"""
+WITH {_BP_CTES}, quality AS (
+  SELECT doc_id, host, n_kept_toks, kept_fp,
+         n_kept_toks >= {_CUR_MIN_TOKS} AS quality_ok
+  FROM stripped
+), ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY kept_fp ORDER BY doc_id) AS rn
+  FROM quality WHERE quality_ok
+), verdicts AS (
+  SELECT q.doc_id, q.host, q.n_kept_toks, q.kept_fp,
+         CASE WHEN q.n_kept_toks = 0 THEN 'boiler_only'
+              WHEN NOT q.quality_ok THEN 'too_short'
+              WHEN r.rn > 1 THEN 'duplicate'
+              ELSE 'kept' END AS disposition
+  FROM quality q LEFT JOIN ranked r ON q.doc_id = r.doc_id
 )
-SELECT doc_id, host,
-       CAST(count(*) AS BIGINT) AS n_blocks,
-       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
-       CAST(sum(CASE WHEN keep THEN len(string_split(block, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_toks,
-       md5(coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '')) AS kept_fp
-FROM marked GROUP BY doc_id, host"""
+SELECT doc_id, host, n_kept_toks, kept_fp, disposition,
+       disposition = 'kept' AS is_output
+FROM verdicts"""
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -781,6 +867,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_similarity": q_host_similarity,
     "quality_classifier": q_quality_classifier,
     "boilerplate_strip": q_boilerplate_strip,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -790,4 +877,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "host_similarity": _HSIM_SQL,
     "quality_classifier": _QC_SQL,
     "boilerplate_strip": _BP_SQL,
+    "curation_pipeline": _CURATION_SQL,
 }

@@ -402,6 +402,90 @@ def test_boilerplate_small_host_guard_never_strips_single_page_hosts(spark):
         assert d["n_kept_toks"] > 0, d
 
 
+def test_curation_pipeline_dispositions_match_replay(spark):
+    """First-failing disposition cascade replayed in pure Python over
+    the fixture: boiler_only -> too_short -> duplicate (keep-min doc_id
+    on the cleaned fingerprint among quality-passing docs) -> kept."""
+    from crawler_spark.queries_search import _CUR_MIN_TOKS, q_curation_pipeline
+
+    docs = _docs()
+    blocks_by_host = defaultdict(Counter)
+    doc_blocks = {}
+    host_docs = Counter()
+    for doc_id, text, source in docs:
+        toks = ("nav home about contact " + source + " " + text).split(" ")
+        blks = [
+            " ".join(toks[i * _BP_BLOCK : (i + 1) * _BP_BLOCK])
+            for i in range((len(toks) + _BP_BLOCK - 1) // _BP_BLOCK)
+        ]
+        doc_blocks[doc_id] = (source, blks)
+        host_docs[source] += 1
+        for b in set(blks):
+            blocks_by_host[source][b] += 1
+    cleaned = {}
+    for doc_id, (source, blks) in doc_blocks.items():
+        boiler = {
+            b
+            for b in blks
+            if host_docs[source] >= 3
+            and blocks_by_host[source][b] * _BP_DEN >= host_docs[source] * _BP_NUM
+        }
+        kept = [b for b in blks if b not in boiler]
+        cleaned[doc_id] = (
+            sum(len(b.split(" ")) for b in kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    rank = {}
+    for doc_id in sorted(cleaned):
+        n_kept, fp = cleaned[doc_id]
+        if n_kept >= _CUR_MIN_TOKS:
+            rank.setdefault(fp, doc_id)
+    expect = {}
+    for doc_id, (n_kept, fp) in cleaned.items():
+        if n_kept == 0:
+            expect[doc_id] = "boiler_only"
+        elif n_kept < _CUR_MIN_TOKS:
+            expect[doc_id] = "too_short"
+        elif rank[fp] != doc_id:
+            expect[doc_id] = "duplicate"
+        else:
+            expect[doc_id] = "kept"
+    got = {r["doc_id"]: r for r in q_curation_pipeline(spark, SF).collect()}
+    assert {d: r["disposition"] for d, r in got.items()} == expect
+    for d, r in got.items():
+        assert r["is_output"] == (r["disposition"] == "kept")
+
+
+def test_curation_dedups_cross_host_copies_only_after_stripping(spark):
+    """THE reason pipeline order matters: the same article on two hosts
+    carries different chrome, so raw-text dedup misses it; after the
+    per-host strip the cleaned fingerprints converge and one copy is
+    marked duplicate."""
+    from crawler_spark import queries_search as mod
+
+    body = "shared article body with exactly enough tokens to pass the quality gate easily " * 2
+    frame = spark.createDataFrame(
+        [(i, f"hostA", f"alpha unique page {i} filler content words " + " pad" * 12) for i in range(3)]
+        + [(10, "hostA", body)]
+        + [(i, "hostB", f"beta unique page {i} other content words " + " pad" * 12) for i in range(20, 23)]
+        + [(30, "hostB", body)],
+        "doc_id long, source string, text string",
+    )
+    # raw texts incl. chrome differ between hosts
+    rawA = "nav home about contact hostA " + body
+    rawB = "nav home about contact hostB " + body
+    assert rawA != rawB
+    orig = mod.load
+    mod.load = lambda s, sf, t: frame
+    try:
+        rows = {r["doc_id"]: r for r in mod.q_curation_pipeline(spark, SF).collect()}
+    finally:
+        mod.load = orig
+    assert rows[10]["kept_fp"] == rows[30]["kept_fp"], (rows[10], rows[30])
+    assert rows[10]["disposition"] == "kept"
+    assert rows[30]["disposition"] == "duplicate"
+
+
 def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
     plan = formatted_plan(q_boilerplate_strip(spark, SF))
     # no cartesian / no corpus self-join: the only joins are the tiny
