@@ -94,6 +94,7 @@ HEADLINE = [
     "quality_classifier",
     "boilerplate_strip",
     "curation_pipeline",
+    "posting_gaps",
 ]
 
 N_HOSTS = 10_000

@@ -779,6 +779,84 @@ SELECT doc_id, host, n_blocks, n_boiler, n_kept_toks, kept_fp FROM stripped"""
 
 
 # ---------------------------------------------------------------------------
+# posting-list d-gap compression stats
+# ---------------------------------------------------------------------------
+
+
+def q_posting_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index size estimation by delta-gap + varint modeling —
+    the planning pass a search index runs before materializing postings
+    at 100 TB (is the term dictionary worth compressing, which terms
+    dominate the index bytes). Per term: the posting list (distinct doc
+    ids ascending), d-gaps (first id encoded as id+1, then successive
+    differences — the standard d-gap scheme), varint cost per gap
+    ((bits + 6) DIV 7 bytes with bits = length(bin(gap))), aggregated
+    to per-term index bytes vs the raw 8-byte-per-posting baseline,
+    ratio in fixed-point.
+
+    Scale shape: tokenize is a narrow explode; the (term, doc) distinct
+    is the index-build groupBy (map-side combine); the lag window is
+    partitioned BY TERM — the exact partitioning the posting-list build
+    shuffles on anyway, never a global sort; the final per-term rollup
+    is combine-heavy. bin()/length() are JVM-side (no UDF) and
+    hash-match DuckDB's bin() for the positive gaps d-gap encoding
+    guarantees."""
+    docs = load(spark, sf, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .select("term", "doc_id")
+        .distinct()
+    )
+    lag_win = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(lag_win), F.col("doc_id") + 1
+        ).cast("long"),
+    ).withColumn(
+        "vbytes", F.expr("(length(bin(gap)) + 6) DIV 7").cast("long")
+    )
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("vbytes").cast("long").alias("vbyte_bytes"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .select(
+            "term",
+            "df",
+            "vbyte_bytes",
+            (F.col("df") * 8).cast("long").alias("raw_bytes"),
+            F.expr("(1000 * vbyte_bytes) DIV (df * 8)").cast("long").alias("ratio_fp"),
+            "max_gap",
+        )
+    )
+
+
+_GAPS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), postings AS (
+  SELECT DISTINCT term, doc_id FROM words WHERE term <> ''
+), gaps AS (
+  SELECT term,
+         CAST(COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                       doc_id + 1) AS BIGINT) AS gap
+  FROM postings
+), costed AS (
+  SELECT term, gap, CAST((length(bin(gap)) + 6) // 7 AS BIGINT) AS vbytes FROM gaps
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(vbytes) AS BIGINT) AS vbyte_bytes,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST((1000 * sum(vbytes)) // (count(*) * 8) AS BIGINT) AS ratio_fp,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM costed GROUP BY term"""
+
+
+# ---------------------------------------------------------------------------
 # composite curation pipeline (strip -> quality -> clean-text dedup)
 # ---------------------------------------------------------------------------
 
@@ -868,6 +946,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "boilerplate_strip": q_boilerplate_strip,
     "curation_pipeline": q_curation_pipeline,
+    "posting_gaps": q_posting_gaps,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -878,4 +957,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "quality_classifier": _QC_SQL,
     "boilerplate_strip": _BP_SQL,
     "curation_pipeline": _CURATION_SQL,
+    "posting_gaps": _GAPS_SQL,
 }

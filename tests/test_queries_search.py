@@ -402,6 +402,35 @@ def test_boilerplate_small_host_guard_never_strips_single_page_hosts(spark):
         assert d["n_kept_toks"] > 0, d
 
 
+def test_posting_gaps_match_pure_python_dgap_model(spark):
+    """d-gap + varint cost replay: per term, distinct ascending doc
+    ids, first id encoded as id+1, varint bytes = ceil(bits/7)."""
+    from crawler_spark.queries_search import q_posting_gaps
+
+    postings = defaultdict(list)
+    for doc_id, text, _ in _docs():
+        for t in set(x for x in text.split(" ") if x):
+            postings[t].append(doc_id)
+    expect = {}
+    for term, ids in postings.items():
+        ids.sort()
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        vb = sum((g.bit_length() + 6) // 7 for g in gaps)
+        expect[term] = (len(ids), vb, len(ids) * 8, (1000 * vb) // (len(ids) * 8), max(gaps))
+    got = {
+        r["term"]: (r["df"], r["vbyte_bytes"], r["raw_bytes"], r["ratio_fp"], r["max_gap"])
+        for r in q_posting_gaps(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_posting_gaps_window_partitions_by_term(spark):
+    from crawler_spark.queries_search import q_posting_gaps
+
+    plan = formatted_plan(q_posting_gaps(spark, SF))
+    assert re.search(r"Window.*\[term", plan, re.S), plan
+
+
 def test_curation_pipeline_dispositions_match_replay(spark):
     """First-failing disposition cascade replayed in pure Python over
     the fixture: boiler_only -> too_short -> duplicate (keep-min doc_id
