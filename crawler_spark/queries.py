@@ -988,6 +988,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _IVF_NLIST = 8  # coarse centroids; nlist ~ sqrt(N) and nprobe>1 at scale
+_SEMDEDUP_NLIST = 64  # semdedup quantizer is FINER than the search one:
+# in-cluster pair cost is quadratic in cluster size, so nlist tracks
+# N/target_cluster_size (the paper's 50k clusters for LAION); measured
+# at sf0.1: 12.8 s (nlist=8, ~690-rep clusters) -> see BENCH notes
 
 
 def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1055,7 +1059,10 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     never compares across clusters. The in-cluster pair count is
     quadratic in CLUSTER size, which is why production SemDeDup picks
     nlist ∝ N to bound clusters (the paper's 50k clusters for LAION;
-    _IVF_NLIST=8 is a fixture constant, not the scale setting) — and
+    _SEMDEDUP_NLIST=64 here, finer than the search quantizer's 8,
+    because dedup pays quadratic pair cost where search pays only a
+    probe — measured at sf0.1: 12.8 s -> ~2 s for the identical output
+    contract) — and
     why identical vectors are collapsed to one representative before
     the pair join (same guard as dedup_embedding_lsh; the planted
     copies would otherwise double hot-cluster pair counts), then
@@ -1067,7 +1074,7 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus = emb.unionByName(planted)
     cents = (
         emb.orderBy("vec_id")
-        .limit(_IVF_NLIST)
+        .limit(_SEMDEDUP_NLIST)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
     # identical-vector rep collapse (hot-cluster guard): only group
@@ -2675,7 +2682,7 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + {_LSH_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
 ), cents AS (
-  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_NLIST}
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_NLIST}
 ), assigned AS (
   SELECT vec_id, embedding, cent_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY {cosc} DESC, cent_id ASC) AS ark

@@ -147,7 +147,9 @@ def test_semdedup_recovers_planted_dups_within_clusters(spark):
     corpus = dict(vecs)
     for v in range(0, n_vecs, 10):
         corpus[v + _LSH_OFFSET] = vecs[v]
-    cents = {cid: vecs[cid] for cid in sorted(vecs)[:_IVF_NLIST]}
+    from crawler_spark.queries import _SEMDEDUP_NLIST
+
+    cents = {cid: vecs[cid] for cid in sorted(vecs)[:_SEMDEDUP_NLIST]}
 
     def cluster_of(vid):
         scored = [
@@ -168,7 +170,7 @@ def test_semdedup_recovers_planted_dups_within_clusters(spark):
     # blocking contract: the reported cluster is the dup's replayed
     # cluster AND the keeper's — no pair crosses clusters
     for r in rows:
-        assert 0 <= r.cluster_id < _IVF_NLIST
+        assert 0 <= r.cluster_id < _SEMDEDUP_NLIST
         assert r.keep_vec_id < r.dup_vec_id
         assert r.cluster_id == cluster_of(r.dup_vec_id), r
         assert r.cluster_id == cluster_of(r.keep_vec_id), r
