@@ -997,8 +997,10 @@ _SEMDEDUP_NLIST = 64  # semdedup quantizer is FINER than the search one:
 def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every (vec_id, embedding) row to its max-cosine coarse
     centroid via a BROADCAST join (map-side, no shuffle; ties break on
-    cent_id asc). Shared by q_ann_ivf_search and q_semdedup so the
-    quantizer can never diverge between its consumers."""
+    cent_id asc). The assignment RULE is shared by q_ann_ivf_search
+    and q_semdedup; their centroid SETS differ (_IVF_NLIST=8 for
+    search, _SEMDEDUP_NLIST=64 for dedup), so cent_id values are not
+    comparable across the two queries."""
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
     return (
         vectors.join(F.broadcast(cents))
@@ -1045,9 +1047,11 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
     embedding space, then remove near-duplicates WITHIN each cluster
     only — the blocking that makes semantic dedup tractable at corpus
-    scale). Clusters reuse the IVF coarse quantizer (first nlist
-    vectors as deterministic centroids, broadcast max-cosine
-    assignment); candidate pairs form inside a cluster only; exact
+    scale). Clusters reuse the IVF ASSIGNMENT RULE
+    (_ivf_assign: broadcast max-cosine) over semdedup's own, finer
+    centroid set (first _SEMDEDUP_NLIST vectors — see the nlist note
+    below; cluster_id here is not comparable to ann_ivf_search's
+    cent_id); candidate pairs form inside a cluster only; exact
     fixed-point cosine >= 0.9 verifies; keep = min(vec_id) per dup.
     Planted dups (every 10th vector re-appears at vec_id + 1e6) share
     their original's embedding, hence provably its cluster, so recall
@@ -1061,8 +1065,11 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     nlist ∝ N to bound clusters (the paper's 50k clusters for LAION;
     _SEMDEDUP_NLIST=64 here, finer than the search quantizer's 8,
     because dedup pays quadratic pair cost where search pays only a
-    probe — measured at sf0.1: 12.8 s -> ~2 s for the identical output
-    contract) — and
+    probe; finer blocking can drop a near-dup pair whose members split
+    across clusters — the inherent SemDeDup approximation, identical on
+    both engines — while planted identical copies always share their
+    original's cluster; measured at sf0.1: 12.8 s -> 5.5 s isolated,
+    7.0 s on the board) — and
     why identical vectors are collapsed to one representative before
     the pair join (same guard as dedup_embedding_lsh; the planted
     copies would otherwise double hot-cluster pair counts), then

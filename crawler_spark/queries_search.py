@@ -654,6 +654,20 @@ _BP_MIN_DOCS = 3     # below this many pages the host has no frequency
 # of its own content) — CCNet applies the same small-shard guard
 
 
+def _bp_corpus(docs: DataFrame) -> DataFrame:
+    """The fixture corpus both boilerplate consumers share: documents
+    prefixed with a synthesized 5-token per-host nav block (chrome for
+    the strip to find). One definition so q_boilerplate_strip and
+    q_curation_pipeline can never diverge on the planted chrome."""
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
 def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host boilerplate stripping — the CCNet/trafilatura pass that
     removes site chrome (nav bars, footers, cookie banners) BEFORE
@@ -674,14 +688,7 @@ def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     shuffles; the boilerplate table is host x chrome-block sized,
     orders below the corpus. The integer threshold compare
     (10 * df >= 6 * n_docs) avoids a division entirely."""
-    docs = load(spark, sf, "documents")
-    corpus = docs.select(
-        "doc_id",
-        F.col("source").alias("host"),
-        F.concat(
-            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
-        ).alias("text"),
-    )
+    corpus = _bp_corpus(load(spark, sf, "documents"))
     return strip_boilerplate(corpus)
 
 
@@ -881,14 +888,7 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     one window partitioned by kept_fp (duplicate-group-sized, the exact
     shuffle an exact-dedup groupBy needs). The stripped table forks
     into the rank and the verdict join, so it sits behind a barrier."""
-    docs = load(spark, sf, "documents")
-    corpus = docs.select(
-        "doc_id",
-        F.col("source").alias("host"),
-        F.concat(
-            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
-        ).alias("text"),
-    )
+    corpus = _bp_corpus(load(spark, sf, "documents"))
     stripped = _barrier(strip_boilerplate(corpus))
     quality = stripped.withColumn("quality_ok", F.col("n_kept_toks") >= _CUR_MIN_TOKS)
     dup_win = Window.partitionBy("kept_fp").orderBy("doc_id")
