@@ -515,6 +515,65 @@ def test_curation_dedups_cross_host_copies_only_after_stripping(spark):
     assert rows[30]["disposition"] == "duplicate"
 
 
+def test_boilerplate_fuzz_random_corpora_match_replay(spark):
+    """Differential fuzz for the per-host frequency rule: random tiny
+    corpora (tiny vocab so blocks collide across docs and hosts, doc
+    counts straddling the min-docs guard) — Spark must equal the
+    pure-Python replay on every draw."""
+    from hypothesis import given, settings, strategies as st
+    from crawler_spark.queries_search import strip_boilerplate
+
+    vocab = ["aa", "bb", "cc"]
+    doc_st = st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(" ".join)
+    corpus_st = st.lists(
+        st.tuples(st.sampled_from(["h0", "h1"]), doc_st), min_size=1, max_size=8
+    )
+
+    def replay(rows):
+        blocks_by_host = defaultdict(Counter)
+        host_docs = Counter()
+        doc_blocks = {}
+        for doc_id, host, text in rows:
+            toks = text.split(" ")
+            blks = [
+                " ".join(toks[i * _BP_BLOCK : (i + 1) * _BP_BLOCK])
+                for i in range((len(toks) + _BP_BLOCK - 1) // _BP_BLOCK)
+            ]
+            doc_blocks[doc_id] = (host, blks)
+            host_docs[host] += 1
+            for b in set(blks):
+                blocks_by_host[host][b] += 1
+        out = {}
+        for doc_id, (host, blks) in doc_blocks.items():
+            boiler = {
+                b
+                for b in blks
+                if host_docs[host] >= 3
+                and blocks_by_host[host][b] * _BP_DEN >= host_docs[host] * _BP_NUM
+            }
+            kept = [b for b in blks if b not in boiler]
+            out[doc_id] = (
+                len(blks),
+                sum(1 for b in blks if b in boiler),
+                sum(len(b.split(" ")) for b in kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus_st)
+    def run(pairs):
+        rows = [(i, h, t) for i, (h, t) in enumerate(pairs)]
+        frame = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_boiler"], r["n_kept_toks"], r["kept_fp"])
+            for r in strip_boilerplate(frame).collect()
+        }
+        assert got == replay(rows)
+
+    run()
+
+
 def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
     plan = formatted_plan(q_boilerplate_strip(spark, SF))
     # no cartesian / no corpus self-join: the only joins are the tiny
