@@ -95,6 +95,8 @@ HEADLINE = [
     "boilerplate_strip",
     "curation_pipeline",
     "posting_gaps",
+    "phash_neardup",
+    "media_captions",
 ]
 
 N_HOSTS = 10_000

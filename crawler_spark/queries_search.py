@@ -786,6 +786,246 @@ SELECT doc_id, host, n_blocks, n_boiler, n_kept_toks, kept_fp FROM stripped"""
 
 
 # ---------------------------------------------------------------------------
+# image near-dup via banded pHash Hamming distance
+# ---------------------------------------------------------------------------
+
+_PHN_BANDS = 4      # 4 x 16-bit bands over the 64-bit average hash
+_PHN_MAX_HAM = 6    # near-dup when hamming(phash_a, phash_b) <= 6
+_PHN_CLONE_XOR = 3  # planted re-encode: clone with 2 low bits flipped
+
+
+def q_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate detection over perceptual hashes — the
+    multimodal sibling of MinHash-LSH text dedup (re-encoded / resized
+    copies of an image land within a few pHash bits of the original;
+    exact-byte dedup misses every one of them). pHashes come through
+    the REAL media plumbing (operators/multimodal.py decode -> resize
+    -> average-hash, the same pipeline q_image_phash driver-checks);
+    every second image gets a planted '#v2' clone with two bits flipped
+    (a re-encode stand-in, Hamming 2). Banding: a 64-bit hash splits
+    into 4 x 16-bit bands; a pair whose Hamming is <= 6 must agree on
+    at least one band (pigeonhole: 7+ differing bits cannot touch all
+    4 bands... 6 can touch at most 3 when spread, but the guarantee is
+    probabilistic for adversarial spreads — the planted clones differ
+    in one band only), so candidates come from band-bucket equality,
+    never an all-pairs image join; the exact bit_count(xor) verify
+    touches candidates only.
+
+    Determinism note: shiftright-and-mask band extraction and
+    bit_count(xor) agree bit-for-bit between Spark and DuckDB including
+    negative BIGINT hashes (two's complement on both — verified before
+    this query landed).
+
+    Scale shape: banding explodes 4 rows per image (map-side); the
+    candidate join groups by (band_id, band_value) — bounded buckets;
+    the verify is a per-pair integer op. At 10^10 images this is the
+    exact shape image dedup runs in production pipelines."""
+    from .operators.multimodal import image_resize_features
+    from .queries import _image_refs
+
+    media = spark.createDataFrame(
+        [(r, "image") for r in _image_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    feats = image_resize_features(media).select("media_ref", "phash")
+    corpus = feats.unionByName(
+        feats.filter(F.substring(F.col("media_ref"), -5, 1).cast("int") % 2 == 0).select(
+            F.concat(F.col("media_ref"), F.lit("#v2")).alias("media_ref"),
+            F.expr(f"phash ^ {_PHN_CLONE_XOR}").cast("long").alias("phash"),
+        )
+    )
+    corpus = _barrier(corpus)
+    bands = corpus.select(
+        "media_ref",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_PHN_BANDS - 1})")).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(phash, 16 * band) & 65535"))
+    b2 = bands.select(
+        F.col("media_ref").alias("ref_b"),
+        F.col("phash").alias("phash_b"),
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bv_b"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band == b2.band_b)
+            & (bands.bv == b2.bv_b)
+            & (bands.media_ref < b2.ref_b),
+        )
+        .groupBy(
+            F.col("media_ref").alias("media_a"),
+            F.col("ref_b").alias("media_b"),
+            F.col("phash"),
+            F.col("phash_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(phash ^ phash_b)").cast("long"))
+        .filter(F.col("hamming") <= _PHN_MAX_HAM)
+        .select("media_a", "media_b", "n_shared_bands", "hamming")
+    )
+
+
+def _phash_neardup_sql() -> str:
+    """Base pHashes precomputed with the same pure feature function
+    (numpy runs at import, like _image_phash_sql); the banding, the
+    candidate join, and the Hamming verify run relationally in DuckDB
+    so the blocking logic itself is cross-checked."""
+    import hashlib as _hl
+
+    from .operators.multimodal import FakeDecodeBackend, image_features
+    from .queries import _image_refs
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _image_refs():
+        payload = _hl.md5(ref.encode()).hexdigest().encode("utf-8")
+        f = image_features(ref, payload, 8, backend)
+        rows.append("('%s', CAST(%d AS BIGINT))" % (ref, f["phash"]))
+    return f"""
+WITH feats AS (
+  SELECT * FROM (VALUES
+  {", ".join(rows)}
+  ) AS t(media_ref, phash)
+), corpus AS (
+  SELECT media_ref, phash FROM feats
+  UNION ALL
+  SELECT media_ref || '#v2' AS media_ref, xor(phash, {_PHN_CLONE_XOR}) AS phash
+  FROM feats
+  WHERE CAST(substring(media_ref, length(media_ref) - 4, 1) AS INT) % 2 = 0
+), bands AS (
+  SELECT media_ref, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bv
+  FROM corpus, (SELECT unnest(generate_series(0, {_PHN_BANDS - 1})) AS band) b
+), cand AS (
+  SELECT a.media_ref AS media_a, x.media_ref AS media_b,
+         a.phash AS pa, x.phash AS pb,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands x
+    ON a.band = x.band AND a.bv = x.bv AND a.media_ref < x.media_ref
+  GROUP BY a.media_ref, x.media_ref, a.phash, x.phash
+)
+SELECT media_a, media_b, n_shared_bands,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {_PHN_MAX_HAM}"""
+
+
+# ---------------------------------------------------------------------------
+# caption mining from interleaved spans
+# ---------------------------------------------------------------------------
+
+
+def caption_pairs(spans: DataFrame) -> DataFrame:
+    """LAION-style (media, caption) pair extraction over interleaved
+    span rows (doc_id, span_pos, kind, text, media_ref): each media
+    span is captioned by the nearest PRECEDING text span, falling back
+    to the nearest following one — the standard alt-text/context rule
+    multimodal training-pair pipelines apply to web documents.
+
+    Scale shape: two windows partitioned BY DOCUMENT (last/first with
+    ignorenulls over the span order — spans per doc are bounded), then
+    a filter to media rows. No join, no corpus-wide shuffle beyond the
+    doc partitioning the span table already has."""
+    w = Window.partitionBy("doc_id").orderBy("span_pos")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = w.rowsBetween(1, Window.unboundedFollowing)
+    text_col = F.when(F.col("kind") == "text", F.col("text"))
+    enriched = spans.withColumn(
+        "prev_text", F.last(text_col, ignorenulls=True).over(prev_w)
+    ).withColumn("next_text", F.first(text_col, ignorenulls=True).over(next_w))
+    return enriched.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "media_ref",
+        F.col("span_pos").cast("int").alias("span_pos"),
+        F.when(F.col("prev_text").isNotNull(), F.lit("before"))
+        .when(F.col("next_text").isNotNull(), F.lit("after"))
+        .otherwise(F.lit("none"))
+        .alias("caption_side"),
+        F.coalesce("prev_text", "next_text", F.lit("")).alias("caption"),
+    )
+
+
+def q_media_captions(spark: SparkSession, sf: str) -> DataFrame:
+    """Caption mining over the interleaved text+media span payload (the
+    graft's input_hint schema: ordered spans of kind text|media per
+    document) — how multimodal training pairs are actually harvested
+    from web crawls. Deterministic span synthesis from documents: three
+    text spans (token windows 1-10, 11-20, 21+ when non-empty)
+    interleaved with media spans after the first window (doc_id % 2 ==
+    0) and after the second (doc_id % 3 == 0); each media span pairs
+    with its nearest preceding text span, next-following as fallback.
+    See caption_pairs for the operator contract and scale shape."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+
+    def text_span(pos: int, expr: str) -> DataFrame:
+        return toked.select(
+            "doc_id",
+            F.lit(pos).cast("long").alias("span_pos"),
+            F.lit("text").alias("kind"),
+            F.expr(expr).alias("text"),
+            F.lit("").alias("media_ref"),
+        ).filter(F.col("text") != "")
+
+    def media_span(pos: int, mod: int, idx: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % mod == 0).select(
+            "doc_id",
+            F.lit(pos).cast("long").alias("span_pos"),
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("img://"), F.col("doc_id").cast("string"), F.lit(f"/{idx}")
+            ).alias("media_ref"),
+        )
+
+    spans = (
+        text_span(0, "concat_ws(' ', slice(toks, 1, 10))")
+        .unionByName(media_span(1, 2, 1))
+        .unionByName(text_span(2, "concat_ws(' ', slice(toks, 11, 10))"))
+        .unionByName(media_span(3, 3, 2))
+        .unionByName(text_span(4, "concat_ws(' ', slice(toks, 21, size(toks)))"))
+    )
+    return caption_pairs(spans)
+
+
+_CAPTION_SQL = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), spans AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS span_pos, 'text' AS kind,
+         array_to_string(toks[1:10], ' ') AS text, '' AS media_ref
+  FROM toked WHERE array_to_string(toks[1:10], ' ') <> ''
+  UNION ALL
+  SELECT doc_id, 1, 'media', '', 'img://' || CAST(doc_id AS VARCHAR) || '/1'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'text', array_to_string(toks[11:20], ' '), ''
+  FROM toked WHERE array_to_string(toks[11:20], ' ') <> ''
+  UNION ALL
+  SELECT doc_id, 3, 'media', '', 'img://' || CAST(doc_id AS VARCHAR) || '/2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 4, 'text', array_to_string(toks[21:], ' '), ''
+  FROM toked WHERE array_to_string(toks[21:], ' ') <> ''
+), enriched AS (
+  SELECT doc_id, span_pos, kind, media_ref,
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY span_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_text,
+         first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY span_pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_text
+  FROM spans
+)
+SELECT doc_id, media_ref, CAST(span_pos AS INT) AS span_pos,
+       CASE WHEN prev_text IS NOT NULL THEN 'before'
+            WHEN next_text IS NOT NULL THEN 'after'
+            ELSE 'none' END AS caption_side,
+       COALESCE(prev_text, next_text, '') AS caption
+FROM enriched WHERE kind = 'media'"""
+
+
+# ---------------------------------------------------------------------------
 # posting-list d-gap compression stats
 # ---------------------------------------------------------------------------
 
@@ -947,6 +1187,8 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "curation_pipeline": q_curation_pipeline,
     "posting_gaps": q_posting_gaps,
+    "phash_neardup": q_phash_neardup,
+    "media_captions": q_media_captions,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -958,4 +1200,6 @@ SEARCH_ORACLES: dict[str, str] = {
     "boilerplate_strip": _BP_SQL,
     "curation_pipeline": _CURATION_SQL,
     "posting_gaps": _GAPS_SQL,
+    "phash_neardup": _phash_neardup_sql(),
+    "media_captions": _CAPTION_SQL,
 }

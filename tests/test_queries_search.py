@@ -402,6 +402,101 @@ def test_boilerplate_small_host_guard_never_strips_single_page_hosts(spark):
         assert d["n_kept_toks"] > 0, d
 
 
+def test_phash_neardup_finds_exactly_the_planted_clones(spark):
+    """Every planted '#v2' clone (2 bits flipped) must pair with its
+    original at Hamming 2; nothing else in the synthetic image set sits
+    within the threshold, so the candidate/verify pipeline must return
+    exactly the planted pairs — and each reported pair must genuinely
+    share a band (replayed from the pure feature function)."""
+    import hashlib as hl
+
+    from crawler_spark.operators.multimodal import FakeDecodeBackend, image_features
+    from crawler_spark.queries import _image_refs
+    from crawler_spark.queries_search import (
+        _PHN_CLONE_XOR,
+        _PHN_MAX_HAM,
+        q_phash_neardup,
+    )
+
+    rows = q_phash_neardup(spark, SF).collect()
+    backend = FakeDecodeBackend()
+    ph = {}
+    for ref in _image_refs():
+        payload = hl.md5(ref.encode()).hexdigest().encode("utf-8")
+        ph[ref] = image_features(ref, payload, 8, backend)["phash"]
+    planted = {
+        (ref, ref + "#v2")
+        for ref in ph
+        if int(ref[-5]) % 2 == 0
+    }
+    got = {(r["media_a"], r["media_b"]) for r in rows}
+    assert got == planted, (got - planted, planted - got)
+    for r in rows:
+        a = ph[r["media_a"]]
+        b = a ^ _PHN_CLONE_XOR
+        assert r["hamming"] == bin(a ^ b).count("1")
+        assert r["hamming"] <= _PHN_MAX_HAM
+        shared = sum(
+            1 for k in range(4) if (a >> (16 * k)) & 65535 == (b >> (16 * k)) & 65535
+        )
+        assert r["n_shared_bands"] == shared
+        assert shared >= 1
+
+
+def test_caption_pairs_rule_before_after_none(spark):
+    """Nearest-preceding text wins; nearest-following is the fallback;
+    a doc with no text spans at all yields caption_side='none'."""
+    from crawler_spark.queries_search import caption_pairs
+
+    spans = spark.createDataFrame(
+        [
+            # doc 1: text, media, text -> media captioned by PRECEDING text
+            (1, 0, "text", "intro words", ""),
+            (1, 1, "media", "", "img://1/a"),
+            (1, 2, "text", "later words", ""),
+            # doc 2: media first, text after -> fallback to FOLLOWING
+            (2, 0, "media", "", "img://2/a"),
+            (2, 1, "text", "trailing caption", ""),
+            # doc 3: media only -> none
+            (3, 0, "media", "", "img://3/a"),
+            # doc 4: two media after one text -> both take the same preceding
+            (4, 0, "text", "shared context", ""),
+            (4, 1, "media", "", "img://4/a"),
+            (4, 2, "media", "", "img://4/b"),
+        ],
+        "doc_id long, span_pos long, kind string, text string, media_ref string",
+    )
+    got = {r["media_ref"]: r for r in caption_pairs(spans).collect()}
+    assert got["img://1/a"]["caption_side"] == "before"
+    assert got["img://1/a"]["caption"] == "intro words"
+    assert got["img://2/a"]["caption_side"] == "after"
+    assert got["img://2/a"]["caption"] == "trailing caption"
+    assert got["img://3/a"]["caption_side"] == "none"
+    assert got["img://3/a"]["caption"] == ""
+    assert got["img://4/a"]["caption"] == "shared context"
+    assert got["img://4/b"]["caption"] == "shared context"
+
+
+def test_media_captions_fixture_replay(spark):
+    """Fixture media spans sit after a guaranteed-nonempty first text
+    window, so every caption must be the doc's first 10 tokens."""
+    from crawler_spark.queries_search import q_media_captions
+
+    first10 = {
+        doc_id: " ".join([t for t in text.split(" ")][:10])
+        for doc_id, text, _ in _docs()
+    }
+    rows = q_media_captions(spark, SF).collect()
+    docs_with_media = {r["doc_id"] for r in rows}
+    assert docs_with_media == {
+        d for d in first10 if d % 2 == 0 or d % 3 == 0
+    }
+    for r in rows:
+        if r["span_pos"] == 1:
+            assert r["caption_side"] == "before"
+            assert r["caption"] == first10[r["doc_id"]], r
+
+
 def test_posting_gaps_match_pure_python_dgap_model(spark):
     """d-gap + varint cost replay: per term, distinct ascending doc
     ids, first id encoded as id+1, varint bytes = ceil(bits/7)."""
