@@ -97,6 +97,7 @@ HEADLINE = [
     "posting_gaps",
     "phash_neardup",
     "media_captions",
+    "video_neardup",
 ]
 
 N_HOSTS = 10_000

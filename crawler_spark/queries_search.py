@@ -911,6 +911,126 @@ FROM cand WHERE bit_count(xor(pa, pb)) <= {_PHN_MAX_HAM}"""
 
 
 # ---------------------------------------------------------------------------
+# video near-dup by frame-fingerprint containment
+# ---------------------------------------------------------------------------
+
+_VND_MIN_CONT = 800  # containment (fixed-point /1000) to call a near-dup
+
+
+def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-duplicate detection by frame-fingerprint containment
+    — the temporal member of the dedup trio (text: MinHash-LSH, image:
+    banded pHash, video: shared-frame containment; a trimmed or
+    re-cut upload shares most of its FRAMES with the original even
+    though no whole-file hash matches). Frames come through the real
+    multimodal plumbing (video_frame_sample, the pipeline
+    q_video_frames driver-checks); every second video gets a planted
+    '#cut' clone that drops the first sampled frame (a trim stand-in).
+    Candidates = video pairs sharing at least one frame fingerprint
+    (bucket join on the fingerprint, never video x video); verify =
+    containment |shared| / min(|A|, |B|) in fixed-point, >= 0.8 flags
+    the pair. Low-cardinality fingerprint collisions across unrelated
+    videos become candidates but die at the verify (pinned in pytest).
+
+    Scale shape: fingerprints explode one row per sampled frame
+    (map-side); the bucket join groups by fingerprint value (bounded
+    buckets); sizes are a per-video combine; verify touches candidate
+    pairs only — the candidates-then-verify contract shared with every
+    dedup operator in this engine."""
+    from .operators.multimodal import video_frame_sample
+    from .queries import _FRAME_EVERY_N, _video_refs
+
+    media = spark.createDataFrame(
+        [(r, "video") for r in _video_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    frames = video_frame_sample(media, every_n=_FRAME_EVERY_N).select(
+        "media_ref",
+        "frame_idx",
+        F.floor(F.col("mean_lum") * 1000).cast("long").alias("sig"),
+    )
+    corpus = frames.unionByName(
+        frames.filter(F.col("frame_idx") > 0).select(
+            F.concat(F.col("media_ref"), F.lit("#cut")).alias("media_ref"),
+            (F.col("frame_idx") - _FRAME_EVERY_N).cast("int").alias("frame_idx"),
+            "sig",
+        )
+    )
+    sigs = _barrier(corpus.select("media_ref", "sig").distinct())
+    sizes = sigs.groupBy("media_ref").agg(F.count("*").cast("long").alias("sz"))
+    s2 = sigs.select(F.col("media_ref").alias("ref_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        sigs.join(s2, (sigs.sig == s2.sig_b) & (sigs.media_ref < s2.ref_b))
+        .groupBy(F.col("media_ref").alias("media_a"), F.col("ref_b").alias("media_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("media_ref").alias("media_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("media_ref").alias("media_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(za, "media_a")
+        .join(zb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "n_shared",
+            "sz_a",
+            "sz_b",
+            F.expr("(1000 * n_shared) DIV least(sz_a, sz_b)").cast("long").alias("containment_fp"),
+            (F.expr("(1000 * n_shared) DIV least(sz_a, sz_b)") >= _VND_MIN_CONT).alias(
+                "near_dup"
+            ),
+        )
+    )
+
+
+def _video_neardup_sql() -> str:
+    """Frame rows precomputed with the same deterministic decode (like
+    _video_frames_sql); the clone planting, bucket join, and
+    containment verify run relationally in DuckDB."""
+    import hashlib as _hl
+    import math as _m
+
+    from .operators.multimodal import FakeDecodeBackend
+    from .queries import _FRAME_EVERY_N, _video_refs
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _video_refs():
+        payload = _hl.md5(ref.encode()).hexdigest().encode("utf-8")
+        frames = backend.decode_video_frames(payload, _FRAME_EVERY_N)
+        for i, fr in enumerate(frames):
+            rows.append(
+                "('%s', %d, CAST(%d AS BIGINT))"
+                % (ref, i * _FRAME_EVERY_N, _m.floor(float(fr.mean()) * 1000))
+            )
+    return f"""
+WITH frames AS (
+  SELECT * FROM (VALUES
+  {", ".join(rows)}
+  ) AS t(media_ref, frame_idx, sig)
+), corpus AS (
+  SELECT media_ref, frame_idx, sig FROM frames
+  UNION ALL
+  SELECT media_ref || '#cut', frame_idx - {_FRAME_EVERY_N}, sig
+  FROM frames WHERE frame_idx > 0
+), sigs AS (
+  SELECT DISTINCT media_ref, sig FROM corpus
+), sizes AS (
+  SELECT media_ref, CAST(count(*) AS BIGINT) AS sz FROM sigs GROUP BY media_ref
+), cand AS (
+  SELECT a.media_ref AS media_a, b.media_ref AS media_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_ref < b.media_ref
+  GROUP BY a.media_ref, b.media_ref
+)
+SELECT c.media_a, c.media_b, c.n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+       CAST((1000 * c.n_shared) // least(za.sz, zb.sz) AS BIGINT) AS containment_fp,
+       (1000 * c.n_shared) // least(za.sz, zb.sz) >= {_VND_MIN_CONT} AS near_dup
+FROM cand c
+JOIN sizes za ON za.media_ref = c.media_a
+JOIN sizes zb ON zb.media_ref = c.media_b"""
+
+
+# ---------------------------------------------------------------------------
 # caption mining from interleaved spans
 # ---------------------------------------------------------------------------
 
@@ -1189,6 +1309,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "posting_gaps": q_posting_gaps,
     "phash_neardup": q_phash_neardup,
     "media_captions": q_media_captions,
+    "video_neardup": q_video_neardup,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -1202,4 +1323,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "posting_gaps": _GAPS_SQL,
     "phash_neardup": _phash_neardup_sql(),
     "media_captions": _CAPTION_SQL,
+    "video_neardup": _video_neardup_sql(),
 }

@@ -443,6 +443,29 @@ def test_phash_neardup_finds_exactly_the_planted_clones(spark):
         assert shared >= 1
 
 
+def test_video_neardup_flags_exactly_the_planted_cuts(spark):
+    """Every planted '#cut' clone (first sampled frame dropped) is a
+    subset of its original's frame fingerprints -> containment 1000;
+    cross-video fingerprint collisions may produce candidates but must
+    die at the containment verify."""
+    from crawler_spark.queries_search import _VND_MIN_CONT, q_video_neardup
+
+    rows = q_video_neardup(spark, SF).collect()
+    flagged = {(r["media_a"], r["media_b"]) for r in rows if r["near_dup"]}
+    planted = set()
+    for r in rows:
+        if r["media_b"] == r["media_a"] + "#cut":
+            planted.add((r["media_a"], r["media_b"]))
+            assert r["near_dup"], r
+            # subset containment: every clone sig is in the original
+            assert r["n_shared"] == min(r["sz_a"], r["sz_b"]), r
+            assert r["containment_fp"] == 1000, r
+    assert planted, "no planted pairs surfaced at all"
+    assert flagged == planted, flagged ^ planted
+    for r in rows:
+        assert r["near_dup"] == (r["containment_fp"] >= _VND_MIN_CONT)
+
+
 def test_caption_pairs_rule_before_after_none(spark):
     """Nearest-preceding text wins; nearest-following is the fallback;
     a doc with no text spans at all yields caption_side='none'."""
