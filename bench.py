@@ -98,6 +98,9 @@ HEADLINE = [
     "phash_neardup",
     "media_captions",
     "video_neardup",
+    "dup_spans",
+    "dsir_weights",
+    "phrase_search",
 ]
 
 N_HOSTS = 10_000

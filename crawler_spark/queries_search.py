@@ -1298,6 +1298,365 @@ SELECT doc_id, host, n_kept_toks, kept_fp, disposition,
 FROM verdicts"""
 
 
+# ---------------------------------------------------------------------------
+# sliding-window repeated-span mining
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # sliding-window width in tokens (the GPT-3/Lee-et-al dedup unit)
+
+
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window repeated-span mining — the offset-insensitive
+    complement of q_dedup_blocks (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": exact substring dedup
+    over the token stream). Fixed-block dedup misses a duplicated
+    sentence that starts mid-block; sliding every _SPAN_W-token window
+    (stride 1) catches duplication at ANY alignment — the fixed-width
+    fingerprint approximation of the paper's suffix array, which is the
+    shape this pass actually ships at corpus scale (a distributed
+    suffix array is not a Spark-friendly structure; fixed-W shingle
+    grouping is, and finds the same spans modulo the W floor). Output:
+    every span occurring in >= 2 DISTINCT documents, its occurrence
+    stats, and the first occurrence (min (doc_id, pos), packed into one
+    BIGINT key so the argmin is a plain min() — no min_by tie ambiguity).
+    See repeated_spans for the operator contract and scale shape."""
+    return repeated_spans(load(spark, sf, "documents"))
+
+
+def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Sliding-window repeated-span mining over any (doc_id, text)
+    frame; see q_dup_spans for the pass this implements.
+
+    Scale shape: the window explode is narrow (one row per token, same
+    cost class as the tokenize every text query already pays); the only
+    shuffle is the groupBy on the span fingerprint — a bounded-key hash
+    exchange with map-side combine, the exact-dup shape. A degenerate
+    span (site chrome repeated 10^6 times) lands in ONE group row, never
+    a pair blowup. Grouping by md5(span) keeps the shuffle key fixed
+    16 bytes instead of the raw W-token string; min(span) carries the
+    (identical) text through."""
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= w
+    )
+    spans = toked.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(toks) - {w} + 1)")).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"concat_ws(' ', slice(toks, pos, {w}))").alias("span"),
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_fp"))
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min(F.col("doc_id") * 1000000 + F.col("pos")).cast("long").alias("fk"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "span_fp",
+            "span",
+            "n_docs",
+            "n_occ",
+            F.expr("fk DIV 1000000").cast("long").alias("first_doc"),
+            (F.col("fk") % 1000000).cast("long").alias("first_pos"),
+        )
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), eligible AS (
+  SELECT doc_id, toks FROM toked WHERE len(toks) >= {_SPAN_W}
+), exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_SPAN_W} + 2),
+           p -> {{'pos': p, 'span': array_to_string(toks[p : p + {_SPAN_W} - 1], ' ')}})) AS z
+  FROM eligible
+), spans AS (
+  SELECT doc_id, CAST(z.pos AS BIGINT) AS pos, z.span AS span FROM exploded
+), grouped AS (
+  SELECT md5(span) AS span_fp, min(span) AS span,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS fk
+  FROM spans GROUP BY md5(span)
+)
+SELECT span_fp, span, n_docs, n_occ,
+       CAST(fk // 1000000 AS BIGINT) AS first_doc,
+       CAST(fk % 1000000 AS BIGINT) AS first_pos
+FROM grouped WHERE n_docs >= 2"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256      # hashed feature buckets (the paper's hashed n-gram space)
+_DSIR_TGT_MOD = 7  # target slice: source index % 7 == 0 (~1/7 of sources)
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how target-like its hashed-bigram distribution is —
+    log p_target(doc) - log p_raw(doc) under two bag-of-hashed-bigrams
+    unigram LMs — the selection pass that turns a 100 TB crawl into a
+    domain-matched training subset. The target distribution is fitted
+    on a deterministic source slice (source index % 7 == 0, a
+    high-quality-domain stand-in); raw is the complement. Per-bucket
+    log-probabilities use the repo's integer surrogate: surprisal =
+    length(bin((1000 * (total + B)) DIV (cnt + 1))) — a floor-log2 of
+    the add-one-smoothed inverse probability, same bin() idiom as
+    q_posting_gaps, so the doc's log-weight is an exact integer both
+    engines agree on. selected = logw > 0 (doc looks more target- than
+    raw-like); a production pipeline would Gumbel-resample on these
+    weights — randomness is out of the determinism budget here, the
+    weights are the operator. See dsir_score for the operator contract
+    and scale shape."""
+    docs = load(spark, sf, "documents")
+    return dsir_score(
+        docs.select(
+            "doc_id",
+            (F.expr("CAST(substring(source, 4) AS INT)") % _DSIR_TGT_MOD == 0).alias(
+                "is_target"
+            ),
+            "text",
+        )
+    )
+
+
+def dsir_score(docs: DataFrame) -> DataFrame:
+    """DSIR importance weighting over any (doc_id, is_target, text)
+    frame; see q_dsir_weights for the pass this implements.
+
+    Scale shape: feature hashing is map-only (explode bigrams, md5 mod
+    B); the bucket LM tables are ONE groupBy over B=256 keys (tiny,
+    combine-heavy) and are BROADCAST back to the occurrence stream, so
+    scoring never shuffles the corpus; the per-doc sum is a
+    groupBy(doc_id) with map-side partials. At 10^10 docs the only
+    corpus-sized exchange is the per-doc combine — the minimum any
+    per-doc score needs."""
+    toked = docs.select(
+        "doc_id",
+        "is_target",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    grams = toked.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    occ = _barrier(
+        grams.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("bigram"), 1, 4), 16, 10).cast("long") % _DSIR_B,
+        )
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cnt_r"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+    )
+    scored = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(f"length(bin((1000 * (tot_t + {_DSIR_B})) DIV (cnt_t + 1)))")
+        .cast("long")
+        .alias("surp_t"),
+        F.expr(f"length(bin((1000 * (tot_r + {_DSIR_B})) DIV (cnt_r + 1)))")
+        .cast("long")
+        .alias("surp_r"),
+    )
+    return (
+        occ.join(F.broadcast(scored), "bucket")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.col("surp_r") - F.col("surp_t")).cast("long").alias("logw"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            "n_bigrams",
+            "logw",
+            (F.col("logw") > 0).alias("selected"),
+        )
+    )
+
+
+_DSIR_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, CAST(substring(source, 4) AS INT) % {_DSIR_TGT_MOD} = 0 AS is_target,
+         string_split(text, ' ') AS toks
+  FROM documents
+), eligible AS (
+  SELECT doc_id, is_target, toks FROM toked WHERE len(toks) >= 2
+), grams AS (
+  SELECT doc_id, is_target, z AS bigram
+  FROM eligible, LATERAL (
+    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS z
+  ) t
+), occ AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substring(md5(bigram), 1, 4)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM grams
+), stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+  FROM occ GROUP BY bucket
+), totals AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t, CAST(sum(cnt_r) AS BIGINT) AS tot_r
+  FROM stats
+), scored AS (
+  SELECT bucket,
+         CAST(length(bin((1000 * (tot_t + {_DSIR_B})) // (cnt_t + 1))) AS BIGINT) AS surp_t,
+         CAST(length(bin((1000 * (tot_r + {_DSIR_B})) // (cnt_r + 1))) AS BIGINT) AS surp_r
+  FROM stats, totals
+)
+SELECT o.doc_id, o.is_target,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.surp_r - s.surp_t) AS BIGINT) AS logw,
+       sum(s.surp_r - s.surp_t) > 0 AS selected
+FROM occ o JOIN scored s ON o.bucket = s.bucket
+GROUP BY o.doc_id, o.is_target"""
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search over positional postings
+# ---------------------------------------------------------------------------
+
+_PS_QUERIES = 4   # deterministic phrase-query count
+_PS_LEN = 3       # tokens per phrase
+_PS_MOD = 29      # query q's source doc: min doc_id with doc_id % 29 == q
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search over positional postings — the query class
+    BM25's bag-of-words scoring cannot answer ("spark sql engine" as a
+    contiguous phrase, not three independent terms). Positional
+    postings are (doc_id, pos, term); a phrase of L terms matches doc d
+    at anchor a iff for every phrase offset i the posting
+    (d, a + i, term_i) exists — evaluated with the classic anchor
+    intersection: join postings to the phrase terms, derive
+    anchor = pos - qpos, and a group (query, doc, anchor) covering all
+    L DISTINCT qpos values is a hit (count-distinct, so a phrase with a
+    repeated term cannot double-count one posting). Queries are derived
+    deterministically from the corpus: query q's phrase = the first L
+    tokens of the lowest-doc_id document with doc_id % 29 == q, so every
+    query is guaranteed at least its own source-doc match.
+
+    Scale shape: the posting build is the tokenize explode every text
+    query pays; the phrase-term table is TINY and BROADCAST, so the
+    corpus-sized posting stream is filtered to the queried terms
+    map-side — only postings of phrase terms reach the
+    (query, doc, anchor) combine, which is the posting-list
+    intersection cost a search engine pays by design, never a
+    corpus-wide shuffle. The query-derivation window partitions by
+    residue over the tiny candidate slice."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= _PS_LEN
+    )
+    rsd = toked.withColumn("rsd", (F.col("doc_id") % _PS_MOD).cast("long")).filter(
+        F.col("rsd") < _PS_QUERIES
+    )
+    qwin = Window.partitionBy("rsd").orderBy("doc_id")
+    phrases = (
+        rsd.withColumn("rn", F.row_number().over(qwin))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("rsd").alias("query_id"),
+            F.expr(f"concat_ws(' ', slice(toks, 1, {_PS_LEN}))").alias("phrase"),
+        )
+    )
+    return phrase_match(docs, phrases)
+
+
+def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Anchor-intersection phrase matching of a (query_id, phrase)
+    frame against a (doc_id, text) corpus; see q_phrase_search for the
+    operator contract and scale shape. Each phrase's token count is its
+    own match requirement, so phrases of different lengths co-exist in
+    one call."""
+    qterms = phrases.select(
+        "query_id",
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("qlen"),
+        F.posexplode(F.split("phrase", " ")).alias("qpos", "term"),
+    )
+    postings = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    cand = postings.join(F.broadcast(qterms), "term").select(
+        "query_id",
+        "phrase",
+        "qlen",
+        "doc_id",
+        (F.col("pos") - F.col("qpos")).cast("long").alias("anchor"),
+        "qpos",
+    )
+    anchors = (
+        cand.groupBy("query_id", "phrase", "qlen", "doc_id", "anchor")
+        .agg(F.countDistinct("qpos").alias("nq"))
+        .filter(F.col("nq") == F.col("qlen"))
+    )
+    return anchors.groupBy("query_id", "phrase", "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+_PHRASE_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {_PS_LEN}
+), qdocs AS (
+  SELECT doc_id % {_PS_MOD} AS query_id, toks,
+         row_number() OVER (PARTITION BY doc_id % {_PS_MOD} ORDER BY doc_id) AS rn
+  FROM toked WHERE doc_id % {_PS_MOD} < {_PS_QUERIES}
+), qx AS (
+  SELECT query_id, array_to_string(toks[1:{_PS_LEN}], ' ') AS phrase,
+         unnest(list_transform(range(1, {_PS_LEN} + 1),
+           i -> {{'qpos': i - 1, 'term': toks[i]}})) AS z
+  FROM qdocs WHERE rn = 1
+), qterms AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, phrase,
+         CAST(z.qpos AS BIGINT) AS qpos, z.term AS term
+  FROM qx
+), px AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+           i -> {{'pos': i - 1, 'term': toks[i]}})) AS z
+  FROM toked
+), postings AS (
+  SELECT doc_id, CAST(z.pos AS BIGINT) AS pos, z.term AS term
+  FROM px WHERE z.term <> ''
+), cand AS (
+  SELECT q.query_id, q.phrase, p.doc_id, p.pos - q.qpos AS anchor, q.qpos
+  FROM postings p JOIN qterms q ON p.term = q.term
+), anchors AS (
+  SELECT query_id, phrase, doc_id, anchor, count(DISTINCT qpos) AS nq
+  FROM cand GROUP BY query_id, phrase, doc_id, anchor
+)
+SELECT query_id, phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM anchors WHERE nq = {_PS_LEN} GROUP BY query_id, phrase, doc_id"""
+
+
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "crawl_depth": q_crawl_depth,
@@ -1310,6 +1669,9 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_neardup": q_phash_neardup,
     "media_captions": q_media_captions,
     "video_neardup": q_video_neardup,
+    "dup_spans": q_dup_spans,
+    "dsir_weights": q_dsir_weights,
+    "phrase_search": q_phrase_search,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -1324,4 +1686,7 @@ SEARCH_ORACLES: dict[str, str] = {
     "phash_neardup": _phash_neardup_sql(),
     "media_captions": _CAPTION_SQL,
     "video_neardup": _video_neardup_sql(),
+    "dup_spans": _DUP_SPANS_SQL,
+    "dsir_weights": _DSIR_SQL,
+    "phrase_search": _PHRASE_SQL,
 }

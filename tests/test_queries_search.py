@@ -697,3 +697,215 @@ def test_boilerplate_and_blockdf_shuffles_are_bounded_key(spark):
     # no cartesian / no corpus self-join: the only joins are the tiny
     # host_docs broadcast and the (host, block) hash join back
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sliding-window repeated-span mining
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_catches_offset_shifted_dups_blocks_miss(spark):
+    """The operator's reason to exist: a span duplicated at DIFFERENT
+    alignments is invisible to fixed-block dedup (q_dedup_blocks) but
+    found by the sliding window. One shared 8-token span, pos 4 in doc
+    10 and pos 1 in doc 20 — exactly one output row, first occurrence
+    = the (doc_id, pos)-min = (10, 4); block_dedup on the same frame
+    keeps every block (no aligned duplicate exists)."""
+    from crawler_spark.queries import block_dedup
+    from crawler_spark.queries_search import repeated_spans
+
+    shared = "a b c d e f g h"
+    frame = spark.createDataFrame(
+        [
+            (10, f"x y z {shared} p q"),
+            (20, f"{shared} u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_spans(frame).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["span"] == shared
+    assert r["span_fp"] == hashlib.md5(shared.encode()).hexdigest()
+    assert (r["n_docs"], r["n_occ"]) == (2, 2)
+    assert (r["first_doc"], r["first_pos"]) == (10, 4)
+
+    blocks = {b["doc_id"]: b for b in block_dedup(frame).collect()}
+    assert all(b["n_kept"] == b["n_blocks"] for b in blocks.values())
+
+
+def test_repeated_spans_replay_parity_sf0001(spark):
+    """Pure-Python sliding-window replay over the sf0.001 corpus equals
+    the Spark output row-for-row (stats AND first-occurrence decode)."""
+    from crawler_spark.queries_search import _SPAN_W, q_dup_spans
+
+    occ = defaultdict(list)
+    for doc_id, text, _src in _docs():
+        toks = text.split(" ")
+        for p in range(1, len(toks) - _SPAN_W + 2):
+            occ[" ".join(toks[p - 1 : p - 1 + _SPAN_W])].append((doc_id, p))
+    expect = {}
+    for span, hits in occ.items():
+        if len({d for d, _ in hits}) < 2:
+            continue
+        first = min(d * 1000000 + p for d, p in hits)
+        expect[hashlib.md5(span.encode()).hexdigest()] = (
+            span,
+            len({d for d, _ in hits}),
+            len(hits),
+            first // 1000000,
+            first % 1000000,
+        )
+    got = {
+        r["span_fp"]: (r["span"], r["n_docs"], r["n_occ"], r["first_doc"], r["first_pos"])
+        for r in q_dup_spans(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the corpus actually exercises the operator
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_separates_disjoint_vocabularies(spark):
+    """Direction property on a planted frame: target docs speak bigram
+    'aaa bbb' (bucket 71), raw docs 'ccc ddd' (bucket 252 — verified
+    non-colliding), and one RAW doc written in the target vocabulary
+    must come out selected (positive log-weight) while the raw-vocab
+    raw docs come out negative."""
+    from crawler_spark.queries_search import dsir_score
+
+    rows = [(i, True, "aaa bbb") for i in range(6)]
+    rows += [(10 + i, False, "ccc ddd") for i in range(6)]
+    rows.append((99, False, "aaa bbb"))  # the doc DSIR exists to find
+    frame = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    got = {r["doc_id"]: r for r in dsir_score(frame).collect()}
+    assert len(got) == 13 and all(r["n_bigrams"] == 1 for r in got.values())
+    assert got[99]["selected"] and got[99]["logw"] > 0
+    for i in range(6):
+        assert got[i]["selected"], got[i]
+        assert not got[10 + i]["selected"], got[10 + i]
+
+
+def test_dsir_replay_parity_sf0001(spark):
+    """Pure-Python replay of the full hashed-bigram LM pipeline
+    (bucketing, add-one smoothing, floor-log2 surprisal, per-doc sum)
+    over sf0.001 equals the Spark output row-for-row."""
+    from crawler_spark.queries_search import _DSIR_B, _DSIR_TGT_MOD, q_dsir_weights
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:4], 16) % _DSIR_B
+
+    docs = []
+    for doc_id, text, src in _docs():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        is_t = int(src[3:]) % _DSIR_TGT_MOD == 0
+        buckets = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        docs.append((doc_id, is_t, buckets))
+    cnt_t, cnt_r = Counter(), Counter()
+    for _d, is_t, bks in docs:
+        (cnt_t if is_t else cnt_r).update(bks)
+    tot_t, tot_r = sum(cnt_t.values()), sum(cnt_r.values())
+
+    def surp(tot: int, cnt: int) -> int:
+        return ((1000 * (tot + _DSIR_B)) // (cnt + 1)).bit_length()
+
+    expect = {}
+    for doc_id, is_t, bks in docs:
+        logw = sum(surp(tot_r, cnt_r[b]) - surp(tot_t, cnt_t[b]) for b in bks)
+        expect[doc_id] = (is_t, len(bks), logw, logw > 0)
+    got = {
+        r["doc_id"]: (r["is_target"], r["n_bigrams"], r["logw"], r["selected"])
+        for r in q_dsir_weights(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_plan_broadcasts_bucket_lm(spark):
+    """The 256-bucket LM tables must come back to the occurrence stream
+    as a BROADCAST join — scoring never shuffles the corpus."""
+    from crawler_spark.queries_search import q_dsir_weights
+
+    plan = formatted_plan(q_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_match_contiguity_and_repeated_terms(spark):
+    """The anchor-intersection semantics, pinned exactly: contiguity
+    (terms present but non-adjacent do NOT match), multiple anchors per
+    doc, and a phrase with a REPEATED term (count-distinct qpos means
+    one posting cannot satisfy two phrase offsets)."""
+    from crawler_spark.queries_search import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),
+            (2, "a c b"),
+            (3, "b a b a b"),
+            (4, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a b"), (1, "b a b"), (2, "a a")],
+        "query_id long, phrase string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_hits"], r["first_pos"])
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        (0, 1): (2, 0),  # "a b" at anchors 0 and 3
+        (0, 3): (2, 1),  # "b a b a b": "a b" at anchors 1 and 3
+        (1, 3): (2, 0),  # "b a b" at anchors 0 and 2 (overlapping)
+        (2, 4): (2, 0),  # "a a a": "a a" at anchors 0 and 1; doc 1 has
+        # non-adjacent a's only — correctly absent
+    }
+
+
+def test_phrase_search_self_match_guarantee(spark):
+    """Every derived query must match its own source document at
+    anchor 0 — the derivation rule replayed in pure Python."""
+    from crawler_spark.queries_search import (
+        _PS_LEN,
+        _PS_MOD,
+        _PS_QUERIES,
+        q_phrase_search,
+    )
+
+    src = {}
+    for doc_id, text, _s in _docs():
+        toks = text.split(" ")
+        if len(toks) < _PS_LEN:
+            continue
+        q = doc_id % _PS_MOD
+        if q < _PS_QUERIES and q not in src:
+            src[q] = (doc_id, " ".join(toks[:_PS_LEN]))
+    rows = q_phrase_search(spark, SF).collect()
+    by_q = defaultdict(dict)
+    for r in rows:
+        by_q[r["query_id"]][r["doc_id"]] = r
+    for q, (doc_id, phrase) in src.items():
+        hit = by_q[q][doc_id]
+        assert hit["phrase"] == phrase
+        assert hit["first_pos"] == 0 and hit["n_hits"] >= 1
+
+
+def test_phrase_search_plan_broadcasts_query_terms(spark):
+    """The phrase-term table must broadcast — the posting stream is
+    filtered map-side, never shuffled corpus-wide for the match."""
+    from crawler_spark.queries_search import q_phrase_search
+
+    plan = formatted_plan(q_phrase_search(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
