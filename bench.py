@@ -101,6 +101,7 @@ HEADLINE = [
     "dup_spans",
     "dsir_weights",
     "phrase_search",
+    "collocations",
 ]
 
 N_HOSTS = 10_000

@@ -1657,6 +1657,121 @@ SELECT query_id, phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
 FROM anchors WHERE nq = {_PS_LEN} GROUP BY query_id, phrase, doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+_COL_MIN_SUPPORT = 5   # bigram must occur this often to be scored
+_COL_MIN_PMI_LOG2 = 11  # collocation flag: floor-log2(1000 * ratio) >= 11
+# (ratio >= ~2.05x independence; 1000x fixed-point baseline is bin length 10)
+
+
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining — the association statistic that surfaces
+    multi-word expressions ("new york", "machine learning") as tokenizer
+    merge candidates and phrase-dictionary entries during corpus
+    analysis. PMI(a,b) = log p(ab) / (p(a) p(b)); in the repo's integer
+    discipline the ratio is computed staged to stay in BIGINT —
+    t1 = (1000 * U) DIV c_a, t2 = (t1 * U) DIV c_b,
+    ratio_fp = (t2 * c_ab) DIV N (U = unigram total, N = bigram total) —
+    then lifted to a floor-log2 via length(bin(...)), the same bin()
+    idiom as q_posting_gaps / q_dsir_weights. A pair is flagged a
+    collocation when its log2 ratio clears _COL_MIN_PMI_LOG2 (about 2x
+    over independence) with support >= _COL_MIN_SUPPORT (PMI is
+    notoriously noisy at low counts — the support floor is part of the
+    operator, not a test convenience). At web scale the staged form
+    bounds intermediates by 1000*U^2/max(c_a,c_b); a 10^12-token corpus
+    would hoist the log earlier (sum of per-factor floor-log2s) — noted
+    here because the fixed-point product is the exact-hash-friendly form
+    at test scale.
+
+    Scale shape: unigram and bigram counts are two combine-heavy
+    groupBys (vocab- and bigram-vocab-sized outputs); the unigram table
+    joins back to the bigram table twice on single-term keys — both
+    joins are vocabulary-sized, NOT corpus-sized, and broadcastable when
+    the vocab fits (AQE decides, same policy as q_tfidf_topk). Nothing
+    after tokenization touches the corpus again."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    uni = _barrier(
+        toked.select(F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    u_total = uni.agg(F.sum("c")).first()[0] or 1
+    big = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big_counts = _barrier(
+        big.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    n_total = big_counts.agg(F.sum("c_ab")).first()[0] or 1
+    ca = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    return (
+        big_counts.filter(F.col("c_ab") >= _COL_MIN_SUPPORT)
+        .join(ca, "a")
+        .join(cb, "b")
+        .withColumn("t1", F.expr(f"(1000 * {u_total}) DIV c_a"))
+        .withColumn("t2", F.expr(f"(t1 * {u_total}) DIV c_b"))
+        .withColumn("ratio_fp", F.expr(f"(t2 * c_ab) DIV {n_total}").cast("long"))
+        .filter(F.col("ratio_fp") >= 1)
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "ratio_fp",
+            F.expr("length(bin(ratio_fp))").cast("long").alias("pmi_log2"),
+            (F.expr("length(bin(ratio_fp))") >= _COL_MIN_PMI_LOG2).alias(
+                "collocation"
+            ),
+        )
+    )
+
+
+_COLLOC_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS term FROM toked) WHERE term <> ''
+  GROUP BY term
+), u_total AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
+big AS (
+  SELECT z.a AS a, z.b AS b
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS z
+        FROM toked)
+), big_counts AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM big GROUP BY a, b
+), n_total AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM big_counts),
+scored AS (
+  SELECT bc.a, bc.b, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+         ((((1000 * (SELECT u FROM u_total)) // ua.c)
+           * (SELECT u FROM u_total)) // ub.c) * bc.c_ab
+           // (SELECT n FROM n_total) AS ratio_fp
+  FROM big_counts bc
+  JOIN uni ua ON bc.a = ua.term
+  JOIN uni ub ON bc.b = ub.term
+  WHERE bc.c_ab >= {_COL_MIN_SUPPORT}
+)
+SELECT a, b, c_ab, c_a, c_b, CAST(ratio_fp AS BIGINT) AS ratio_fp,
+       CAST(length(bin(ratio_fp)) AS BIGINT) AS pmi_log2,
+       length(bin(ratio_fp)) >= {_COL_MIN_PMI_LOG2} AS collocation
+FROM scored WHERE ratio_fp >= 1"""
+
+
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "crawl_depth": q_crawl_depth,
@@ -1672,6 +1787,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "dsir_weights": q_dsir_weights,
     "phrase_search": q_phrase_search,
+    "collocations": q_collocations,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -1689,4 +1805,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "dup_spans": _DUP_SPANS_SQL,
     "dsir_weights": _DSIR_SQL,
     "phrase_search": _PHRASE_SQL,
+    "collocations": _COLLOC_SQL,
 }

@@ -909,3 +909,82 @@ def test_phrase_search_plan_broadcasts_query_terms(spark):
     plan = formatted_plan(q_phrase_search(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_replay_parity_sf0001(spark):
+    """Pure-Python replay of the staged fixed-point PMI (unigram/bigram
+    counts, t1/t2 staging, floor-log2, support + ratio floors) equals
+    the Spark output row-for-row."""
+    from crawler_spark.queries_search import (
+        _COL_MIN_PMI_LOG2,
+        _COL_MIN_SUPPORT,
+        q_collocations,
+    )
+
+    uni, big = Counter(), Counter()
+    for _d, text, _s in _docs():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        uni.update(t for t in toks if t)
+        big.update(zip(toks, toks[1:]))
+    u, n = sum(uni.values()), sum(big.values())
+    expect = {}
+    for (a, b), c_ab in big.items():
+        if c_ab < _COL_MIN_SUPPORT:
+            continue
+        ratio = (((1000 * u) // uni[a]) * u // uni[b]) * c_ab // n
+        if ratio < 1:
+            continue
+        expect[(a, b)] = (
+            c_ab,
+            uni[a],
+            uni[b],
+            ratio,
+            ratio.bit_length(),
+            ratio.bit_length() >= _COL_MIN_PMI_LOG2,
+        )
+    got = {
+        (r["a"], r["b"]): (
+            r["c_ab"], r["c_a"], r["c_b"], r["ratio_fp"], r["pmi_log2"], r["collocation"]
+        )
+        for r in q_collocations(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_collocations_flags_bound_pair_not_independent_pair(spark):
+    """Direction property on a planted corpus: the chain of the 8
+    'foo bar x y' docs is perfectly bound (every adjacent pair always
+    co-occurs — all three are true collocations), while 'foo baz'
+    reaches the same support floor through heavy independent dilution
+    of both words and must score BELOW the PMI flag."""
+    from crawler_spark import queries_search as mod
+
+    texts = (
+        ["foo bar x y"] * 8
+        + ["foo z", "z foo", "baz q", "q baz"] * 20
+        + ["foo baz"] * 5
+    )
+    frame = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    orig = mod.load
+    mod.load = lambda s, sf, t: frame
+    try:
+        rows = {(r["a"], r["b"]): r for r in mod.q_collocations(spark, SF).collect()}
+    finally:
+        mod.load = orig
+    # every always-together pair is flagged (incl. the filler bigrams —
+    # they too are perfectly bound); the diluted chance pair is not,
+    # despite clearing the same support floor
+    assert rows[("foo", "bar")]["collocation"]
+    assert not rows[("foo", "baz")]["collocation"], rows[("foo", "baz")]
+    assert rows[("foo", "baz")]["c_ab"] >= mod._COL_MIN_SUPPORT
+    assert rows[("foo", "baz")]["pmi_log2"] < rows[("foo", "bar")]["pmi_log2"]
