@@ -102,6 +102,7 @@ HEADLINE = [
     "dsir_weights",
     "phrase_search",
     "collocations",
+    "domain_mix",
 ]
 
 N_HOSTS = 10_000

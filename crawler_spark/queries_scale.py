@@ -948,6 +948,117 @@ FROM ranked"""
 
 
 # ---------------------------------------------------------------------------
+# temperature-weighted domain mixture
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # tokens drawn per training pass (ppm-friendly)
+
+
+def _isqrt_col(c: str):
+    """Exact integer sqrt of a non-negative BIGINT column, cross-engine:
+    floor of the double sqrt, then a +/-1 correction against the exact
+    integer squares. Double sqrt is within 1 ulp below 2^52, so the
+    correction makes Spark and DuckDB agree bit-for-bit even where their
+    float rounding differs."""
+    s0 = F.expr(f"CAST(floor(sqrt(CAST({c} AS DOUBLE))) AS BIGINT)")
+    return (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= F.col(c), 1).otherwise(0)
+        - F.when(s0 * s0 > F.col(c), 1).otherwise(0)
+    ).cast("long")
+
+
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted training-data mixture (the Gopher/PaLM
+    data-mix step: sample domains proportionally to tokens^alpha with
+    alpha = 0.5, upsampling low-resource domains relative to their
+    natural share): per-domain token mass -> isqrt weight (exact
+    integer tokens^0.5, see _isqrt_col) -> Hamilton largest-remainder
+    apportionment of a fixed token budget over the weights (the SAME
+    rounding rule as q_budget_alloc / q_sample_stratified, via
+    _largest_remainder, so mixture quotas always sum to the budget
+    exactly) -> per-domain upsample factor vs natural share in
+    fixed-point (guarded against a zero natural-ppm for trace domains).
+    q_budget_alloc apportions pending counts proportionally; the
+    temperature exponent is what makes this the LLM data-mix operator.
+
+    Scale shape: one combine-heavy groupBy(source) (domain-sized
+    output); everything after runs on the DOMAIN table — totals
+    broadcast, remainder rank over domains, never the corpus. At 10^10
+    docs the corpus is touched exactly once."""
+    docs = load(spark, sf, "documents")
+    domains = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.greatest(F.expr("n_chars DIV 4"), F.lit(1)))
+            .cast("long")
+            .alias("tokens"),
+        )
+        .withColumn("weight", _isqrt_col("tokens"))
+    )
+    total = domains.agg(F.sum("tokens").cast("long").alias("tot_tokens"))
+    alloc = _largest_remainder(domains, "weight", "source", _MIX_BUDGET)
+    return (
+        alloc.crossJoin(F.broadcast(total))
+        .withColumn(
+            "natural_ppm",
+            F.expr(f"({_MIX_BUDGET} * tokens) DIV tot_tokens").cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "weight",
+            F.col("_lr_quota").alias("alloc"),
+            "natural_ppm",
+            F.expr("(1000 * _lr_quota) DIV greatest(natural_ppm, 1)")
+            .cast("long")
+            .alias("upsample_fp"),
+        )
+    )
+
+
+_MIX_SQL = f"""
+WITH domains AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(GREATEST(n_chars // 4, 1)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)
+           + CASE WHEN (CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) + 1)
+                       * (CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) + 1)
+                       <= tokens THEN 1 ELSE 0 END
+           - CASE WHEN CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)
+                       * CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)
+                       > tokens THEN 1 ELSE 0 END AS weight
+  FROM domains
+), totals AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS w_total,
+         CAST(sum(tokens) AS BIGINT) AS tot_tokens
+  FROM weighted
+), based AS (
+  SELECT w.*, t.tot_tokens,
+         ({_MIX_BUDGET} * weight) // t.w_total AS base_alloc,
+         ({_MIX_BUDGET} * weight) % t.w_total AS rem
+  FROM weighted w, totals t
+), leftovers AS (
+  SELECT {_MIX_BUDGET} - sum(base_alloc) AS leftover FROM based
+), ranked AS (
+  SELECT based.*, leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM based, leftovers
+)
+SELECT source, n_docs, tokens, weight,
+       CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       CAST(({_MIX_BUDGET} * tokens) // tot_tokens AS BIGINT) AS natural_ppm,
+       CAST((1000 * (base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END))
+            // GREATEST(({_MIX_BUDGET} * tokens) // tot_tokens, 1) AS BIGINT) AS upsample_fp
+FROM ranked"""
+
+
+# ---------------------------------------------------------------------------
 # crawl report rollup (grouping sets)
 # ---------------------------------------------------------------------------
 
@@ -2197,6 +2308,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_detect": q_mirror_detect,
     "tfidf_topk": q_tfidf_topk,
     "budget_alloc": q_budget_alloc,
+    "domain_mix": q_domain_mix,
     "crawl_rollup": q_crawl_rollup,
     "latency_quantiles": q_latency_quantiles,
     "sample_stratified": q_sample_stratified,
@@ -2225,6 +2337,7 @@ SCALE_ORACLES: dict[str, str] = {
     "mirror_detect": _MIRROR_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "budget_alloc": _ALLOC_SQL,
+    "domain_mix": _MIX_SQL,
     "crawl_rollup": _ROLLUP_SQL,
     "latency_quantiles": _QUANTILE_SQL,
     "sample_stratified": _SAMPLE_SQL,

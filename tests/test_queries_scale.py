@@ -1266,3 +1266,75 @@ def test_url_identity_stage_schedule_is_a_fixpoint(spark):
     finally:
         qs._IDENTITY_STAGES = orig
     assert base == more
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted domain mixture
+# ---------------------------------------------------------------------------
+
+
+def test_isqrt_col_is_exact_integer_sqrt(spark):
+    """The +/-1-corrected double sqrt must equal math.isqrt on perfect
+    squares, their neighbours, and big values near the double-precision
+    edge — the exactness the cross-engine hash depends on."""
+    import math
+
+    from pyspark.sql import functions as F
+    from crawler_spark.queries_scale import _isqrt_col
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17, 24, 25, 26]
+    vals += [k * k + d for k in (10**3, 10**6, 2**26 - 1) for d in (-1, 0, 1)]
+    vals += [2**52 - 1, 10**15, 10**15 + 7]
+    frame = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["s"]
+        for r in frame.select("v", _isqrt_col("v").alias("s")).collect()
+    }
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_domain_mix_replay_and_temperature_direction(spark):
+    """Pure-Python replay of the whole mix (isqrt weights, Hamilton
+    apportionment, natural share, upsample factor) equals the Spark
+    output; and the temperature property holds — the smallest domain's
+    upsample factor is >= the largest domain's (alpha=0.5 flattens the
+    mixture toward low-resource domains)."""
+    import math
+    import duckdb
+
+    from crawler_spark.queries_scale import _MIX_BUDGET, q_domain_mix
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT source, count(*), sum(GREATEST(n_chars // 4, 1)) "
+        f"FROM '{SF}/documents.parquet' GROUP BY source"
+    ).fetchall()
+    doms = [(s, int(n), int(t)) for s, n, t in raw]
+    w = {s: math.isqrt(t) for s, _n, t in doms}
+    w_total = sum(w.values())
+    tot_tokens = sum(t for _s, _n, t in doms)
+    base = {s: (_MIX_BUDGET * w[s]) // w_total for s, _n, _t in doms}
+    rem = {s: (_MIX_BUDGET * w[s]) % w_total for s, _n, _t in doms}
+    leftover = _MIX_BUDGET - sum(base.values())
+    winners = {
+        s for s, _r in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:leftover]
+    }
+    expect = {}
+    for s, n, t in doms:
+        alloc = base[s] + (1 if s in winners else 0)
+        nat = (_MIX_BUDGET * t) // tot_tokens
+        expect[s] = (n, t, w[s], alloc, nat, (1000 * alloc) // max(nat, 1))
+    rows = q_domain_mix(spark, SF).collect()
+    got = {
+        r["source"]: (
+            r["n_docs"], r["tokens"], r["weight"], r["alloc"],
+            r["natural_ppm"], r["upsample_fp"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert sum(r["alloc"] for r in rows) == _MIX_BUDGET
+    lo = min(rows, key=lambda r: (r["tokens"], r["source"]))
+    hi = max(rows, key=lambda r: (r["tokens"], r["source"]))
+    if lo["tokens"] < hi["tokens"]:
+        assert lo["upsample_fp"] >= hi["upsample_fp"], (lo, hi)
