@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 
 from .queries import _barrier, load
 
-__all__ = ["SEARCH_QUERIES", "SEARCH_ORACLES", "strip_boilerplate"]
+__all__ = [
+    "SEARCH_QUERIES",
+    "SEARCH_ORACLES",
+    "strip_boilerplate",
+    "caption_pairs",
+    "repeated_spans",
+    "dsir_score",
+    "phrase_match",
+]
 
 
 def _md5_int(col):
@@ -1318,7 +1326,9 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     grouping is, and finds the same spans modulo the W floor). Output:
     every span occurring in >= 2 DISTINCT documents, its occurrence
     stats, and the first occurrence (min (doc_id, pos), packed into one
-    BIGINT key so the argmin is a plain min() — no min_by tie ambiguity).
+    BIGINT key so the argmin is a plain min() — no min_by tie ambiguity;
+    the pack is doc_id * 2^32 + pos, sound for pos < 2^32 ~ a 4.3e9-token
+    document and doc_id < 2^31, both beyond the table's id/doc domains).
     See repeated_spans for the operator contract and scale shape."""
     return repeated_spans(load(spark, sf, "documents"))
 
@@ -1353,7 +1363,7 @@ def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
             F.min("span").alias("span"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
-            F.min(F.col("doc_id") * 1000000 + F.col("pos")).cast("long").alias("fk"),
+            F.min(F.col("doc_id") * 4294967296 + F.col("pos")).cast("long").alias("fk"),
         )
         .filter(F.col("n_docs") >= 2)
         .select(
@@ -1361,8 +1371,8 @@ def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
             "span",
             "n_docs",
             "n_occ",
-            F.expr("fk DIV 1000000").cast("long").alias("first_doc"),
-            (F.col("fk") % 1000000).cast("long").alias("first_pos"),
+            F.expr("fk DIV 4294967296").cast("long").alias("first_doc"),
+            (F.col("fk") % 4294967296).cast("long").alias("first_pos"),
         )
     )
 
@@ -1383,12 +1393,12 @@ WITH toked AS (
   SELECT md5(span) AS span_fp, min(span) AS span,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occ,
-         CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS fk
+         CAST(min(doc_id * 4294967296 + pos) AS BIGINT) AS fk
   FROM spans GROUP BY md5(span)
 )
 SELECT span_fp, span, n_docs, n_occ,
-       CAST(fk // 1000000 AS BIGINT) AS first_doc,
-       CAST(fk % 1000000 AS BIGINT) AS first_pos
+       CAST(fk // 4294967296 AS BIGINT) AS first_doc,
+       CAST(fk % 4294967296 AS BIGINT) AS first_pos
 FROM grouped WHERE n_docs >= 2"""
 
 
@@ -1441,6 +1451,7 @@ def dsir_score(docs: DataFrame) -> DataFrame:
     groupBy(doc_id) with map-side partials. At 10^10 docs the only
     corpus-sized exchange is the per-doc combine — the minimum any
     per-doc score needs."""
+    ids = docs.select("doc_id", "is_target")
     toked = docs.select(
         "doc_id",
         "is_target",
@@ -1479,20 +1490,24 @@ def dsir_score(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("surp_r"),
     )
-    return (
+    per_doc = (
         occ.join(F.broadcast(scored), "bucket")
-        .groupBy("doc_id", "is_target")
+        .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
             F.sum(F.col("surp_r") - F.col("surp_t")).cast("long").alias("logw"),
         )
-        .select(
-            "doc_id",
-            "is_target",
-            "n_bigrams",
-            "logw",
-            (F.col("logw") > 0).alias("selected"),
-        )
+    )
+    # every doc gets an explicit decision: a sub-2-token doc has no
+    # bigram evidence, logw 0, selected false — a silent no-row here
+    # would let degenerate docs through a selected=false anti-join
+    # (same policy as q_quality_classifier's explicit 'drop' verdict)
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "is_target",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("logw", F.lit(0)).cast("long").alias("logw"),
+        (F.coalesce("logw", F.lit(0)) > 0).alias("selected"),
     )
 
 
@@ -1526,12 +1541,18 @@ WITH toked AS (
          CAST(length(bin((1000 * (tot_r + {_DSIR_B})) // (cnt_r + 1))) AS BIGINT) AS surp_r
   FROM stats, totals
 )
-SELECT o.doc_id, o.is_target,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(s.surp_r - s.surp_t) AS BIGINT) AS logw,
-       sum(s.surp_r - s.surp_t) > 0 AS selected
-FROM occ o JOIN scored s ON o.bucket = s.bucket
-GROUP BY o.doc_id, o.is_target"""
+, per_doc AS (
+  SELECT o.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(s.surp_r - s.surp_t) AS BIGINT) AS logw
+  FROM occ o JOIN scored s ON o.bucket = s.bucket
+  GROUP BY o.doc_id
+)
+SELECT t.doc_id, t.is_target,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.logw, 0) AS BIGINT) AS logw,
+       COALESCE(p.logw, 0) > 0 AS selected
+FROM toked t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -1588,15 +1609,18 @@ def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
 def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
     """Anchor-intersection phrase matching of a (query_id, phrase)
     frame against a (doc_id, text) corpus; see q_phrase_search for the
-    operator contract and scale shape. Each phrase's token count is its
-    own match requirement, so phrases of different lengths co-exist in
-    one call."""
+    operator contract and scale shape. Each phrase's NON-EMPTY token
+    count is its own match requirement, so phrases of different lengths
+    co-exist in one call; an empty phrase token (doubled space) keeps
+    its position but imposes no term constraint — a single-token
+    wildcard, matching the postings side's empty-token filter instead
+    of silently making the phrase unmatchable."""
     qterms = phrases.select(
         "query_id",
         "phrase",
-        F.size(F.split("phrase", " ")).alias("qlen"),
+        F.expr("size(filter(split(phrase, ' '), t -> t != ''))").alias("qlen"),
         F.posexplode(F.split("phrase", " ")).alias("qpos", "term"),
-    )
+    ).filter(F.col("term") != "")
     postings = (
         docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
         .filter(F.col("term") != "")
@@ -1630,13 +1654,14 @@ WITH toked AS (
   FROM toked WHERE doc_id % {_PS_MOD} < {_PS_QUERIES}
 ), qx AS (
   SELECT query_id, array_to_string(toks[1:{_PS_LEN}], ' ') AS phrase,
+         len(list_filter(toks[1:{_PS_LEN}], t -> t <> '')) AS qlen,
          unnest(list_transform(range(1, {_PS_LEN} + 1),
            i -> {{'qpos': i - 1, 'term': toks[i]}})) AS z
   FROM qdocs WHERE rn = 1
 ), qterms AS (
-  SELECT CAST(query_id AS BIGINT) AS query_id, phrase,
+  SELECT CAST(query_id AS BIGINT) AS query_id, phrase, qlen,
          CAST(z.qpos AS BIGINT) AS qpos, z.term AS term
-  FROM qx
+  FROM qx WHERE z.term <> ''
 ), px AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(toks) + 1),
@@ -1646,15 +1671,15 @@ WITH toked AS (
   SELECT doc_id, CAST(z.pos AS BIGINT) AS pos, z.term AS term
   FROM px WHERE z.term <> ''
 ), cand AS (
-  SELECT q.query_id, q.phrase, p.doc_id, p.pos - q.qpos AS anchor, q.qpos
+  SELECT q.query_id, q.phrase, q.qlen, p.doc_id, p.pos - q.qpos AS anchor, q.qpos
   FROM postings p JOIN qterms q ON p.term = q.term
 ), anchors AS (
-  SELECT query_id, phrase, doc_id, anchor, count(DISTINCT qpos) AS nq
-  FROM cand GROUP BY query_id, phrase, doc_id, anchor
+  SELECT query_id, phrase, qlen, doc_id, anchor, count(DISTINCT qpos) AS nq
+  FROM cand GROUP BY query_id, phrase, qlen, doc_id, anchor
 )
 SELECT query_id, phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
        CAST(min(anchor) AS BIGINT) AS first_pos
-FROM anchors WHERE nq = {_PS_LEN} GROUP BY query_id, phrase, doc_id"""
+FROM anchors WHERE nq = qlen GROUP BY query_id, phrase, doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -1662,8 +1687,9 @@ FROM anchors WHERE nq = {_PS_LEN} GROUP BY query_id, phrase, doc_id"""
 # ---------------------------------------------------------------------------
 
 _COL_MIN_SUPPORT = 5   # bigram must occur this often to be scored
-_COL_MIN_PMI_LOG2 = 11  # collocation flag: floor-log2(1000 * ratio) >= 11
-# (ratio >= ~2.05x independence; 1000x fixed-point baseline is bin length 10)
+_COL_MIN_PMI_LOG2 = 12  # collocation flag: length(bin(ratio_fp)) >= 12
+# i.e. ratio_fp >= 2048 = ~2.05x over independence (ratio_fp = 1000 at
+# exact independence; bin length 11 would fire at 1024 = only 1.02x)
 
 
 def q_collocations(spark: SparkSession, sf: str) -> DataFrame:

@@ -748,13 +748,13 @@ def test_repeated_spans_replay_parity_sf0001(spark):
     for span, hits in occ.items():
         if len({d for d, _ in hits}) < 2:
             continue
-        first = min(d * 1000000 + p for d, p in hits)
+        first = min(d * 2**32 + p for d, p in hits)
         expect[hashlib.md5(span.encode()).hexdigest()] = (
             span,
             len({d for d, _ in hits}),
             len(hits),
-            first // 1000000,
-            first % 1000000,
+            first // 2**32,
+            first % 2**32,
         )
     got = {
         r["span_fp"]: (r["span"], r["n_docs"], r["n_occ"], r["first_doc"], r["first_pos"])
@@ -988,3 +988,38 @@ def test_collocations_flags_bound_pair_not_independent_pair(spark):
     assert not rows[("foo", "baz")]["collocation"], rows[("foo", "baz")]
     assert rows[("foo", "baz")]["c_ab"] >= mod._COL_MIN_SUPPORT
     assert rows[("foo", "baz")]["pmi_log2"] < rows[("foo", "bar")]["pmi_log2"]
+
+
+def test_phrase_match_empty_token_is_single_wildcard(spark):
+    """A doubled space in the phrase yields an empty token: it keeps
+    its position but imposes no term constraint (single-token wildcard)
+    instead of making the phrase unmatchable."""
+    from crawler_spark.queries_search import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a x b"), (2, "a b"), (3, "a y b z a q b")],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame([(0, "a  b")], "query_id long, phrase string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_match(docs, phrases).collect()
+    }
+    # doc 1: a ? b at anchor 0; doc 2: no token at offset 2; doc 3:
+    # anchors 0 (a y b) and 4 (a q b)
+    assert got == {1: (1, 0), 3: (2, 0)}
+
+
+def test_dsir_short_docs_get_explicit_negative_decision(spark):
+    """Sub-2-token docs carry no bigram evidence but still get a row
+    (n_bigrams 0, logw 0, selected false) — no silent no-decision."""
+    from crawler_spark.queries_search import dsir_score
+
+    frame = spark.createDataFrame(
+        [(1, True, "aaa bbb"), (2, False, "solo"), (3, True, "")],
+        "doc_id long, is_target boolean, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_score(frame).collect()}
+    assert set(got) == {1, 2, 3}
+    for d in (2, 3):
+        assert (got[d]["n_bigrams"], got[d]["logw"], got[d]["selected"]) == (0, 0, False)

@@ -1,0 +1,143 @@
+"""Scaling-efficiency evidence for the QUERY workload (N vs 4N cores).
+
+tools/scaling.py measures the frontier drain; this measures the
+curation/search tier the other half of the engine runs at 100 TB — a
+bundle of the heaviest document queries (sliding-window span mining,
+MinHash-LSH near-dup, BM25 retrieval, boilerplate strip, DSIR scoring)
+over a 10x-replicated sf0.1 corpus (each copy's text perturbed with a
+copy-specific token so replication does not plant 10-way exact
+duplicates and inflate the pair stages), run at local[N] and local[4N]
+on the IDENTICAL parquet input. Reports per-query and bundle times at
+both levels plus efficiency = (T_N / T_4N) / 4, appended to
+BENCH/BASELINE.md.
+
+    python tools/scaling_queries.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED_DIR = "/tmp/scaling_query_sf"
+
+QUERIES = [
+    "dup_spans",
+    "dedup_minhash_lsh",
+    "bm25_topk",
+    "boilerplate_strip",
+    "dsir_weights",
+]
+
+N_CORES = int(os.environ.get("SCALING_N", "3"))
+N4_CORES = 4 * N_CORES
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+
+
+def build_input(n_copies: int) -> None:
+    """Materialize the replicated corpus once, shared by both levels.
+    The cache is keyed on (n_copies, src_sf) via a marker file — a rerun
+    with different parameters rebuilds instead of silently measuring
+    stale data under the new parameters' name."""
+    import duckdb
+    import shutil
+
+    out = os.path.join(SCALED_DIR, "documents.parquet")
+    marker = os.path.join(SCALED_DIR, "input.json")
+    want = {"n_copies": n_copies, "src_sf": SRC_SF}
+    if os.path.exists(out) and os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return
+    shutil.rmtree(SCALED_DIR, ignore_errors=True)
+    os.makedirs(SCALED_DIR, exist_ok=True)
+    con = duckdb.connect()
+    copies = " UNION ALL ".join(
+        f"SELECT doc_id + {k * 10_000_000} AS doc_id,"
+        f" text || ' copytag{k}' AS text, lang, source,"
+        f" n_chars + {9 + len(str(k))} AS n_chars"
+        f" FROM read_parquet('{SRC_SF}/documents.parquet')"
+        for k in range(n_copies)
+    )
+    con.execute(f"COPY ({copies}) TO '{out}' (FORMAT PARQUET)")
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
+RUNNER = """
+import sys, json, time
+sys.path.insert(0, {repo!r})
+from crawler_spark.session import get_spark
+import __spark_entry__ as entry
+spark = get_spark("scalingq", cores={cores}, shuffle_partitions=64)
+qs = entry.queries()
+# warm-up: JIT + python worker pool, excluded from measurement
+qs["text_stats"](spark, {sf!r}).count()
+times = {{}}
+for name in {queries!r}:
+    t0 = time.time()
+    n = qs[name](spark, {sf!r}).count()
+    times[name] = {{"sec": round(time.time() - t0, 3), "rows": n}}
+print("RESULT " + json.dumps({{"cores": {cores}, "queries": times,
+      "total_sec": round(sum(v["sec"] for v in times.values()), 3)}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int) -> dict:
+    code = RUNNER.format(
+        repo=REPO, cores=cores, sf=SCALED_DIR, queries=QUERIES
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for ln in out.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[len("RESULT ") :])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-3000:]}")
+
+
+def best_of(cores: int) -> tuple[dict, list]:
+    reps = [run_at(cores) for _ in range(REPS)]
+    best = min(reps, key=lambda r: r["total_sec"])
+    return best, reps
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    build_input(n_copies)
+    lo, lo_reps = best_of(N_CORES)
+    hi, hi_reps = best_of(N4_CORES)
+    eff = (lo["total_sec"] / hi["total_sec"]) / (N4_CORES / N_CORES)
+    rows_match = all(
+        lo["queries"][q]["rows"] == hi["queries"][q]["rows"] for q in QUERIES
+    )
+    stamp = datetime.date.today().isoformat()
+    result = {
+        "date": stamp,
+        "n_copies": n_copies,
+        "src_sf": SRC_SF,
+        "queries": QUERIES,
+        "n_cores": N_CORES,
+        "n4_cores": N4_CORES,
+        "best_n": lo,
+        "best_4n": hi,
+        "reps_n": lo_reps,
+        "reps_4n": hi_reps,
+        "efficiency": round(eff, 3),
+        "rows_match": rows_match,
+    }
+    path = os.path.join(REPO, "BENCH", f"scaling_queries_{stamp}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    print(f"wrote {path}; efficiency={eff:.3f} rows_match={rows_match}")
+
+
+if __name__ == "__main__":
+    main()
