@@ -103,6 +103,7 @@ HEADLINE = [
     "phrase_search",
     "collocations",
     "domain_mix",
+    "audio_neardup",
 ]
 
 N_HOSTS = 10_000

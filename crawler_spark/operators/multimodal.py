@@ -42,6 +42,8 @@ __all__ = [
     "image_features",
     "image_resize_features",
     "video_frame_sample",
+    "audio_window_energies",
+    "audio_window_sigs",
 ]
 
 # media table: (media_ref, kind, payload, meta) — kind in image|audio|video,
@@ -345,6 +347,49 @@ def video_frame_sample(media: DataFrame, every_n: int = 4, backend: DecodeBacken
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = "media_ref string, win_idx int, energy_micro long"
+
+
+def audio_window_energies(payload: bytes, win_samples: int, backend: DecodeBackend) -> list[int]:
+    """Per-window energy fingerprint core (pure function — shared by the
+    Spark UDTF and the oracle literal generator): decode -> fixed
+    win_samples windows (trailing partial window dropped) -> floor-micro
+    mean absolute amplitude per window (micro precision: the fake
+    backend's window means cluster near E|N(0,1)| ~ 0.798 with a
+    ~0.02 spread, so milli precision would alias unrelated windows)."""
+    samples, _rate = backend.decode_audio(payload)
+    s = np.abs(samples.astype(np.float64))
+    n = len(s) // win_samples
+    return [
+        int(np.floor(s[i * win_samples : (i + 1) * win_samples].mean() * 1_000_000))
+        for i in range(n)
+    ]
+
+
+def audio_window_sigs(
+    media: DataFrame, win_samples: int = 1000, backend: DecodeBackend | None = None
+) -> DataFrame:
+    """Decode -> fixed-length sample windows -> one row per window with
+    its integer energy fingerprint (UDTF-shaped: 1 clip row -> W window
+    rows — the audio sibling of video_frame_sample, and the signature
+    stream audio fingerprinting pipelines bucket on)."""
+    backend = backend or FakeDecodeBackend()
+
+    def _wins(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_ref": [], "win_idx": [], "energy_micro": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i, e in enumerate(audio_window_energies(payload, win_samples, backend)):
+                    rows["media_ref"].append(ref)
+                    rows["win_idx"].append(i)
+                    rows["energy_micro"].append(e)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(_wins, AUDIO_WINDOW_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = (

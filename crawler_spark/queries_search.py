@@ -1039,6 +1039,127 @@ JOIN sizes zb ON zb.media_ref = c.media_b"""
 
 
 # ---------------------------------------------------------------------------
+# audio near-dup by window-fingerprint containment
+# ---------------------------------------------------------------------------
+
+_AND_WIN = 1000      # samples per fingerprint window
+_AND_MIN_CONT = 800  # containment (fixed-point /1000) to call a near-dup
+
+
+def q_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicate detection by window-fingerprint containment
+    — completes the dedup modality matrix (text: MinHash-LSH, image:
+    banded pHash, video: frame containment, audio: THIS; a trimmed
+    re-upload shares most of its windows with the original even though
+    no whole-file hash matches — the Shazam-style constant-Q landmark
+    pipeline reduced to its bucketable core). Window energies come
+    through the real multimodal plumbing (audio_window_sigs, the same
+    decode the driver-checked q_audio_stats exercises); every second
+    clip gets a planted '#trim' clone that drops the first window.
+    Candidates = clip pairs sharing at least one window fingerprint
+    (bucket join on the fingerprint, never clip x clip); verify =
+    containment |shared| / min(|A|, |B|) fixed-point >= 0.8. Same
+    candidates-then-verify contract as every dedup operator here;
+    one-window clips produce zero-window trim clones which simply never
+    enter the signature stream (no degenerate division).
+
+    Scale shape: window explode is narrow mapInPandas; the bucket join
+    groups by fingerprint value (bounded buckets at micro precision);
+    sizes are a per-clip combine; verify touches candidate pairs only."""
+    from .operators.multimodal import audio_window_sigs
+    from .queries import _audio_refs
+
+    media = spark.createDataFrame(
+        [(r, "audio") for r in _audio_refs()], "media_ref string, kind string"
+    ).withColumn("payload", F.encode(F.md5("media_ref"), "utf-8").cast("binary"))
+    wins = audio_window_sigs(media, win_samples=_AND_WIN).select(
+        "media_ref", "win_idx", F.col("energy_micro").alias("sig")
+    )
+    corpus = wins.unionByName(
+        wins.filter(
+            (F.col("win_idx") > 0)
+            & (F.substring(F.col("media_ref"), -5, 1).cast("int") % 2 == 0)
+        ).select(
+            F.concat(F.col("media_ref"), F.lit("#trim")).alias("media_ref"),
+            (F.col("win_idx") - 1).cast("int").alias("win_idx"),
+            "sig",
+        )
+    )
+    sigs = _barrier(corpus.select("media_ref", "sig").distinct())
+    sizes = sigs.groupBy("media_ref").agg(F.count("*").cast("long").alias("sz"))
+    s2 = sigs.select(F.col("media_ref").alias("ref_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        sigs.join(s2, (sigs.sig == s2.sig_b) & (sigs.media_ref < s2.ref_b))
+        .groupBy(F.col("media_ref").alias("media_a"), F.col("ref_b").alias("media_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("media_ref").alias("media_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("media_ref").alias("media_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(za, "media_a")
+        .join(zb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "n_shared",
+            "sz_a",
+            "sz_b",
+            F.expr("(1000 * n_shared) DIV least(sz_a, sz_b)")
+            .cast("long")
+            .alias("containment_fp"),
+            (F.expr("(1000 * n_shared) DIV least(sz_a, sz_b)") >= _AND_MIN_CONT).alias(
+                "near_dup"
+            ),
+        )
+    )
+
+
+def _audio_neardup_sql() -> str:
+    """Window rows precomputed with the same pure feature function
+    (audio_window_energies over the deterministic backend); the clone
+    planting, bucket join, and containment verify run relationally."""
+    import hashlib as _hl
+
+    from .operators.multimodal import FakeDecodeBackend, audio_window_energies
+    from .queries import _audio_refs
+
+    backend = FakeDecodeBackend()
+    rows = []
+    for ref in _audio_refs():
+        payload = _hl.md5(ref.encode()).hexdigest().encode("utf-8")
+        for i, e in enumerate(audio_window_energies(payload, _AND_WIN, backend)):
+            rows.append("('%s', %d, CAST(%d AS BIGINT))" % (ref, i, e))
+    return f"""
+WITH wins AS (
+  SELECT * FROM (VALUES
+  {", ".join(rows)}
+  ) AS t(media_ref, win_idx, sig)
+), corpus AS (
+  SELECT media_ref, win_idx, sig FROM wins
+  UNION ALL
+  SELECT media_ref || '#trim', win_idx - 1, sig
+  FROM wins
+  WHERE win_idx > 0
+    AND CAST(substring(media_ref, length(media_ref) - 4, 1) AS INT) % 2 = 0
+), sigs AS (
+  SELECT DISTINCT media_ref, sig FROM corpus
+), sizes AS (
+  SELECT media_ref, CAST(count(*) AS BIGINT) AS sz FROM sigs GROUP BY media_ref
+), cand AS (
+  SELECT a.media_ref AS media_a, b.media_ref AS media_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_ref < b.media_ref
+  GROUP BY a.media_ref, b.media_ref
+)
+SELECT c.media_a, c.media_b, c.n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+       CAST((1000 * c.n_shared) // least(za.sz, zb.sz) AS BIGINT) AS containment_fp,
+       (1000 * c.n_shared) // least(za.sz, zb.sz) >= {_AND_MIN_CONT} AS near_dup
+FROM cand c
+JOIN sizes za ON za.media_ref = c.media_a
+JOIN sizes zb ON zb.media_ref = c.media_b"""
+
+
+# ---------------------------------------------------------------------------
 # caption mining from interleaved spans
 # ---------------------------------------------------------------------------
 
@@ -1814,6 +1935,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "phrase_search": q_phrase_search,
     "collocations": q_collocations,
+    "audio_neardup": q_audio_neardup,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -1832,4 +1954,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "dsir_weights": _DSIR_SQL,
     "phrase_search": _PHRASE_SQL,
     "collocations": _COLLOC_SQL,
+    "audio_neardup": _audio_neardup_sql(),
 }

@@ -1023,3 +1023,40 @@ def test_dsir_short_docs_get_explicit_negative_decision(spark):
     assert set(got) == {1, 2, 3}
     for d in (2, 3):
         assert (got[d]["n_bigrams"], got[d]["logw"], got[d]["selected"]) == (0, 0, False)
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_neardup_flags_exactly_the_planted_trims(spark):
+    """Every planted '#trim' clone of a >= 2-window even-indexed clip is
+    flagged against its original with full containment; no unrelated
+    clip pair is flagged (micro-precision fingerprints make accidental
+    full-containment collisions impossible in this corpus)."""
+    import hashlib as hl
+
+    from crawler_spark.operators.multimodal import (
+        FakeDecodeBackend,
+        audio_window_energies,
+    )
+    from crawler_spark.queries import _audio_refs
+    from crawler_spark.queries_search import _AND_WIN, q_audio_neardup
+
+    backend = FakeDecodeBackend()
+    expect_dups = set()
+    for ref in _audio_refs():
+        payload = hl.md5(ref.encode()).hexdigest().encode("utf-8")
+        wins = audio_window_energies(payload, _AND_WIN, backend)
+        if int(ref[-5]) % 2 == 0 and len(wins) >= 2:
+            expect_dups.add((ref, ref + "#trim"))
+    rows = q_audio_neardup(spark, SF).collect()
+    flagged = {(r["media_a"], r["media_b"]) for r in rows if r["near_dup"]}
+    assert flagged == expect_dups
+    assert len(expect_dups) > 0
+    for r in rows:
+        if r["near_dup"]:
+            # the trim drops exactly one window: containment is full
+            assert r["containment_fp"] == 1000
+            assert r["n_shared"] == min(r["sz_a"], r["sz_b"])

@@ -2,14 +2,14 @@
 
 tools/scaling.py measures the frontier drain; this measures the
 curation/search tier the other half of the engine runs at 100 TB — a
-bundle of the heaviest document queries (sliding-window span mining,
-MinHash-LSH near-dup, BM25 retrieval, boilerplate strip, DSIR scoring)
-over a 10x-replicated sf0.1 corpus (each copy's text perturbed with a
-copy-specific token so replication does not plant 10-way exact
-duplicates and inflate the pair stages), run at local[N] and local[4N]
-on the IDENTICAL parquet input. Reports per-query and bundle times at
-both levels plus efficiency = (T_N / T_4N) / 4, appended to
-BENCH/BASELINE.md.
+bundle of heavy LINEAR-shape document queries (sliding-window span
+mining, MinHash signatures, BM25 retrieval, boilerplate strip, DSIR
+scoring) over an n_copies-replicated sf0.1 corpus (each copy's text
+perturbed with a copy-specific token so replication does not plant
+exact duplicates), run at local[N] and local[4N] on the IDENTICAL
+parquet input. Query barriers are released between queries (a held
+persist would hand later queries cached input). Reports per-query and
+bundle times at both levels plus efficiency = (T_N / T_4N) / 4.
 
     python tools/scaling_queries.py [n_copies]
 """
@@ -26,9 +26,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DIR = "/tmp/scaling_query_sf"
 
+# Linear-shape heavy queries only: dedup_minhash_lsh is excluded
+# because a replicated corpus turns every doc into an n_copies-clique of
+# near-dups, so its pair stage grows QUADRATICALLY in the copy count —
+# the measurement would be dominated by the planted pathology, not by
+# how the operator scales on realistic input. dup_spans collapses the
+# same replication losslessly (one group row with n_occ = n_copies).
 QUERIES = [
     "dup_spans",
-    "dedup_minhash_lsh",
+    "dedup_minhash",
     "bm25_topk",
     "boilerplate_strip",
     "dsir_weights",
@@ -73,16 +79,19 @@ RUNNER = """
 import sys, json, time
 sys.path.insert(0, {repo!r})
 from crawler_spark.session import get_spark
+from crawler_spark.queries import release_query_barriers
 import __spark_entry__ as entry
 spark = get_spark("scalingq", cores={cores}, shuffle_partitions=64)
 qs = entry.queries()
 # warm-up: JIT + python worker pool, excluded from measurement
 qs["text_stats"](spark, {sf!r}).count()
+release_query_barriers()
 times = {{}}
 for name in {queries!r}:
     t0 = time.time()
     n = qs[name](spark, {sf!r}).count()
     times[name] = {{"sec": round(time.time() - t0, 3), "rows": n}}
+    release_query_barriers()  # a held persist would skew the next query
 print("RESULT " + json.dumps({{"cores": {cores}, "queries": times,
       "total_sec": round(sum(v["sec"] for v in times.values()), 3)}}))
 spark.stop()
