@@ -95,10 +95,17 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     avgdl = max(1, (tf.agg(F.sum("tf")).first()[0] or 0) // n)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # Top-K terms via orderBy().limit() — TakeOrderedAndProject merges
+    # per-partition top-Ks on the driver. A global Window.orderBy here
+    # would single-partition-sort the ENTIRE vocabulary (sublinear in
+    # the corpus but still ~10^8 terms at 100 TB); the window below
+    # then ranks only the K survivors.
+    n_qt = _BM25_QUERIES * _BM25_QTERMS
     vocab_win = Window.orderBy(F.desc("df"), F.asc("term"))
     qterms = (
-        df_tbl.withColumn("rn", F.row_number().over(vocab_win))
-        .filter(F.col("rn") <= _BM25_QUERIES * _BM25_QTERMS)
+        df_tbl.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_qt)
+        .withColumn("rn", F.row_number().over(vocab_win))
         .select(
             F.expr(f"(rn - 1) DIV {_BM25_QTERMS}").cast("long").alias("query_id"),
             "term",

@@ -91,6 +91,19 @@ def test_global_topk_uses_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, f"{fn.__name__}:\n{plan}"
 
 
+def test_bm25_vocab_topk_uses_take_ordered(spark):
+    """q_bm25_topk derives its query terms from the top-K vocabulary
+    entries by document frequency. That selection must plan
+    TakeOrderedAndProject over the term table — a global Window.orderBy
+    there would single-partition-sort the ENTIRE vocabulary (~10^8 terms
+    at 100 TB). The ranking window runs only on the K survivors."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries_search import q_bm25_topk
+
+    plan = formatted_plan(q_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_text_repetition_plan_is_shuffle_free(spark):
     """q_text_repetition is a per-document statistic, so its plan must be
     map-only: tokens split once, top-bigram mass via a run-length scan of
