@@ -104,6 +104,9 @@ HEADLINE = [
     "collocations",
     "domain_mix",
     "audio_neardup",
+    "ann_ivfpq_search",
+    "bpe_merges",
+    "shard_shuffle",
 ]
 
 N_HOSTS = 10_000

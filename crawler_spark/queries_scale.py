@@ -2328,7 +2328,13 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     pair_count) — T rows, assembled on the driver from the per-round
     1-row argmax collects (the merge list IS driver state; each round's
     scalar must be known before the next round's plan exists)."""
-    docs = load(spark, sf, "documents")
+    return bpe_merge_table(load(spark, sf, "documents"))
+
+
+def bpe_merge_table(docs: DataFrame, rounds: int = _BPE_T) -> DataFrame:
+    """BPE merge induction over any (doc_id, text) frame; see
+    q_bpe_merges for the pass and the scale shape."""
+    spark = docs.sparkSession
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
         F.col("w") != ""
     )
@@ -2341,7 +2347,7 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     merges = []
-    for t in range(_BPE_T):
+    for t in range(rounds):
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(

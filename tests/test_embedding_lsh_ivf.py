@@ -189,3 +189,56 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     assert "BroadcastExchange" in plan, plan
     # the centroid join specifically: corpus side joins a broadcast
     assert _re.search(r"BroadcastNestedLoopJoin|BroadcastHashJoin", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_probes_one_list_and_ranks_by_adc(spark):
+    """Structural invariants of the PQ search: exactly 5 results, all
+    from the QUERY'S coarse list (nprobe=1 — a probe must never touch
+    another inverted list), ranked by ADC score with the deterministic
+    (adc_dot DESC, vec_id ASC) tie-break, and the query vector itself
+    (vec_id 0, whose codes reconstruct it best) at rank 1."""
+    from crawler_spark.queries import q_ann_ivfpq_search
+
+    rows = q_ann_ivfpq_search(spark, SF).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 5
+    assert len({r["cent_id"] for r in rows}) == 1
+    scores = [(r["adc_dot"], -r["vec_id"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert rows[0]["vec_id"] == 0
+
+
+def test_ivfpq_adc_approximates_exact_dot(spark):
+    """ADC correctness anchor: a vector that IS a codebook entry
+    (vec_id < _PQ_K) quantizes to itself in every subspace, so its ADC
+    score must EQUAL the exact fixed-point dot with the query — the
+    lookup table is the same arithmetic, just factored per subspace.
+    Non-codebook candidates carry genuine quantization error; bound it
+    only loosely (within the 10^6 self-dot scale) as a sanity rail."""
+    from crawler_spark.queries import _PQ_K, q_ann_ivfpq_search
+
+    rows = q_ann_ivfpq_search(spark, SF).collect()
+    emb = {r["vec_id"]: r["embedding"] for r in
+           spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def milli_dot(a, b):
+        import math
+        return sum(
+            math.floor(x * 1000) * math.floor(y * 1000) for x, y in zip(a, b)
+        )
+
+    q = emb[0]
+    checked_exact = 0
+    for r in rows:
+        exact = milli_dot(emb[r["vec_id"]], q)
+        if r["vec_id"] < _PQ_K:
+            assert r["adc_dot"] == exact, (r, exact)
+            checked_exact += 1
+        else:
+            assert abs(r["adc_dot"] - exact) < 1_000_000, (r, exact)
+    assert checked_exact >= 1  # vec 0 (the query) is always a codebook entry

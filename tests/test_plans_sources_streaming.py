@@ -84,9 +84,14 @@ def test_global_topk_uses_take_ordered(spark):
     whole scored set (corpus / bucket / inverted list) through one task.
     The only Window left in each plan runs AFTER the k-row limit."""
     from crawler_spark.plans.inspect import formatted_plan
-    from crawler_spark.queries import q_ann_ivf_search, q_ann_lsh_search, q_cosine_topk
+    from crawler_spark.queries import (
+        q_ann_ivf_search,
+        q_ann_ivfpq_search,
+        q_ann_lsh_search,
+        q_cosine_topk,
+    )
 
-    for fn in (q_cosine_topk, q_ann_lsh_search, q_ann_ivf_search):
+    for fn in (q_cosine_topk, q_ann_lsh_search, q_ann_ivf_search, q_ann_ivfpq_search):
         plan = formatted_plan(fn(spark, SF))
         assert "TakeOrderedAndProject" in plan, f"{fn.__name__}:\n{plan}"
 

@@ -1338,3 +1338,86 @@ def test_domain_mix_replay_and_temperature_direction(spark):
     hi = max(rows, key=lambda r: (r["tokens"], r["source"]))
     if lo["tokens"] < hi["tokens"]:
         assert lo["upsample_fp"] >= hi["upsample_fp"], (lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_greedy_overlap_and_composition(spark):
+    """Pins the three BPE rules on a planted frame: overlapping pairs
+    count zip-style ('aaaa' contributes 3 (a,a) pairs per occurrence),
+    the greedy left-to-right rewrite is non-overlapping ('aaaa' ->
+    [aa, aa], not [aa, a, a]), and later rounds merge COMPOSED symbols
+    ((aa, aa) -> 'aaaa' in round 3)."""
+    from crawler_spark.queries_scale import bpe_merge_table
+
+    frame = spark.createDataFrame(
+        [(1, "aaaa aaaa bc bc bc")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(frame, rounds=3).collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "b", "c", "bc", 3),
+        (3, "aa", "aa", "aaaa", 2),
+    ]
+
+
+def test_bpe_merges_stops_when_pairs_exhausted(spark):
+    from crawler_spark.queries_scale import bpe_merge_table
+
+    frame = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = bpe_merge_table(frame, rounds=5).collect()
+    assert [(r["rank"], r["merged"]) for r in got] == [(1, "ab")]
+
+
+def test_bpe_merges_parity_with_replay_sf0001(spark):
+    """The Spark loop equals the pure-Python replay (the oracle builder)
+    on the sf0.001 corpus, round for round."""
+    import duckdb
+
+    from crawler_spark.queries_scale import _bpe_oracle_sql, q_bpe_merges
+
+    expect = [tuple(r) for r in duckdb.sql(_bpe_oracle_sql(SF)).fetchall()]
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in q_bpe_merges(spark, SF).collect()
+    ]
+    assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# training-shard shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_is_a_seekable_permutation(spark):
+    """Every doc lands in exactly one shard; per-shard pos is contiguous
+    from 1; shard_offset is the running token prefix sum; and the
+    mapping is reproducible (same salt -> same permutation)."""
+    from collections import defaultdict
+
+    from crawler_spark.queries_scale import _SHARD_SHUF_N, q_shard_shuffle
+
+    rows = q_shard_shuffle(spark, SF).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard_id"]].append(r)
+    assert set(by_shard) <= set(range(_SHARD_SHUF_N))
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        off = 0
+        for r in rs:
+            assert r["shard_offset"] == off
+            off += r["tokens"]
+    again = {
+        r["doc_id"]: (r["shard_id"], r["pos"])
+        for r in q_shard_shuffle(spark, SF).collect()
+    }
+    assert again == {r["doc_id"]: (r["shard_id"], r["pos"]) for r in rows}
