@@ -1926,6 +1926,123 @@ def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Good-Turing count-of-counts smoothing
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10  # report discounts for r <= 10 (SGT smooths the sparse tail)
+
+
+def q_ngram_goodturing(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing count-of-counts smoothing over the corpus bigram
+    table — the frequency-of-frequencies statistic every classic
+    smoothed LM (Katz backoff, Kneser-Ney's discount calibration) and
+    vocabulary-coverage estimate is built from. For each observed count
+    r <= _GT_MAX_R: N_r (how many distinct bigrams occur exactly r
+    times), the discounted count r* = (r+1) * N_{r+1} / N_r in exact
+    fixed-point milli (undefined when N_{r+1} = 0 — the sparse tail SGT
+    smooths — reported undiscounted as r*1000), and the probability
+    mass ppm that count class carries (N_r * r* / T). The r = 0 row is
+    Good-Turing's signature: the UNSEEN mass estimate N_1 / T — the
+    probability a fresh bigram from the same population was never seen
+    in the corpus, i.e. the LM's out-of-corpus rate and the coverage
+    dial a crawl-more-or-stop decision reads. Intermediates stay in
+    BIGINT for T up to ~9*10^14 bigram instances; past that the ppm
+    staging hoists a factor of 1000 (same note discipline as
+    q_collocations).
+
+    Scale shape: the bigram groupBy is the only corpus-sized shuffle
+    (combine-heavy, bigram-vocab keys); count-of-counts is a groupBy
+    over DISTINCT COUNT VALUES — at most ~log-many distinct r dominate
+    — so everything after the first aggregate is r-table-sized. The
+    bigram construction is shared verbatim with q_collocations."""
+    return goodturing_table(load(spark, sf, "documents"))
+
+
+def goodturing_table(docs: DataFrame) -> DataFrame:
+    """Good-Turing count-of-counts over any (doc_id, text) frame; see
+    q_ngram_goodturing for the statistic and the scale shape."""
+    spark = docs.sparkSession
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = big.groupBy("a", "b").agg(F.count("*").cast("long").alias("r"))
+    cofc = _barrier(
+        counts.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    )
+    scalars = cofc.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("t"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0)).alias("n1"),
+    ).first()
+    t_total = int(scalars["t"] or 1)
+    n1 = int(scalars["n1"] or 0)
+    nxt = cofc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    seen = (
+        cofc.join(nxt, "r", "left")
+        .filter(F.col("r") <= _GT_MAX_R)
+        .withColumn(
+            "r_star_milli",
+            F.when(F.col("n_next").isNull(), F.col("r") * 1000)
+            .otherwise(F.expr("(1000 * (r + 1) * n_next) DIV n_r"))
+            .cast("long"),
+        )
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            "r_star_milli",
+            F.expr(f"(n_r * r_star_milli * 1000) DIV {t_total}")
+            .cast("long")
+            .alias("mass_ppm"),
+        )
+    )
+    zero = spark.sql(
+        f"SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r, "
+        f"CAST(NULL AS BIGINT) AS r_star_milli, "
+        f"CAST({(1_000_000 * n1) // t_total} AS BIGINT) AS mass_ppm"
+    )
+    return seen.unionByName(zero)
+
+
+_GT_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), big AS (
+  SELECT z.a AS a, z.b AS b
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS z
+        FROM toked)
+), counts AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS r FROM big GROUP BY a, b
+), cofc AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+), tot AS (
+  SELECT CAST(sum(r * n_r) AS BIGINT) AS t,
+         CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END), 0) AS BIGINT) AS n1
+  FROM cofc
+), seen AS (
+  SELECT c.r, c.n_r,
+         CAST(CASE WHEN nx.n_r IS NULL THEN c.r * 1000
+              ELSE (1000 * (c.r + 1) * nx.n_r) // c.n_r END AS BIGINT) AS r_star_milli
+  FROM cofc c LEFT JOIN cofc nx ON nx.r = c.r + 1
+  WHERE c.r <= {_GT_MAX_R}
+)
+SELECT CAST(r AS BIGINT) AS r, n_r, r_star_milli,
+       CAST((n_r * r_star_milli * 1000) // (SELECT t FROM tot) AS BIGINT) AS mass_ppm
+FROM seen
+UNION ALL
+SELECT 0, 0, NULL,
+       CAST((1000000 * (SELECT n1 FROM tot)) // (SELECT t FROM tot) AS BIGINT)"""
+
+
 _COLLOC_SQL = f"""
 WITH toked AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1976,6 +2093,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "collocations": q_collocations,
     "audio_neardup": q_audio_neardup,
+    "ngram_goodturing": q_ngram_goodturing,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -1995,4 +2113,5 @@ SEARCH_ORACLES: dict[str, str] = {
     "phrase_search": _PHRASE_SQL,
     "collocations": _COLLOC_SQL,
     "audio_neardup": _audio_neardup_sql(),
+    "ngram_goodturing": _GT_SQL,
 }

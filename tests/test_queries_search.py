@@ -1060,3 +1060,31 @@ def test_audio_neardup_flags_exactly_the_planted_trims(spark):
             # the trim drops exactly one window: containment is full
             assert r["containment_fp"] == 1000
             assert r["n_shared"] == min(r["sz_a"], r["sz_b"])
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing count-of-counts
+# ---------------------------------------------------------------------------
+
+
+def test_goodturing_discounts_on_planted_counts(spark):
+    """Hand-computed GT table: bigram counts {(a,b): 3, (b,a): 2,
+    (c,d): 1} give N_1 = N_2 = N_3 = 1, T = 6. r* = (r+1)N_{r+1}/N_r is
+    2000/3000 milli for r = 1/2, undiscounted (3000) for the tail
+    r = 3 where N_4 = 0, and the r = 0 row carries the unseen-mass
+    estimate N_1/T = 1/6 as ppm."""
+    from crawler_spark.queries_search import goodturing_table
+
+    frame = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d")], "doc_id long, text string"
+    )
+    got = {
+        r["r"]: (r["n_r"], r["r_star_milli"], r["mass_ppm"])
+        for r in goodturing_table(frame).collect()
+    }
+    assert got == {
+        0: (0, None, 166666),
+        1: (1, 2000, 333333),
+        2: (1, 3000, 500000),
+        3: (1, 3000, 500000),
+    }
