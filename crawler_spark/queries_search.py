@@ -2076,6 +2076,209 @@ SELECT a, b, c_ab, c_a, c_b, CAST(ratio_fp AS BIGINT) AS ratio_fp,
 FROM scored WHERE ratio_fp >= 1"""
 
 
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth over hash-bucketed subsample prefixes
+# ---------------------------------------------------------------------------
+
+_VG_BUCKETS = 10
+
+
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law V ~ K*N^beta) — the statistic
+    that tells a crawl-more-or-stop decision how fast new types still
+    arrive, and an LM tokenizer budget how vocabulary scales with corpus
+    size. Documents are assigned to _VG_BUCKETS deterministic
+    md5(doc_id) buckets; row k reports the cumulative prefix buckets
+    0..k: total tokens n_tokens_cum, vocabulary vocab_cum (types whose
+    FIRST bucket is <= k), the marginal new_types bucket k itself
+    contributed, and the type-token ratio in ppm. Hash buckets are
+    exchangeable random subsamples, so the 10-point curve is the Heaps
+    curve at 10 corpus sizes from one pass — no document ordering
+    needed, which is exactly what makes it computable at 10^10 docs.
+
+    Scale shape: the ONLY corpus-sized shuffle is the per-term groupBy
+    (combine-heavy, vocab-sized output: term -> min bucket); per-bucket
+    token counts map-side-combine to 10 rows. The cumulative window runs
+    over a 10-row frame — no global sort of anything corpus-sized ever
+    happens (contrast: a row_number()-ordered prefix curve would plan a
+    single-partition global window, the exact anti-pattern the top-k
+    queries were rewritten away from)."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select(
+        (_md5_int(F.col("doc_id").cast("string")) % _VG_BUCKETS).alias("k"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_bucket = toked.groupBy("k").agg(F.count("*").cast("long").alias("n_tok"))
+    first_seen = (
+        toked.groupBy("term")
+        .agg(F.min("k").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    frame = (
+        per_bucket.join(first_seen, "k", "full")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    # 10-row frame: the unpartitioned window is deliberate and bounded.
+    return frame.select(
+        "k",
+        F.sum("n_tok").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
+        "new_types",
+    ).withColumn(
+        "ttr_ppm",
+        F.expr("(1000000 * vocab_cum) DIV greatest(n_tokens_cum, 1)").cast("long"),
+    )
+
+
+_VG_SQL = f"""
+WITH toked AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_VG_BUCKETS} AS k,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), toks AS (SELECT * FROM toked WHERE term <> ''),
+per_bucket AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY k
+), first_seen AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS new_types
+  FROM (SELECT term, min(k) AS k FROM toks GROUP BY term) GROUP BY k
+), frame AS (
+  SELECT CAST(coalesce(pb.k, fs.k) AS BIGINT) AS k,
+         coalesce(pb.n_tok, 0) AS n_tok,
+         coalesce(fs.new_types, 0) AS new_types
+  FROM per_bucket pb FULL JOIN first_seen fs ON pb.k = fs.k
+), cum AS (
+  SELECT k,
+         CAST(sum(n_tok) OVER (ORDER BY k) AS BIGINT) AS n_tokens_cum,
+         CAST(sum(new_types) OVER (ORDER BY k) AS BIGINT) AS vocab_cum,
+         new_types
+  FROM frame
+)
+SELECT k, n_tokens_cum, vocab_cum, new_types,
+       CAST((1000000 * vocab_cum) // greatest(n_tokens_cum, 1) AS BIGINT)
+         AS ttr_ppm
+FROM cum"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus concentration: Simpson repeat probability + type-token ratio
+# ---------------------------------------------------------------------------
+
+
+def q_token_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-concentration scalar row: Simpson repeat probability (the
+    chance two tokens drawn without replacement are the same type,
+    sum c*(c-1) / (T*(T-1)) in ppm) for unigrams and bigrams, plus
+    type-token ratio — the exact-integer stand-ins for entropy that a
+    curation pipeline thresholds on (a boilerplate-heavy or template
+    crawl shows up as a Simpson spike long before eyeballing does).
+    ppm = ((1000*S) DIV T) * 1000 DIV (T-1) stages the million into two
+    thousands so intermediates stay under 2^63 for S = sum c*(c-1) up to
+    ~9*10^15 (worst case T ~ 10^7 tokens of one repeated type; realistic
+    corpora reach far higher T since S << T^2); a larger corpus would
+    hoist per-group like q_collocations. The staging costs at most
+    1000/(T-1) + 1 ppm of floor error — identical on both engines, so
+    hashes still match exactly.
+
+    Scale shape: two combine-heavy groupBys (term, bigram) are the only
+    corpus shuffles; everything else is a scalar aggregate of the vocab
+    table and a 1x1 cross join of two single-row frames."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    u_row = uni.agg(
+        F.sum("c").alias("t"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.expr("c * (c - 1)")).alias("s"),
+    )
+    big = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    b_row = big.agg(
+        F.sum("c").alias("t2"),
+        F.count("*").cast("long").alias("bigram_vocab"),
+        F.sum(F.expr("c * (c - 1)")).alias("s2"),
+    )
+    return (
+        u_row.crossJoin(b_row)
+        .select(
+            F.col("t").cast("long").alias("n_tokens"),
+            "vocab",
+            F.expr("(1000000 * vocab) DIV greatest(t, 1)").cast("long").alias(
+                "ttr_ppm"
+            ),
+            F.expr(
+                "(((1000 * s) DIV greatest(t, 1)) * 1000)"
+                " DIV greatest(t - 1, 1)"
+            )
+            .cast("long")
+            .alias("simpson_uni_ppm"),
+            F.col("t2").cast("long").alias("n_bigrams"),
+            "bigram_vocab",
+            F.expr(
+                "(((1000 * s2) DIV greatest(t2, 1)) * 1000)"
+                " DIV greatest(t2 - 1, 1)"
+            )
+            .cast("long")
+            .alias("simpson_big_ppm"),
+        )
+    )
+
+
+_DIVERSITY_SQL = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS term FROM toked) WHERE term <> ''
+  GROUP BY term
+), u_row AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS s
+  FROM uni
+), big AS (
+  SELECT z.a AS a, z.b AS b, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+          i -> {'a': toks[i], 'b': toks[i + 1]})) AS z
+        FROM toked WHERE len(toks) >= 2)
+  GROUP BY z.a, z.b
+), b_row AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t2,
+         CAST(count(*) AS BIGINT) AS bigram_vocab,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+  FROM big
+)
+SELECT t AS n_tokens, vocab,
+       CAST((1000000 * vocab) // greatest(t, 1) AS BIGINT) AS ttr_ppm,
+       CAST((((1000 * s) // greatest(t, 1)) * 1000)
+            // greatest(t - 1, 1) AS BIGINT) AS simpson_uni_ppm,
+       t2 AS n_bigrams, bigram_vocab,
+       CAST((((1000 * s2) // greatest(t2, 1)) * 1000)
+            // greatest(t2 - 1, 1) AS BIGINT) AS simpson_big_ppm
+FROM u_row, b_row"""
+
+
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "crawl_depth": q_crawl_depth,
@@ -2094,6 +2297,8 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations": q_collocations,
     "audio_neardup": q_audio_neardup,
     "ngram_goodturing": q_ngram_goodturing,
+    "vocab_growth": q_vocab_growth,
+    "token_diversity": q_token_diversity,
 }
 
 SEARCH_ORACLES: dict[str, str] = {
@@ -2114,4 +2319,6 @@ SEARCH_ORACLES: dict[str, str] = {
     "collocations": _COLLOC_SQL,
     "audio_neardup": _audio_neardup_sql(),
     "ngram_goodturing": _GT_SQL,
+    "vocab_growth": _VG_SQL,
+    "token_diversity": _DIVERSITY_SQL,
 }

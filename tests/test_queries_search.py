@@ -1088,3 +1088,64 @@ def test_goodturing_discounts_on_planted_counts(spark):
         2: (1, 3000, 500000),
         3: (1, 3000, 500000),
     }
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps) + token diversity (Simpson)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_matches_python_replay(spark):
+    """The 10-point growth curve equals a pure-Python replay of the
+    same md5-bucketed prefixes over the sf0.001 corpus: cumulative
+    token counts, cumulative vocabulary (types by FIRST bucket), and
+    marginal new types, all monotone."""
+    from crawler_spark.queries_search import _VG_BUCKETS, q_vocab_growth
+
+    per_tok = {}  # bucket -> n_tokens
+    first = {}  # term -> min bucket
+    for doc_id, text, _src in _docs():
+        k = _md5_int(str(doc_id)) % _VG_BUCKETS
+        for t in text.split(" "):
+            if not t:
+                continue
+            per_tok[k] = per_tok.get(k, 0) + 1
+            first[t] = min(first.get(t, k), k)
+    new_types = Counter(first.values())
+    want, n_cum, v_cum = {}, 0, 0
+    for k in sorted(set(per_tok) | set(new_types)):
+        n_cum += per_tok.get(k, 0)
+        v_cum += new_types.get(k, 0)
+        want[k] = (n_cum, v_cum, new_types.get(k, 0), (1_000_000 * v_cum) // max(n_cum, 1))
+    got = {
+        r["k"]: (r["n_tokens_cum"], r["vocab_cum"], r["new_types"], r["ttr_ppm"])
+        for r in q_vocab_growth(spark, SF).collect()
+    }
+    assert got == want
+    curve = [got[k] for k in sorted(got)]
+    assert all(b[0] > a[0] and b[1] >= a[1] for a, b in zip(curve, curve[1:]))
+
+
+def test_token_diversity_on_planted_corpus(spark):
+    """Hand-computed Simpson/TTR: docs 'a a b' + 'a c' give unigram
+    counts {a:3, b:1, c:1} -> T=5, V=3, S=6, Simpson = 6/20 = 300000
+    ppm exactly under the staged division; the three bigrams are all
+    distinct so bigram Simpson is 0."""
+    from crawler_spark.queries_search import q_token_diversity
+    import crawler_spark.queries_search as qs_mod
+    from unittest.mock import patch
+
+    frame = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    with patch.object(qs_mod, "load", lambda _s, _sf, _t: frame):
+        row = q_token_diversity(spark, SF).first()
+    assert (
+        row["n_tokens"],
+        row["vocab"],
+        row["ttr_ppm"],
+        row["simpson_uni_ppm"],
+        row["n_bigrams"],
+        row["bigram_vocab"],
+        row["simpson_big_ppm"],
+    ) == (5, 3, 600000, 300000, 3, 3, 0)
