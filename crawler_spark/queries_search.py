@@ -1507,14 +1507,19 @@ def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
-            F.min(F.col("doc_id") * 4294967296 + F.col("pos")).cast("long").alias("fk"),
+            # struct-min is lexicographic (doc_id, then pos) in BOTH
+            # engines and never overflows — the previous doc_id*2^32+pos
+            # BIGINT pack overflowed at doc_id >= 2^31, i.e. exactly the
+            # 10^10-doc regime (caught by the 640-copy scaling corpus
+            # under ANSI mode).
+            F.min(F.struct("doc_id", "pos")).alias("fk"),
         )
         .filter(F.col("n_docs") >= 2)
         .select(
             "n_docs",
             "n_occ",
-            F.expr("fk DIV 4294967296").cast("long").alias("first_doc"),
-            (F.col("fk") % 4294967296).cast("long").alias("first_pos"),
+            F.col("fk.doc_id").cast("long").alias("first_doc"),
+            F.col("fk.pos").cast("long").alias("first_pos"),
         )
     )
     first_docs = winners.select(F.col("first_doc").alias("doc_id")).distinct()
@@ -1553,13 +1558,13 @@ WITH toked AS (
   SELECT md5(span) AS h, min(span) AS span,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occ,
-         CAST(min(doc_id * 4294967296 + pos) AS BIGINT) AS fk
+         min({{'doc_id': doc_id, 'pos': pos}}) AS fk
   FROM spans GROUP BY md5(span)
 )
 SELECT CAST(concat('0x', substring(h, 1, 15)) AS BIGINT) AS span_fp,
        span, n_docs, n_occ,
-       CAST(fk // 4294967296 AS BIGINT) AS first_doc,
-       CAST(fk % 4294967296 AS BIGINT) AS first_pos
+       CAST(fk.doc_id AS BIGINT) AS first_doc,
+       CAST(fk.pos AS BIGINT) AS first_pos
 FROM grouped WHERE n_docs >= 2"""
 
 
