@@ -107,6 +107,9 @@ HEADLINE = [
     "ann_ivfpq_search",
     "bpe_merges",
     "shard_shuffle",
+    "ngram_goodturing",
+    "vocab_growth",
+    "token_diversity",
 ]
 
 N_HOSTS = 10_000

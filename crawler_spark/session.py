@@ -44,10 +44,18 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — pass e.g.
+    ``local-cluster[12,1,4096]`` to run REAL separate executor JVMs
+    (own heaps, own GC, shuffle through the block manager), the
+    faithful single-host emulation of a multi-executor cluster; with an
+    override, ``cores`` still sizes the default shuffle parallelism
+    (pass total executor cores)."""
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     ncores = os.cpu_count() if cores in ("*", None) else int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, int(ncores))

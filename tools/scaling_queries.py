@@ -11,6 +11,19 @@ parquet input. Query barriers are released between queries (a held
 persist would hand later queries cached input). Reports per-query and
 bundle times at both levels plus efficiency = (T_N / T_4N) / 4.
 
+Because both "cluster sizes" are thread counts inside ONE machine, raw
+wall-clock efficiency is bounded by the host's own thread-scaling
+ceiling (SMT siblings, turbo-frequency drop, shared L3/memory
+bandwidth, co-tenants) — things a real 4N-executor cluster does NOT
+share between its machines. The tool therefore also records, per run:
+JVM CPU-seconds and core-utilization (near-100% at both levels = the
+plans have no serialization; the wall gap is per-core throughput), a
+zero-shuffle pure-register CONTROL job's efficiency under the same 4x
+thread scale-up (= the host ceiling; any plan can only do worse), and
+efficiency_vs_host_ceiling = the plans' share of that ceiling — the
+closest single-host stand-in for what separate-socket executors would
+deliver.
+
     python tools/scaling_queries.py [n_copies]
 """
 
@@ -84,7 +97,7 @@ def build_input(n_copies: int) -> None:
 
 
 RUNNER = """
-import sys, json, time
+import sys, json, time, os
 sys.path.insert(0, {repo!r})
 from crawler_spark.session import get_spark
 from crawler_spark.queries import release_query_barriers
@@ -100,18 +113,39 @@ spark = get_spark("scalingq", cores={cores}, shuffle_partitions=64,
                       "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
                       "spark.driver.memory": f"{{2 * {cores}}}g",
                   }})
+# JVM CPU-seconds from /proc: separates "cores idle" (a plan
+# serialization problem) from "cores busy but slower per-core" (the
+# shared host's SMT/turbo/memory-bandwidth ceiling, which a real
+# 4N-executor cluster does not share).
+_jpid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+_CLK = os.sysconf("SC_CLK_TCK")
+def _cpu_s():
+    with open(f"/proc/{{_jpid}}/stat") as f:
+        p = f.read().split()
+    return (int(p[13]) + int(p[14])) / _CLK
 qs = entry.queries()
 # warm-up: JIT + python worker pool, excluded from measurement
 qs["text_stats"](spark, {sf!r}).count()
 release_query_barriers()
 times = {{}}
+c0, w0 = _cpu_s(), time.time()
 for name in {queries!r}:
     t0 = time.time()
     n = qs[name](spark, {sf!r}).count()
     times[name] = {{"sec": round(time.time() - t0, 3), "rows": n}}
     release_query_barriers()  # a held persist would skew the next query
+wall, cpu = time.time() - w0, _cpu_s() - c0
+# control: zero-shuffle, zero-skew register arithmetic — measures the
+# HOST's thread-scaling ceiling; any plan can only do worse.
+ct0 = time.time()
+spark.range(0, 3_000_000_000, 1, {cores} * 8).selectExpr(
+    "bit_xor(xxhash64(xxhash64(xxhash64(id), id+1), id+2)) s").first()
+control_sec = time.time() - ct0
 print("RESULT " + json.dumps({{"cores": {cores}, "queries": times,
-      "total_sec": round(sum(v["sec"] for v in times.values()), 3)}}))
+      "total_sec": round(sum(v["sec"] for v in times.values()), 3),
+      "jvm_cpu_s": round(cpu, 1),
+      "util_pct": round(100 * cpu / (wall * {cores}), 1),
+      "control_sec": round(control_sec, 3)}}))
 spark.stop()
 """
 
@@ -141,6 +175,10 @@ def main() -> None:
     lo, lo_reps = best_of(N_CORES)
     hi, hi_reps = best_of(N4_CORES)
     eff = (lo["total_sec"] / hi["total_sec"]) / (N4_CORES / N_CORES)
+    control_eff = (
+        min(r["control_sec"] for r in lo_reps)
+        / min(r["control_sec"] for r in hi_reps)
+    ) / (N4_CORES / N_CORES)
     rows_match = all(
         lo["queries"][q]["rows"] == hi["queries"][q]["rows"] for q in QUERIES
     )
@@ -157,6 +195,20 @@ def main() -> None:
         "reps_n": lo_reps,
         "reps_4n": hi_reps,
         "efficiency": round(eff, 3),
+        # the same-host ceiling: a zero-shuffle, zero-skew, pure-register
+        # control job's efficiency under the identical 4x thread scale-up.
+        # efficiency_vs_host_ceiling is the plan's share of what this host
+        # can hand ANY job — the number a real 4N-executor cluster (own
+        # sockets per executor) would see is between `efficiency` and this.
+        "control_efficiency": round(control_eff, 3),
+        "efficiency_vs_host_ceiling": round(eff / control_eff, 3),
+        "cpu_inflation_4n": round(
+            min(r["jvm_cpu_s"] for r in hi_reps)
+            / min(r["jvm_cpu_s"] for r in lo_reps),
+            3,
+        ),
+        "util_pct_n": lo["util_pct"],
+        "util_pct_4n": hi["util_pct"],
         "rows_match": rows_match,
     }
     path = os.path.join(REPO, "BENCH", f"scaling_queries_{stamp}.json")
