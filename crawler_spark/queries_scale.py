@@ -1827,7 +1827,9 @@ _HITS_OUT_DEG = 3
 
 def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over the deterministic link
-    graph doc_id -> (doc_id*17+k) % n, k=1..3 — the complementary
+    graph doc_id -> base + ((doc_id-base)*17+k) % n, k=1..3 (base =
+    min(doc_id), so the graph lands on real nodes whatever id block
+    the corpus occupies) — the complementary
     graph signal to q_link_rank's PageRank: authorities feed index
     ranking, hubs feed seed selection for focused crawling.
     3 synchronous iterations in integer fixed-point micro-units with
@@ -1849,12 +1851,21 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     O(iterations) stage-scheduling latency, not data — same analysis
     as dedup_components."""
     docs = load(spark, sf, "documents")
-    n = docs.count()
+    # Anchor the synthetic modular graph at min(doc_id): dst must land
+    # on REAL node ids, which are dense from some base, not from 0 —
+    # the unanchored (doc_id*17+k) % n produced a zero-edge graph (and
+    # a divide-by-zero normalizer) the moment ids started at an offset,
+    # e.g. a 10^10-scale id block (caught by the shifted-id sweep).
+    stats = docs.agg(F.count("*").alias("n"), F.min("doc_id").alias("base")).first()
+    n, base = stats["n"], stats["base"] or 0
     edges = docs.select(
         F.col("doc_id").alias("src"),
         F.explode(
             F.array(
-                *[((F.col("doc_id") * 17 + F.lit(k)) % n) for k in range(1, _HITS_OUT_DEG + 1)]
+                *[
+                    F.lit(base) + ((F.col("doc_id") - base) * 17 + F.lit(k)) % n
+                    for k in range(1, _HITS_OUT_DEG + 1)
+                ]
             )
         ).alias("dst"),
     ).localCheckpoint()
@@ -1874,7 +1885,7 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
         )
         amax = a_raw.agg(F.max("raw").alias("mx"))
         auths = a_raw.crossJoin(F.broadcast(amax)).select(
-            "v", F.expr("(1000000 * raw) DIV mx").cast("long").alias("a")
+            "v", F.expr("(1000000 * raw) DIV greatest(mx, 1)").cast("long").alias("a")
         )
         h_out = (
             edges.join(auths, edges.dst == auths.v)
@@ -1888,7 +1899,7 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
         )
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "v", F.expr("(1000000 * raw) DIV mx").cast("long").alias("h")
+            "v", F.expr("(1000000 * raw) DIV greatest(mx, 1)").cast("long").alias("h")
         )
     return auths.join(hubs, "v").select(
         F.col("v").alias("doc_id"),
@@ -1902,8 +1913,10 @@ def _hits_sql() -> str:
     ks = ", ".join(str(k) for k in range(1, _HITS_OUT_DEG + 1))
     parts = [
         "WITH nodes AS (SELECT doc_id AS v FROM documents),",
-        "n_docs AS (SELECT count(*) AS n FROM documents),",
-        "edges AS (SELECT doc_id AS src, (doc_id * 17 + k) % (SELECT n FROM n_docs) AS dst"
+        "n_docs AS (SELECT count(*) AS n, min(doc_id) AS base FROM documents),",
+        "edges AS (SELECT doc_id AS src, (SELECT base FROM n_docs)"
+        " + ((doc_id - (SELECT base FROM n_docs)) * 17 + k)"
+        " % (SELECT n FROM n_docs) AS dst"
         f" FROM documents, (SELECT unnest([{ks}]) AS k) ks),",
         "h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes),",
     ]
@@ -1914,7 +1927,8 @@ def _hits_sql() -> str:
             f" FROM edges e JOIN h{i} h ON h.v = e.src GROUP BY e.dst) s ON s.v = nodes.v),"
         )
         parts.append(
-            f"a{i + 1} AS (SELECT v, CAST((1000000 * raw) // (SELECT max(raw) FROM a{i + 1}raw)"
+            f"a{i + 1} AS (SELECT v, CAST((1000000 * raw)"
+            f" // (SELECT greatest(max(raw), 1) FROM a{i + 1}raw)"
             f" AS BIGINT) AS a FROM a{i + 1}raw),"
         )
         parts.append(
@@ -1923,7 +1937,8 @@ def _hits_sql() -> str:
             f" FROM edges e JOIN a{i + 1} a ON a.v = e.dst GROUP BY e.src) s ON s.v = nodes.v),"
         )
         parts.append(
-            f"h{i + 1} AS (SELECT v, CAST((1000000 * raw) // (SELECT max(raw) FROM h{i + 1}raw)"
+            f"h{i + 1} AS (SELECT v, CAST((1000000 * raw)"
+            f" // (SELECT greatest(max(raw), 1) FROM h{i + 1}raw)"
             f" AS BIGINT) AS h FROM h{i + 1}raw),"
         )
     last = parts.pop()

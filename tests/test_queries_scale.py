@@ -1421,3 +1421,29 @@ def test_shard_shuffle_is_a_seekable_permutation(spark):
         for r in q_shard_shuffle(spark, SF).collect()
     }
     assert again == {r["doc_id"]: (r["shard_id"], r["pos"]) for r in rows}
+
+
+def test_hits_scores_survive_offset_id_blocks(spark):
+    """Regression: ids need not start at 0. A corpus whose doc_ids live
+    in a high block (e.g. 5e9+, the 10^10-scale layout) must produce
+    the EXACT same scores as the zero-based corpus, shifted — the
+    unanchored (doc_id*17+k) % n graph used to produce zero edges and
+    a divide-by-zero max-normalizer here."""
+    from unittest.mock import patch
+
+    import crawler_spark.queries_scale as qsc
+    from crawler_spark.queries_scale import q_hits_scores
+
+    SHIFT = 5_000_000_000
+    lo = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    hi = lo.selectExpr(f"doc_id + {SHIFT} AS doc_id", "text")
+    with patch.object(qsc, "load", lambda _s, _sf, _t: lo):
+        base_rows = {r["doc_id"]: (r["auth_micro"], r["hub_micro"])
+                     for r in q_hits_scores(spark, SF).collect()}
+    with patch.object(qsc, "load", lambda _s, _sf, _t: hi):
+        hi_rows = {r["doc_id"] - SHIFT: (r["auth_micro"], r["hub_micro"])
+                   for r in q_hits_scores(spark, SF).collect()}
+    assert hi_rows == base_rows
+    assert max(v[0] for v in base_rows.values()) == 1_000_000
