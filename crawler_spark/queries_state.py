@@ -616,6 +616,89 @@ def frontier_ingest_oracle_sql() -> str:
     )
 
 
+def q_crawl_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-saturation curve over REAL crawl state: per crawl depth
+    (the per-source fetch seq), how many text spans the engine landed,
+    how many were NEVER seen at a shallower depth (first occurrence by
+    min seq), the cumulative distinct-span count, and marginal novelty
+    in ppm — the diminishing-returns dial that tells a budget allocator
+    when deeper fetching of a host class stops paying (site chrome
+    repeats from depth 0; content thins with depth). The crawl-state
+    sibling of q_vocab_growth's corpus curve.
+
+    Scale shape: explode is map-only; the ONLY crawl-sized shuffle is
+    the per-span-text groupBy(min seq) (distinct-span-sized output, and
+    the key could be xxhash64(text) at 10^10 scale); per-depth counts
+    map-side combine to max_pages rows; the cumulative window runs over
+    that max_pages-row frame — never over spans."""
+    from pyspark.sql import Window
+
+    eng = fixture_engine(spark)
+    spans = (
+        eng.docs()
+        .select("seq", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select("seq", F.col("s.text").alias("text"))
+    )
+    per_seq = spans.groupBy("seq").agg(F.count("*").cast("long").alias("n_spans"))
+    firsts = (
+        spans.groupBy("text")
+        .agg(F.min("seq").alias("seq"))
+        .groupBy("seq")
+        .agg(F.count("*").cast("long").alias("new_spans"))
+    )
+    frame = per_seq.join(firsts, "seq", "full").select(
+        F.col("seq").cast("long").alias("seq"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("new_spans", F.lit(0)).alias("new_spans"),
+    )
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    return frame.select(
+        "seq",
+        "n_spans",
+        "new_spans",
+        F.sum("new_spans").over(w).cast("long").alias("cum_unique_spans"),
+        F.expr("(1000000 * new_spans) DIV greatest(n_spans, 1)")
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
+
+
+def crawl_saturation_oracle_sql() -> str:
+    _, crawls = _oracle_run()
+    per_seq: dict[int, int] = {}
+    first: dict[str, int] = {}
+    for sc in crawls:
+        for rec in sc.records:
+            if not rec.ok:
+                continue
+            for s in rec.spans:
+                if s.kind != "text":
+                    continue
+                per_seq[rec.seq] = per_seq.get(rec.seq, 0) + 1
+                if s.text not in first or rec.seq < first[s.text]:
+                    first[s.text] = rec.seq
+    news: dict[int, int] = {}
+    for seq in first.values():
+        news[seq] = news.get(seq, 0) + 1
+    vals, cum = [], 0
+    for seq in sorted(set(per_seq) | set(news)):
+        n, nw = per_seq.get(seq, 0), news.get(seq, 0)
+        cum += nw
+        vals.append(
+            "(%d, %d, %d, %d, %d)"
+            % (seq, n, nw, cum, (1_000_000 * nw) // max(n, 1))
+        )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, CAST(n_spans AS BIGINT) AS n_spans,\n"
+        "       CAST(new_spans AS BIGINT) AS new_spans,\n"
+        "       CAST(cum_unique_spans AS BIGINT) AS cum_unique_spans,\n"
+        "       CAST(novelty_ppm AS BIGINT) AS novelty_ppm\n"
+        "FROM (VALUES\n  " + ",\n  ".join(vals)
+        + "\n) AS t(seq, n_spans, new_spans, cum_unique_spans, novelty_ppm)"
+    )
+
+
 STATE_QUERIES = {
     "failed_sources": q_failed_sources,
     "crawled_sources_view": q_crawled_sources,
@@ -628,6 +711,7 @@ STATE_QUERIES = {
     "retry_routing": q_retry_routing,
     "sessionize_stream": q_sessionize_stream,
     "frontier_ingest_stream": q_frontier_ingest_stream,
+    "crawl_saturation": q_crawl_saturation,
 }
 
 
@@ -644,4 +728,5 @@ def state_oracle_sql() -> dict[str, str]:
         "retry_routing": retry_routing_oracle_sql(),
         "sessionize_stream": sessionize_stream_oracle_sql(),
         "frontier_ingest_stream": frontier_ingest_oracle_sql(),
+        "crawl_saturation": crawl_saturation_oracle_sql(),
     }

@@ -123,3 +123,37 @@ def test_get_source_and_get_page_lookups(crawl):
     page = get_page(eng.docs(), first_ok.url).collect()
     assert len(page) == 1 and page[0].source_url == sc.source_url
     assert [s.kind for s in page[0].spans] == [s.kind for s in first_ok.spans]
+
+
+def test_crawl_saturation_matches_python_replay(spark):
+    """The per-depth novelty curve over the shared state fixture equals
+    a pure-Python replay of first-occurrence-by-min-seq over the oracle
+    crawl's text spans, and cum_unique_spans is the running sum."""
+    from crawler_spark.queries_state import _oracle_run, q_crawl_saturation
+
+    _, crawls = _oracle_run()
+    per_seq, first = {}, {}
+    for sc in crawls:
+        for rec in sc.records:
+            if not rec.ok:
+                continue
+            for s in rec.spans:
+                if s.kind != "text":
+                    continue
+                per_seq[rec.seq] = per_seq.get(rec.seq, 0) + 1
+                if s.text not in first or rec.seq < first[s.text]:
+                    first[s.text] = rec.seq
+    news = {}
+    for seq in first.values():
+        news[seq] = news.get(seq, 0) + 1
+    want, cum = {}, 0
+    for seq in sorted(set(per_seq) | set(news)):
+        n, nw = per_seq.get(seq, 0), news.get(seq, 0)
+        cum += nw
+        want[seq] = (n, nw, cum, (1_000_000 * nw) // max(n, 1))
+    got = {
+        r["seq"]: (r["n_spans"], r["new_spans"], r["cum_unique_spans"], r["novelty_ppm"])
+        for r in q_crawl_saturation(spark, "").collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in want.values()) == len(first)
