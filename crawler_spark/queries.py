@@ -792,9 +792,14 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_NORM_SQ.format(col="qe")).alias("nq"),
     ).select(
         "vec_id",
-        F.floor(
-            1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
-        ).cast("long").alias("cos_milli"),
+        F.when((F.col("nv") == 0) | (F.col("nq") == 0), F.lit(None))
+        .otherwise(
+            F.floor(
+                1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cos_milli"),
     )
     # orderBy().limit() plans TakeOrderedAndProject — per-partition top-k
     # merged on the driver, never a single-partition sort of the corpus
@@ -819,14 +824,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    cos = F.floor(
-        1000.0
-        * F.expr(dot)
-        / F.sqrt(
-            F.expr(_NORM_SQ.format(col="ea")).cast("double")
-            * F.expr(_NORM_SQ.format(col="eb")).cast("double")
+    na = F.expr(_NORM_SQ.format(col="ea"))
+    nb = F.expr(_NORM_SQ.format(col="eb"))
+    cos = (
+        F.when((na == 0) | (nb == 0), F.lit(None))
+        .otherwise(
+            F.floor(
+                1000.0 * F.expr(dot) / F.sqrt(na.cast("double") * nb.cast("double"))
+            )
         )
-    ).cast("long")
+        .cast("long")
+    )
     return pairs.select(
         "id_a",
         "id_b",
@@ -888,9 +896,14 @@ def q_ann_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "vec_id",
         "bucket",
-        F.floor(
-            1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
-        ).cast("long").alias("cos_milli"),
+        F.when((F.col("nv") == 0) | (F.col("nq") == 0), F.lit(None))
+        .otherwise(
+            F.floor(
+                1000.0 * F.col("dot") / F.sqrt(F.col("nv").cast("double") * F.col("nq").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cos_milli"),
     )
     # TakeOrderedAndProject, not a global window: even one bucket of a
     # 10^10 corpus (~1/256) is far too big for a single-partition sort
@@ -901,20 +914,31 @@ def q_ann_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
 
 def _cos_milli_col(va: str, vb: str):
     """Integer-exact fixed-point cosine (milli) between two array<float>
-    columns — order-independent, so Spark and DuckDB agree bit-for-bit."""
+    columns — order-independent, so Spark and DuckDB agree bit-for-bit.
+    A zero-norm vector (failed encoder output, padding row — present in
+    any 10^10-vector corpus) has no defined cosine: the guard yields
+    NULL, which every consumer already handles (threshold filters drop
+    it, DESC orderings put it last on both engines) — pre-ANSI Spark
+    returned NULL here implicitly; ANSI mode raised DIVIDE_BY_ZERO
+    (caught by the degenerate-corpus sweep)."""
     dot = (
         f"aggregate(zip_with({va}, {vb}, (x, y) -> "
         "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    return F.floor(
-        1000.0
-        * F.expr(dot)
-        / F.sqrt(
-            F.expr(_NORM_SQ.format(col=va)).cast("double")
-            * F.expr(_NORM_SQ.format(col=vb)).cast("double")
+    na = F.expr(_NORM_SQ.format(col=va))
+    nb = F.expr(_NORM_SQ.format(col=vb))
+    return (
+        F.when((na == 0) | (nb == 0), F.lit(None))
+        .otherwise(
+            F.floor(
+                1000.0
+                * F.expr(dot)
+                / F.sqrt(na.cast("double") * nb.cast("double"))
+            )
         )
-    ).cast("long")
+        .cast("long")
+    )
 
 
 _EMB_LSH_COS_MIN = 900  # milli-cosine verify threshold for near-dup
@@ -2510,26 +2534,32 @@ scored AS (
   FROM embeddings, q
 )
 SELECT vec_id,
-       CAST(floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) AS BIGINT) AS cos_milli,
-       CAST(row_number() OVER (ORDER BY floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) DESC, vec_id ASC) AS INT) AS rk
+       CAST(CASE WHEN nv = 0 OR nq = 0 THEN NULL
+            ELSE floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) END AS BIGINT) AS cos_milli,
+       CAST(row_number() OVER (ORDER BY CASE WHEN nv = 0 OR nq = 0 THEN NULL
+            ELSE floor(1000.0 * dot / sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE))) END DESC, vec_id ASC) AS INT) AS rk
 FROM scored QUALIFY rk <= 10""",
     "dedup_embedding_cosine": f"""
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
   FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
 ),
+parts AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT))) AS na,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT))) AS nb
+  FROM pairs
+),
 scored AS (
   SELECT id_a, id_b,
-    CAST(floor(1000.0 *
-      list_sum(list_transform(range(1, {EMB_DIM + 1}),
-        i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT)))
-      / sqrt(
-        CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
-          i -> CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(ea[i] AS DOUBLE) * 1000) AS BIGINT))) AS DOUBLE)
-        * CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
-          i -> CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(eb[i] AS DOUBLE) * 1000) AS BIGINT))) AS DOUBLE)
-      )) AS BIGINT) AS cos_milli
-  FROM pairs
+    CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+         ELSE floor(1000.0 * dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END
+         AS BIGINT) AS cos_milli
+  FROM parts
 )
 SELECT id_a, id_b, cos_milli, cos_milli >= 300 AS is_near_dup FROM scored""",
     "ann_lsh_buckets": _lsh_sql(),
@@ -2734,7 +2764,9 @@ WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
 q AS (SELECT embedding AS qe, bucket AS qbucket FROM b ORDER BY vec_id LIMIT 1),
 scored AS (
   SELECT vec_id, bucket,
-    CAST(floor(1000.0 * {dotq} / sqrt(CAST({nv} AS DOUBLE) * CAST({nq} AS DOUBLE))) AS BIGINT) AS cos_milli
+    CAST(CASE WHEN ({nv}) = 0 OR ({nq}) = 0 THEN NULL
+         ELSE floor(1000.0 * {dotq} / sqrt(CAST({nv} AS DOUBLE) * CAST({nq} AS DOUBLE))) END
+         AS BIGINT) AS cos_milli
   FROM b, q WHERE b.bucket = q.qbucket
 )
 SELECT vec_id, bucket, cos_milli,
@@ -2746,13 +2778,17 @@ ORACLE_SQL["ann_lsh_search"] = _lsh_search_sql()
 
 
 def _cos_milli_duck(va: str, vb: str) -> str:
-    """DuckDB spelling of _cos_milli_col (same fixed-point integers)."""
+    """DuckDB spelling of _cos_milli_col (same fixed-point integers,
+    same zero-norm -> NULL guard)."""
     fixed = "CAST(floor(CAST({v}[i] AS DOUBLE) * 1000) AS BIGINT)"
     rng = f"range(1, {EMB_DIM + 1})"
     dot = f"list_sum(list_transform({rng}, i -> {fixed.format(v=va)} * {fixed.format(v=vb)}))"
     na = f"list_sum(list_transform({rng}, i -> {fixed.format(v=va)} * {fixed.format(v=va)}))"
     nb = f"list_sum(list_transform({rng}, i -> {fixed.format(v=vb)} * {fixed.format(v=vb)}))"
-    return f"CAST(floor(1000.0 * {dot} / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"CAST(CASE WHEN ({na}) = 0 OR ({nb}) = 0 THEN NULL"
+        f" ELSE floor(1000.0 * {dot} / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))) END AS BIGINT)"
+    )
 
 
 def _bucket_sql_duck(col: str = "embedding") -> str:

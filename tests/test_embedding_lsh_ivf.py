@@ -242,3 +242,37 @@ def test_ivfpq_adc_approximates_exact_dot(spark):
         else:
             assert abs(r["adc_dot"] - exact) < 1_000_000, (r, exact)
     assert checked_exact >= 1  # vec 0 (the query) is always a codebook entry
+
+
+def test_zero_norm_vectors_yield_null_cosine_not_a_crash(spark):
+    """Regression (degenerate-corpus sweep): a zero-norm embedding —
+    failed encoder output, padding row, present in any 10^10-vector
+    corpus — has no defined cosine. Under Spark 4's ANSI default the
+    old unguarded fixed-point division raised DIVIDE_BY_ZERO; the guard
+    yields NULL, threshold filters drop it, and DESC orderings put it
+    last on both engines."""
+    from crawler_spark.queries import _cos_milli_col
+
+    dim = 8
+    rows = [
+        (1, [1.0] * dim),
+        (2, [0.0] * dim),          # zero norm
+        (3, [1e-9] * dim),         # rounds to zero in milli fixed-point
+        (4, [1.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+    )
+    got = {(r["id_a"], r["id_b"]): r["cos_milli"] for r in scored.collect()}
+    assert got[(1, 4)] == 1000
+    for pair, cos in got.items():
+        if 2 in pair or 3 in pair:
+            assert cos is None, (pair, cos)
+    # threshold filters drop the undefined pairs, keep the identical one
+    kept = scored.filter(F.col("cos_milli") >= 900)
+    assert [(r["id_a"], r["id_b"]) for r in kept.collect()] == [(1, 4)]
