@@ -1894,16 +1894,10 @@ def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
     )
     u_total = uni.agg(F.sum("c")).first()[0] or 1
-    big = toked.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
     big_counts = _barrier(
-        big.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+        _bigram_pairs(toked).groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("c_ab")
+        )
     )
     n_total = big_counts.agg(F.sum("c_ab")).first()[0] or 1
     ca = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
@@ -1932,6 +1926,29 @@ def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared corpus bigram construction (collocations / Good-Turing / diversity)
+# ---------------------------------------------------------------------------
+
+# ONE definition of "adjacent bigram" for every consumer, in both
+# engines — a change to tokenization or pair semantics lands everywhere
+# at once instead of silently diverging across six copies.
+_BIGRAM_TRANSFORM = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+)
+# DuckDB twin (1-based list indexing)
+_BIGRAM_SQL = "list_transform(range(1, len(toks)), i -> {'a': toks[i], 'b': toks[i + 1]})"
+
+
+def _bigram_pairs(toked: DataFrame) -> DataFrame:
+    """Adjacent (a, b) token pairs from a (.., toks array<string>) frame;
+    callers must pre-filter size(toks) >= 2."""
+    return toked.select(F.explode(F.expr(_BIGRAM_TRANSFORM)).alias("p")).select(
+        "p.a", "p.b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Good-Turing count-of-counts smoothing
 # ---------------------------------------------------------------------------
 
@@ -1951,10 +1968,11 @@ def q_ngram_goodturing(spark: SparkSession, sf: str) -> DataFrame:
     Good-Turing's signature: the UNSEEN mass estimate N_1 / T — the
     probability a fresh bigram from the same population was never seen
     in the corpus, i.e. the LM's out-of-corpus rate and the coverage
-    dial a crawl-more-or-stop decision reads. Intermediates stay in
-    BIGINT for T up to ~9*10^14 bigram instances; past that the ppm
-    staging hoists a factor of 1000 (same note discipline as
-    q_collocations).
+    dial a crawl-more-or-stop decision reads. The ppm divisions are
+    exact SPLIT divisions — (x DIV t)*1000 + ((x % t)*1000) DIV t ==
+    floor(1000*x/t) — so every intermediate stays in BIGINT for T up to
+    ~9*10^15 bigram instances (the binding term is n_r*r_star_milli <=
+    1000*T; a naive x*1000 staging bound 1000x earlier).
 
     Scale shape: the bigram groupBy is the only corpus-sized shuffle
     (combine-heavy, bigram-vocab keys); count-of-counts is a groupBy
@@ -1971,15 +1989,9 @@ def goodturing_table(docs: DataFrame) -> DataFrame:
     toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
         F.size("toks") >= 2
     )
-    big = toked.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    counts = big.groupBy("a", "b").agg(F.count("*").cast("long").alias("r"))
+    counts = _bigram_pairs(toked).groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("r")
+    )
     cofc = _barrier(
         counts.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
     )
@@ -2003,7 +2015,15 @@ def goodturing_table(docs: DataFrame) -> DataFrame:
             F.col("r").cast("long").alias("r"),
             "n_r",
             "r_star_milli",
-            F.expr(f"(n_r * r_star_milli * 1000) DIV {t_total}")
+            # exact split division: == floor(1000 * x / t) with x =
+            # n_r*r_star_milli <= 1000*T, so no intermediate exceeds
+            # 1000*T — BIGINT-safe to T ~ 9.2e15 (a naive x*1000
+            # staging overflowed at T ~ 9.2e12, i.e. BELOW the 10^10-doc
+            # target's bigram count)
+            F.expr(
+                f"((n_r * r_star_milli) DIV {t_total}) * 1000"
+                f" + (((n_r * r_star_milli) % {t_total}) * 1000) DIV {t_total}"
+            )
             .cast("long")
             .alias("mass_ppm"),
         )
@@ -2022,15 +2042,15 @@ WITH toked AS (
   WHERE len(string_split(text, ' ')) >= 2
 ), big AS (
   SELECT z.a AS a, z.b AS b
-  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS z
-        FROM toked)
+  FROM (SELECT unnest({_BIGRAM_SQL}) AS z FROM toked)
 ), counts AS (
   SELECT a, b, CAST(count(*) AS BIGINT) AS r FROM big GROUP BY a, b
 ), cofc AS (
   SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r
 ), tot AS (
-  SELECT CAST(sum(r * n_r) AS BIGINT) AS t,
+  -- coalesce(.., 1) mirrors the Spark side's `or 1`: a corpus with no
+  -- bigrams must give mass_ppm 0, not NULL, in BOTH engines
+  SELECT CAST(coalesce(sum(r * n_r), 1) AS BIGINT) AS t,
          CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END), 0) AS BIGINT) AS n1
   FROM cofc
 ), seen AS (
@@ -2041,11 +2061,15 @@ WITH toked AS (
   WHERE c.r <= {_GT_MAX_R}
 )
 SELECT CAST(r AS BIGINT) AS r, n_r, r_star_milli,
-       CAST((n_r * r_star_milli * 1000) // (SELECT t FROM tot) AS BIGINT) AS mass_ppm
+       CAST(((n_r * r_star_milli) // (SELECT t FROM tot)) * 1000
+            + (((n_r * r_star_milli) % (SELECT t FROM tot)) * 1000)
+              // (SELECT t FROM tot) AS BIGINT) AS mass_ppm
 FROM seen
 UNION ALL
 SELECT 0, 0, NULL,
-       CAST((1000000 * (SELECT n1 FROM tot)) // (SELECT t FROM tot) AS BIGINT)"""
+       CAST(((1000 * (SELECT n1 FROM tot)) // (SELECT t FROM tot)) * 1000
+            + (((1000 * (SELECT n1 FROM tot)) % (SELECT t FROM tot)) * 1000)
+              // (SELECT t FROM tot) AS BIGINT)"""
 
 
 _COLLOC_SQL = f"""
@@ -2059,9 +2083,7 @@ WITH toked AS (
 ), u_total AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
 big AS (
   SELECT z.a AS a, z.b AS b
-  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS z
-        FROM toked)
+  FROM (SELECT unnest({_BIGRAM_SQL}) AS z FROM toked)
 ), big_counts AS (
   SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM big GROUP BY a, b
 ), n_total AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM big_counts),
@@ -2109,10 +2131,18 @@ def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     single-partition global window, the exact anti-pattern the top-k
     queries were rewritten away from)."""
     docs = load(spark, sf, "documents")
-    toked = docs.select(
-        (_md5_int(F.col("doc_id").cast("string")) % _VG_BUCKETS).alias("k"),
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
-    ).filter(F.col("term") != "")
+    # barrier the scan+split+md5 pass: per-bucket counts and per-term
+    # first-buckets both consume it — the explode re-runs per consumer
+    # (cheap) but the corpus is read and tokenized ONCE
+    arrays = _barrier(
+        docs.select(
+            (_md5_int(F.col("doc_id").cast("string")) % _VG_BUCKETS).alias("k"),
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+    )
+    toked = arrays.select("k", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
     per_bucket = toked.groupBy("k").agg(F.count("*").cast("long").alias("n_tok"))
     first_seen = (
         toked.groupBy("term")
@@ -2183,19 +2213,27 @@ def q_token_diversity(spark: SparkSession, sf: str) -> DataFrame:
     type-token ratio — the exact-integer stand-ins for entropy that a
     curation pipeline thresholds on (a boilerplate-heavy or template
     crawl shows up as a Simpson spike long before eyeballing does).
-    ppm = ((1000*S) DIV T) * 1000 DIV (T-1) stages the million into two
-    thousands so intermediates stay under 2^63 for S = sum c*(c-1) up to
-    ~9*10^15 (worst case T ~ 10^7 tokens of one repeated type; realistic
-    corpora reach far higher T since S << T^2); a larger corpus would
-    hoist per-group like q_collocations. The staging costs at most
-    1000/(T-1) + 1 ppm of floor error — identical on both engines, so
-    hashes still match exactly.
+    Each ppm stage is an exact SPLIT division ((x DIV d)*1000 +
+    ((x % d)*1000) DIV d == floor(1000*x/d)), so the staging itself
+    never overflows; what binds is the Simpson numerator S = sum
+    c*(c-1): the per-term product needs c < ~3*10^9 and the BIGINT sum
+    needs S < 2^63 — under a Zipf head (top token ~5% of mass) that is
+    exact to roughly 10^10-10^11 tokens. Past that, compute the
+    statistic on a deterministic hash-sample of token instances
+    (Simpson is a ratio; sampling preserves it) or hoist c*(c-1) into
+    10^6-scaled units — noted, not implemented, same discipline as
+    q_collocations' log-hoist note.
 
-    Scale shape: two combine-heavy groupBys (term, bigram) are the only
-    corpus shuffles; everything else is a scalar aggregate of the vocab
-    table and a 1x1 cross join of two single-row frames."""
+    Scale shape: two combine-heavy groupBys (term, bigram) over ONE
+    barriered tokenize pass are the only corpus shuffles; everything
+    else is a scalar aggregate of the vocab table and a 1x1 cross join
+    of two single-row frames."""
     docs = load(spark, sf, "documents")
-    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # barrier: uni and big both consume toked — without it the plan
+    # forks and the corpus is scanned + split twice
+    toked = _barrier(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    )
     uni = (
         toked.select(F.explode("toks").alias("term"))
         .filter(F.col("term") != "")
@@ -2208,16 +2246,8 @@ def q_token_diversity(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.expr("c * (c - 1)")).alias("s"),
     )
     big = (
-        toked.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.a", "p.b")
+        _bigram_pairs(toked.filter(F.size("toks") >= 2))
+        .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("c"))
     )
     b_row = big.agg(
@@ -2225,28 +2255,29 @@ def q_token_diversity(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("bigram_vocab"),
         F.sum(F.expr("c * (c - 1)")).alias("s2"),
     )
+    split_div = (
+        "(({x} DIV greatest({d}, 1)) * 1000"
+        " + (({x} % greatest({d}, 1)) * 1000) DIV greatest({d}, 1))"
+    )
+    simpson = split_div.format(
+        x=split_div.format(x="{s}", d="{t}"), d="{t} - 1"
+    )
     return (
         u_row.crossJoin(b_row)
         .select(
             F.col("t").cast("long").alias("n_tokens"),
             "vocab",
-            F.expr("(1000000 * vocab) DIV greatest(t, 1)").cast("long").alias(
-                "ttr_ppm"
-            ),
-            F.expr(
-                "(((1000 * s) DIV greatest(t, 1)) * 1000)"
-                " DIV greatest(t - 1, 1)"
-            )
+            F.expr(split_div.format(x="(1000 * vocab)", d="t"))
             .cast("long")
-            .alias("simpson_uni_ppm"),
+            .alias("ttr_ppm"),
+            F.expr(simpson.format(s="s", t="t")).cast("long").alias(
+                "simpson_uni_ppm"
+            ),
             F.col("t2").cast("long").alias("n_bigrams"),
             "bigram_vocab",
-            F.expr(
-                "(((1000 * s2) DIV greatest(t2, 1)) * 1000)"
-                " DIV greatest(t2 - 1, 1)"
-            )
-            .cast("long")
-            .alias("simpson_big_ppm"),
+            F.expr(simpson.format(s="s2", t="t2")).cast("long").alias(
+                "simpson_big_ppm"
+            ),
         )
     )
 
@@ -2264,8 +2295,7 @@ WITH toked AS (
   FROM uni
 ), big AS (
   SELECT z.a AS a, z.b AS b, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-          i -> {'a': toks[i], 'b': toks[i + 1]})) AS z
+  FROM (SELECT unnest(__BIGRAM__) AS z
         FROM toked WHERE len(toks) >= 2)
   GROUP BY z.a, z.b
 ), b_row AS (
@@ -2275,13 +2305,32 @@ WITH toked AS (
   FROM big
 )
 SELECT t AS n_tokens, vocab,
-       CAST((1000000 * vocab) // greatest(t, 1) AS BIGINT) AS ttr_ppm,
-       CAST((((1000 * s) // greatest(t, 1)) * 1000)
-            // greatest(t - 1, 1) AS BIGINT) AS simpson_uni_ppm,
+       CAST(__SPLIT(1000 * vocab|t)__ AS BIGINT) AS ttr_ppm,
+       CAST(__SIMPSON(s|t)__ AS BIGINT) AS simpson_uni_ppm,
        t2 AS n_bigrams, bigram_vocab,
-       CAST((((1000 * s2) // greatest(t2, 1)) * 1000)
-            // greatest(t2 - 1, 1) AS BIGINT) AS simpson_big_ppm
+       CAST(__SIMPSON(s2|t2)__ AS BIGINT) AS simpson_big_ppm
 FROM u_row, b_row"""
+
+
+def _duck_split_div(x: str, d: str) -> str:
+    """Exact floor(1000*x/d) without an x*1000 intermediate — the DuckDB
+    twin of the Spark split_div staging in q_token_diversity."""
+    g = f"greatest({d}, 1)"
+    return f"((({x}) // {g}) * 1000 + ((({x}) % {g}) * 1000) // {g})"
+
+
+def _expand_diversity_sql(sql: str) -> str:
+    out = sql.replace("__BIGRAM__", _BIGRAM_SQL)
+    out = out.replace("__SPLIT(1000 * vocab|t)__", _duck_split_div("1000 * vocab", "t"))
+    for s, t in (("s", "t"), ("s2", "t2")):
+        out = out.replace(
+            f"__SIMPSON({s}|{t})__",
+            _duck_split_div(_duck_split_div(s, t), f"{t} - 1"),
+        )
+    return out
+
+
+_DIVERSITY_SQL = _expand_diversity_sql(_DIVERSITY_SQL)
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -22,8 +22,6 @@ smoke here.
 
 from __future__ import annotations
 
-import datetime
-import json
 import os
 import shutil
 import sys
@@ -64,39 +62,12 @@ def build_input() -> None:
 
 
 def main() -> int:
-    from crawler_spark.queries import release_query_barriers
-    from crawler_spark.session import get_spark
-
-    import __spark_entry__ as entry
+    from sweeplib import run_sweep
 
     build_input()
-    spark = get_spark("idsweep", cores=16, shuffle_partitions=16)
-    qs = entry.queries()
-    fails: dict[str, str] = {}
-    counts: dict[str, int] = {}
-    for name, fn in sorted(qs.items()):
-        try:
-            counts[name] = fn(spark, DST).count()
-        except Exception as e:  # noqa: BLE001 — record and keep sweeping
-            fails[name] = str(e).split("\n")[0][:200]
-            print(f"FAIL {name}: {fails[name]}", flush=True)
-        release_query_barriers()
-    spark.stop()
-    stamp = datetime.date.today().isoformat()
-    result = {
-        "date": stamp,
-        "src_sf": SRC_SF,
-        "shift": SHIFT,
-        "n_queries": len(qs),
-        "n_failures": len(fails),
-        "failures": fails,
-    }
-    path = os.path.join(REPO, "BENCH", f"idrange_sweep_{stamp}.json")
-    with open(path, "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
-    print(f"wrote {path}")
-    return 1 if fails else 0
+    return run_sweep(
+        "idsweep", DST, "idrange_sweep", {"src_sf": SRC_SF, "shift": SHIFT}
+    )
 
 
 if __name__ == "__main__":
