@@ -110,6 +110,7 @@ HEADLINE = [
     "ngram_goodturing",
     "vocab_growth",
     "token_diversity",
+    "opic_importance",
 ]
 
 N_HOSTS = 10_000

@@ -1952,6 +1952,129 @@ def _hits_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# OPIC on-line page importance (adaptive frontier prioritization)
+# ---------------------------------------------------------------------------
+
+_OPIC_ROUNDS = 3
+_OPIC_CASH0 = 1_000_000  # micro units of cash per node at t=0
+
+
+def q_opic_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """OPIC page importance (Abiteboul, Preda & Cobéna 2003, "Adaptive
+    On-Line Page Importance Computation") — the frontier-prioritization
+    algorithm built for CRAWLING: unlike batch PageRank/HITS
+    (q_link_rank / q_hits_scores), OPIC's importance estimate is valid
+    at every moment of an ongoing crawl, so the scheduler can rank
+    uncrawled URLs by accumulated cash without waiting for a
+    whole-graph iteration to converge. Synchronous batch variant over
+    the shared anchored modular graph (same shape as q_hits_scores):
+    every node starts with 1e6 micro-cash; each round a node
+    distributes ALL its cash equally over its 3 out-edges (integer
+    share = cash DIV 3; the remainder rides the k=1 edge so cash is
+    conserved EXACTLY — sum(cash) is invariant, the test pins it) and
+    banks the amount distributed into its history. Importance =
+    history + current cash after _OPIC_ROUNDS rounds.
+
+    Scale shape: per round, ONE hash join (cash x edges on src) + ONE
+    combine-heavy groupBy(dst) — identical to the PageRank/HITS step,
+    the canonical distributed graph iteration; cash tables are
+    localCheckpointed per round (lineage doubles otherwise, same
+    reasoning as q_hits_scores); edges checkpoint once."""
+    docs = load(spark, sf, "documents")
+    stats = docs.agg(F.count("*").alias("n"), F.min("doc_id").alias("base")).first()
+    n, base = stats["n"], stats["base"] or 0
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.lit(base) + ((F.col("doc_id") - base) * 17 + F.lit(k)) % n).alias("dst"),
+                        F.lit(k == 1).alias("is_first"),
+                    )
+                    for k in range(1, _HITS_OUT_DEG + 1)
+                ]
+            )
+        ).alias("e"),
+    ).select("src", "e.dst", "e.is_first").localCheckpoint()
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    cash = nodes.select("v", F.lit(_OPIC_CASH0).cast("long").alias("cash"))
+    hist = nodes.select("v", F.lit(0).cast("long").alias("hist"))
+    deg = _HITS_OUT_DEG
+    for _ in range(_OPIC_ROUNDS):
+        hist = (
+            hist.join(cash, "v")
+            .select("v", (F.col("hist") + F.col("cash")).cast("long").alias("hist"))
+            .localCheckpoint()
+        )
+        incoming = (
+            edges.join(cash, edges.src == cash.v)
+            .select(
+                "dst",
+                (
+                    F.expr(f"cash DIV {deg}")
+                    + F.when(F.col("is_first"), F.expr(f"cash % {deg}")).otherwise(0)
+                ).alias("inflow"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("inflow").alias("got"))
+        )
+        cash = (
+            nodes.join(incoming, nodes.v == incoming.dst, "left")
+            .select("v", F.coalesce("got", F.lit(0)).cast("long").alias("cash"))
+            .localCheckpoint()
+        )
+    return (
+        cash.join(hist, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("cash").alias("cash_micro"),
+            F.col("hist").alias("hist_micro"),
+            (F.col("cash") + F.col("hist")).cast("long").alias("importance_micro"),
+        )
+    )
+
+
+def _opic_sql() -> str:
+    """The q_opic_importance recurrence unrolled as chained CTEs."""
+    deg = _HITS_OUT_DEG
+    ks = ", ".join(str(k) for k in range(1, deg + 1))
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS v FROM documents),",
+        "n_docs AS (SELECT count(*) AS n, min(doc_id) AS base FROM documents),",
+        "edges AS (SELECT doc_id AS src, (SELECT base FROM n_docs)"
+        " + ((doc_id - (SELECT base FROM n_docs)) * 17 + k)"
+        " % (SELECT n FROM n_docs) AS dst, k = 1 AS is_first"
+        f" FROM documents, (SELECT unnest([{ks}]) AS k) ks),",
+        f"c0 AS (SELECT v, CAST({_OPIC_CASH0} AS BIGINT) AS cash FROM nodes),",
+        "h0 AS (SELECT v, CAST(0 AS BIGINT) AS hist FROM nodes),",
+    ]
+    for i in range(_OPIC_ROUNDS):
+        parts.append(
+            f"h{i + 1} AS (SELECT h.v, CAST(h.hist + c.cash AS BIGINT) AS hist"
+            f" FROM h{i} h JOIN c{i} c ON h.v = c.v),"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT nodes.v, CAST(coalesce(s.got, 0) AS BIGINT) AS cash"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(c.cash // {deg}"
+            f" + CASE WHEN e.is_first THEN c.cash % {deg} ELSE 0 END) AS got"
+            f" FROM edges e JOIN c{i} c ON c.v = e.src GROUP BY e.dst"
+            f") s ON s.v = nodes.v),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    parts.append(
+        f"SELECT c{_OPIC_ROUNDS}.v AS doc_id, c{_OPIC_ROUNDS}.cash AS cash_micro,"
+        f" h{_OPIC_ROUNDS}.hist AS hist_micro,"
+        f" CAST(c{_OPIC_ROUNDS}.cash + h{_OPIC_ROUNDS}.hist AS BIGINT) AS importance_micro"
+        f" FROM c{_OPIC_ROUNDS} JOIN h{_OPIC_ROUNDS}"
+        f" ON c{_OPIC_ROUNDS}.v = h{_OPIC_ROUNDS}.v"
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # unigram LM rarity scoring (CCNet-style head/middle/tail binning)
 # ---------------------------------------------------------------------------
 
@@ -2555,6 +2678,7 @@ SCALE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_detect": q_change_detect,
     "domain_quality": q_domain_quality,
     "hits_scores": q_hits_scores,
+    "opic_importance": q_opic_importance,
     "lm_rarity": q_lm_rarity,
     "sitemap_gap": q_sitemap_gap,
     "host_graph": q_host_graph,
@@ -2586,6 +2710,7 @@ SCALE_ORACLES: dict[str, str] = {
     "change_detect": _CHANGE_SQL,
     "domain_quality": _DOMAIN_QUALITY_SQL,
     "hits_scores": _hits_sql(),
+    "opic_importance": _opic_sql(),
     "lm_rarity": _LM_RARITY_SQL,
     "sitemap_gap": _SITEMAP_GAP_SQL,
     "host_graph": _HOST_GRAPH_SQL,

@@ -1447,3 +1447,64 @@ def test_hits_scores_survive_offset_id_blocks(spark):
                    for r in q_hits_scores(spark, SF).collect()}
     assert hi_rows == base_rows
     assert max(v[0] for v in base_rows.values()) == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# OPIC on-line page importance
+# ---------------------------------------------------------------------------
+
+
+def test_opic_matches_pure_python_and_conserves_cash(spark):
+    """3-round integer OPIC replay over the anchored modular graph:
+    exact per-node cash/history equality, exact cash conservation
+    (sum(cash) invariant = n * 1e6 — the property that makes OPIC's
+    importance estimate readable mid-crawl), and offset-id isomorphism
+    (same guarantee as hits_scores)."""
+    from unittest.mock import patch
+
+    import crawler_spark.queries_scale as qsc
+    from crawler_spark.queries_scale import (
+        _HITS_OUT_DEG,
+        _OPIC_CASH0,
+        _OPIC_ROUNDS,
+        q_opic_importance,
+    )
+
+    n = 24
+    ids = list(range(n))
+    out_edges = {
+        v: [(v * 17 + k) % n for k in range(1, _HITS_OUT_DEG + 1)] for v in ids
+    }
+    cash = {v: _OPIC_CASH0 for v in ids}
+    hist = {v: 0 for v in ids}
+    for _ in range(_OPIC_ROUNDS):
+        for v in ids:
+            hist[v] += cash[v]
+        nxt = {v: 0 for v in ids}
+        for v, dsts in out_edges.items():
+            share = cash[v] // _HITS_OUT_DEG
+            for j, d in enumerate(dsts):
+                nxt[d] += share + (cash[v] % _HITS_OUT_DEG if j == 0 else 0)
+        cash = nxt
+    assert sum(cash.values()) == n * _OPIC_CASH0  # replay conserves too
+
+    frame = spark.createDataFrame(
+        [(i, f"t{i}") for i in ids], "doc_id long, text string"
+    )
+    with patch.object(qsc, "load", lambda _s, _sf, _t: frame):
+        rows = {r["doc_id"]: r for r in q_opic_importance(spark, SF).collect()}
+    assert set(rows) == set(ids)
+    for v in ids:
+        assert rows[v]["cash_micro"] == cash[v]
+        assert rows[v]["hist_micro"] == hist[v]
+        assert rows[v]["importance_micro"] == cash[v] + hist[v]
+    assert sum(r["cash_micro"] for r in rows.values()) == n * _OPIC_CASH0
+
+    SHIFT = 5_000_000_000
+    hi = frame.selectExpr(f"doc_id + {SHIFT} AS doc_id", "text")
+    with patch.object(qsc, "load", lambda _s, _sf, _t: hi):
+        hi_rows = {
+            r["doc_id"] - SHIFT: (r["cash_micro"], r["hist_micro"])
+            for r in q_opic_importance(spark, SF).collect()
+        }
+    assert hi_rows == {v: (cash[v], hist[v]) for v in ids}
