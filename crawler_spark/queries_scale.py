@@ -2511,7 +2511,13 @@ def bpe_merge_table(docs: DataFrame, rounds: int = _BPE_T) -> DataFrame:
             break
         l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((t + 1, l, r, l + r, n))
-        le, re, me = (s.replace("'", "''") for s in (l, r, l + r))
+        # Spark SQL string literals process backslash escapes (\n, \t, ...)
+        # unless escapedStringLiterals is on, so backslashes must be doubled
+        # BEFORE quote-doubling or a token containing '\' diverges from the
+        # pure-Python oracle replay (which keeps it verbatim).
+        le, re, me = (
+            s.replace("\\", "\\\\").replace("'", "''") for s in (l, r, l + r)
+        )
         fold = (
             "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
             f"IF(size(acc) > 0 AND element_at(acc, -1) = '{le}' AND s = '{re}', "
