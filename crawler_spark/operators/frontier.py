@@ -90,9 +90,11 @@ class CrawlEngine:
         self.broadcast_web = broadcast_web
         self.robots_bcast = None
         if robots is not None:
-            from .politeness import broadcast_robots
+            from .politeness import robots_index
 
-            self.robots_bcast = broadcast_robots(spark, robots)
+            # auto: broadcast compiled tries at fixture scale, switch to
+            # the co-partitioned join past BROADCAST_ROBOTS_MAX_HOSTS
+            self.robots_bcast = robots_index(spark, robots, mode="auto")
 
     def _robots_ok(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         if self.robots_bcast is None:

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "RobotsTrie",
+    "RobotsIndex",
+    "robots_index",
     "broadcast_robots",
     "robots_filter",
     "host_quotas",
@@ -134,8 +136,11 @@ def build_tries(robots_rows: list[dict]) -> dict[str, RobotsTrie]:
 
 
 def broadcast_robots(spark: SparkSession, robots: DataFrame):
-    """Collect the (small) rules table and broadcast compiled tries.
-    Robots tables are O(hosts with rules), not O(frontier) — driver-safe."""
+    """Collect the rules table and broadcast compiled tries. Only safe
+    when the table is genuinely small — O(hosts with rules) is ~10^7-10^8
+    at a 10^10-URL frontier, tens of GB of tries; use robots_index() with
+    mode='auto' so that regime switches to the co-partitioned join path
+    instead of materializing the full rules set on the driver."""
     rows = [r.asDict() for r in robots.collect()]
     return spark.sparkContext.broadcast(
         {
@@ -145,14 +150,84 @@ def broadcast_robots(spark: SparkSession, robots: DataFrame):
     )
 
 
-def robots_filter(df: DataFrame, robots_bcast, url_col: str = "url", keep_denied: bool = False) -> DataFrame:
+# Broadcast cap, in hosts-with-rules. ~100k compiled tries is tens of MB on
+# the driver and per executor — comfortably under the same ceiling the Bloom
+# auto-mode uses (bloom.BROADCAST_BLOOM_MAX_BYTES); past it the rules stay a
+# host-partitioned DataFrame and evaluation becomes a co-partitioned join.
+BROADCAST_ROBOTS_MAX_HOSTS = 100_000
+
+
+class RobotsIndex:
+    """Delivery-mode handle for robots rules (mirrors bloom_prefilter's
+    broadcast-vs-cogroup auto-mode, bloom.py):
+
+    - ``broadcast``: compiled tries in a Spark broadcast — the fixture /
+      small-crawl fast path (zero shuffle, dict lookup per URL).
+    - ``join``: the rules NEVER leave the cluster. Candidates left-join
+      the rules table on host (one hash shuffle on host — the SAME key
+      the scheduler's per-host top-K window shuffles on next, so AQE
+      reuses the exchange) and an Arrow pandas UDF compiles each host's
+      trie once per batch and walks it vectorized. This is the only
+      shape that survives 10^7-10^8 hosts-with-rules."""
+
+    __slots__ = ("mode", "bcast", "rules")
+
+    def __init__(self, mode: str, bcast=None, rules: DataFrame | None = None):
+        if mode not in ("broadcast", "join"):
+            raise ValueError(f"RobotsIndex mode {mode!r}")
+        self.mode = mode
+        self.bcast = bcast
+        self.rules = rules
+
+
+def robots_index(
+    spark: SparkSession,
+    robots: DataFrame,
+    mode: str = "auto",
+    max_broadcast_hosts: int = BROADCAST_ROBOTS_MAX_HOSTS,
+) -> RobotsIndex:
+    """Build the delivery handle. ``auto`` probes the table size with a
+    bounded job (limit(cap+1).count() — scans at most cap+1 rows, never
+    the full table) and broadcasts only under the cap; above it the
+    driver never materializes the rules."""
+    if mode == "auto":
+        over = robots.limit(max_broadcast_hosts + 1).count() > max_broadcast_hosts
+        mode = "join" if over else "broadcast"
+    if mode == "broadcast":
+        return RobotsIndex("broadcast", bcast=broadcast_robots(spark, robots))
+    return RobotsIndex("join", rules=robots)
+
+
+def robots_filter(
+    df: DataFrame,
+    robots_bcast,
+    url_col: str = "url",
+    keep_denied: bool = False,
+    host_col: str | None = None,
+) -> DataFrame:
     """Drop (or tag, with keep_denied) URLs whose path hits a disallow
-    prefix of their host's trie. Host and path are split JVM-side
-    (``parse_url`` inside whole-stage codegen) so the Arrow UDF only does
-    the dict lookup + trie walk over two short string columns — Python
-    never re-parses the URL. Hosts without rules pass; URLs ``parse_url``
+    prefix of their host's trie. Accepts a raw broadcast handle
+    (broadcast_robots), or a RobotsIndex — whose 'join' mode evaluates
+    via a host-partitioned join instead of a driver-resident dict
+    (identical verdicts; tests/test_robots_join.py pins the equivalence).
+
+    Broadcast path: host and path are split JVM-side (``parse_url``
+    inside whole-stage codegen) so the Arrow UDF only does the dict
+    lookup + trie walk over two short string columns — Python never
+    re-parses the URL. Hosts without rules pass; URLs ``parse_url``
     cannot parse fall back to Python ``urlparse`` (fail-closed: still a
-    lookup, never an exception)."""
+    lookup, never an exception).
+
+    Join path: the join key is ``host_col`` when the frame already
+    carries the engine's canonical host (the scheduler does — same
+    host_of() definition the rules tables are keyed by), else derived
+    once via the host_udf pandas UDF."""
+    if isinstance(robots_bcast, RobotsIndex):
+        if robots_bcast.mode == "join":
+            return _robots_filter_join(
+                df, robots_bcast.rules, url_col, keep_denied, host_col
+            )
+        robots_bcast = robots_bcast.bcast
 
     def _allowed(hosts: pd.Series, paths: pd.Series, urls: pd.Series) -> pd.Series:
         tries = robots_bcast.value["tries"]
@@ -184,6 +259,72 @@ def robots_filter(df: DataFrame, robots_bcast, url_col: str = "url", keep_denied
     return df.filter(allowed)
 
 
+def _robots_filter_join(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str,
+    keep_denied: bool,
+    host_col: str | None,
+) -> DataFrame:
+    """Co-partitioned robots evaluation: left-join rules on host, then an
+    Arrow pandas UDF compiles each host's trie ONCE per Arrow batch
+    (hosts arrive clustered after the hash shuffle, so the per-batch
+    cache hits) and walks paths vectorized. Hosts without rules take the
+    all-null fast branch — no trie, no Python parse. Path comes from JVM
+    parse_url; Python urlsplit only for the rows it can't parse
+    (same fallback semantics as the broadcast path)."""
+    out_cols = list(df.columns)
+    work = df
+    key = host_col
+    if key is None:
+        from ..functions.udfs import host_udf
+
+        work = work.withColumn("_rb_host", host_udf(url_col))
+        key = "_rb_host"
+    work = work.withColumn("_rb_path", F.parse_url(F.col(url_col), F.lit("PATH")))
+
+    rcols = [F.col("host").alias("_rb_rhost"), F.col("disallow_prefixes").alias("_rb_dis")]
+    rcols.append(
+        F.col("allow_prefixes").alias("_rb_allow")
+        if "allow_prefixes" in rules.columns
+        else F.lit(None).cast("array<string>").alias("_rb_allow")
+    )
+    joined = work.join(rules.select(*rcols), work[key] == F.col("_rb_rhost"), "left")
+
+    def _verdict(
+        hosts: pd.Series, paths: pd.Series, urls: pd.Series, dis: pd.Series, allow: pd.Series
+    ) -> pd.Series:
+        tries: dict[str, RobotsTrie] = {}
+        out = []
+        for h, p, u, d, a in zip(hosts, paths, urls, dis, allow):
+            if u is None:
+                out.append(False)  # fail-closed, like the broadcast path
+                continue
+            if d is None and a is None:
+                out.append(True)  # no rules for this host
+                continue
+            trie = tries.get(h)
+            if trie is None:
+                trie = RobotsTrie(
+                    list(d) if d is not None else [],
+                    list(a) if a is not None else [],
+                )
+                tries[h] = trie
+            if p is None:
+                p = urlsplit(u).path
+            out.append(not trie.disallowed(p or "/"))
+        return pd.Series(out, dtype=bool)
+
+    allowed = F.pandas_udf(_verdict, "boolean")(
+        F.col(key), F.col("_rb_path"), F.col(url_col), F.col("_rb_dis"), F.col("_rb_allow")
+    )
+    if keep_denied:
+        return joined.withColumn("robots_allowed", allowed).select(
+            *out_cols, "robots_allowed"
+        )
+    return joined.filter(allowed).select(*out_cols)
+
+
 def host_quotas(
     spark: SparkSession,
     robots_bcast,
@@ -192,7 +333,30 @@ def host_quotas(
 ) -> DataFrame:
     """Per-host fetch quota for one micro-batch window: hosts with a
     crawl-delay get floor(window/delay) capped at default_k, min 1.
-    Returned as a tiny DataFrame to broadcast-join onto the frontier."""
+    With a broadcast handle the table is built from the driver dict
+    (tiny, broadcast-joined onto the frontier). With a join-mode
+    RobotsIndex the quotas are a map-only projection of the distributed
+    rules table — the driver never sees the host set; join it onto the
+    frontier with a plain (non-broadcast) join on host."""
+    if isinstance(robots_bcast, RobotsIndex):
+        if robots_bcast.mode == "join":
+            return robots_bcast.rules.select(
+                "host",
+                F.when(
+                    F.col("crawl_delay_ms") > 0,
+                    F.greatest(
+                        F.lit(1),
+                        F.least(
+                            F.lit(default_k),
+                            F.expr(f"CAST({int(batch_window_ms)} DIV crawl_delay_ms AS INT)"),
+                        ),
+                    ),
+                )
+                .otherwise(F.lit(default_k))
+                .cast("int")
+                .alias("quota"),
+            )
+        robots_bcast = robots_bcast.bcast
     delay = robots_bcast.value["delay_ms"]
     rows = [
         (h, max(1, min(default_k, batch_window_ms // d)) if d > 0 else default_k)

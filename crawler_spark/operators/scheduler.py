@@ -59,6 +59,7 @@ def schedule_batch(
     seen_filter: str = "bloom",
     max_quota: int | None = None,
     refuse_traps: bool = False,
+    quotas_broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Select this micro-batch's fetch set from the frontier.
 
@@ -118,9 +119,12 @@ def schedule_batch(
 
         cand = cand.filter(trap_reason(F.col("url")).isNull())
 
-    # 1. politeness
+    # 1. politeness — robots_bcast accepts a raw broadcast handle or a
+    # RobotsIndex; join-mode indexes key on the frontier's own canonical
+    # host column (same host_of() the rules tables use), so the robots
+    # shuffle shares the host key family with the top-K window below.
     if robots_bcast is not None:
-        cand = robots_filter(cand, robots_bcast)
+        cand = robots_filter(cand, robots_bcast, host_col="host")
 
     # 2. dedup: bloom prefilter -> exact anti-join on the maybe-seen slice.
     # The union FORKS the plan on `tagged`; without a materialization
@@ -172,7 +176,11 @@ def schedule_batch(
         F.col("rank") <= k_cap
     )
     if quotas is not None:
-        ranked = ranked.join(F.broadcast(quotas), "host", "left").withColumn(
+        # quotas_broadcast=False for web-scale quota tables (join-mode
+        # host_quotas is O(hosts-with-rules) — past the broadcast ceiling
+        # it must hash-join on host, reusing the window's key family)
+        q = F.broadcast(quotas) if quotas_broadcast else quotas
+        ranked = ranked.join(q, "host", "left").withColumn(
             "quota", F.coalesce("quota", F.lit(default_k))
         )
         ranked = ranked.filter(F.col("rank") <= F.col("quota")).drop("quota")
