@@ -276,3 +276,55 @@ def test_zero_norm_vectors_yield_null_cosine_not_a_crash(spark):
     # threshold filters drop the undefined pairs, keep the identical one
     kept = scored.filter(F.col("cos_milli") >= 900)
     assert [(r["id_a"], r["id_b"]) for r in kept.collect()] == [(1, 4)]
+
+
+def test_semdedup_nlist_scales_with_corpus():
+    from crawler_spark.queries import (
+        _SEMDEDUP_NLIST,
+        _SEMDEDUP_TARGET_CLUSTER,
+        _semdedup_nlist,
+    )
+
+    assert _semdedup_nlist(500) == _SEMDEDUP_NLIST          # fixture floor
+    assert _semdedup_nlist(64_000) == _SEMDEDUP_NLIST       # still at floor
+    assert _semdedup_nlist(10**6) == 10**6 // _SEMDEDUP_TARGET_CLUSTER
+    # the paper regime: expected cluster size stays ~target as N grows 100x
+    assert _semdedup_nlist(10**8) == 100 * _semdedup_nlist(10**6)
+
+
+def test_semdedup_degenerate_cluster_cap(spark):
+    """10^3 NEAR-identical (not exact — rep collapse must not eat them)
+    vectors in one cluster: the anchor cap bounds candidate pairs to
+    anchors*n instead of n^2/2, and the output is still EXACT for this
+    single-blob degenerate case (keep-min = cluster min for every other
+    member) — the planted test VERDICT r3 item #4 asked for."""
+    from crawler_spark.queries import (
+        _semdedup_assign,
+        _semdedup_candidate_pairs,
+        semdedup_cap_report,
+        semdedup_dups,
+    )
+
+    n = 1000
+    rows = [(i, [1.0, 1e-4 * i, 0.0, 0.0]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cent_id long, ce array<float>"
+    )
+
+    # pair-count bound: capped = anchors*(n-ish), uncapped = n*(n-1)/2
+    _, _, assigned = _semdedup_assign(corpus, cents)
+    capped_pairs = _semdedup_candidate_pairs(assigned, cluster_cap=100, anchors=8).count()
+    assert capped_pairs <= 8 * n
+    uncapped_pairs = _semdedup_candidate_pairs(assigned, cluster_cap=10**9, anchors=8).count()
+    assert uncapped_pairs == n * (n - 1) // 2
+
+    # exactness in the degenerate blob: every non-min vec is a dup kept by 0
+    out = {r.dup_vec_id: r for r in semdedup_dups(corpus, cents, cluster_cap=100).collect()}
+    assert set(out) == set(range(1, n))
+    assert all(r.keep_vec_id == 0 for r in out.values())
+    assert all(r.cos_milli >= 900 for r in out.values())
+
+    # and the report logs the capped cluster
+    rep = semdedup_cap_report(corpus, cents, cluster_cap=100).collect()
+    assert len(rep) == 1 and rep[0].capped and rep[0].size == n
