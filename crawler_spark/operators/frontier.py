@@ -13,6 +13,22 @@ crawls only its own host — internal links share the seed's netloc), which
 is exactly the equality the north rule asks for; cross-host interleaving is
 free parallelism.
 
+Same-host multi-source rule (pinned by
+tests/test_engine_parity.py::test_two_sources_same_host_parity and
+tests/test_scheduler.py::test_two_sources_one_host_single_politeness_stream):
+the reference runs two sources sharing one host as independent SEQUENTIAL
+tasks (≤1 URL in flight globally), so each source's crawl order, URL-seen
+set, counters, and spans are functions of that source alone. The engine
+preserves all four EXACTLY per source — state keys on source_url
+throughout, so a URL both sources reach is fetched once per source, as the
+reference does. The ONLY divergence is timing: within a micro-batch the
+engine pops every active source's head, so a shared host sees both
+sources' fetches in the same batch instead of serialized across tasks.
+That is a politeness question, not a correctness one, and the scale path
+answers it per HOST: scheduler.drain_ordered emits a single serialized
+fetch_order per host covering every source's URLs, so crawl-delay is
+honored for the host no matter how many sources map onto it.
+
 Every micro-batch is one atomic snapshot commit of
 {frontier, source_state} (full) + {url_seen, candidates, docs, crawl_log,
 page_links} (append deltas) with lineage + metrics — a killed run resumes

@@ -430,3 +430,41 @@ def test_bloom_without_seen_raises(spark):
     frontier = _frontier_df(spark, [("https://h0.org/p/2", "h0.org", 0, 1)])
     with pytest.raises(ValueError, match="requires `seen`"):
         schedule_batch(frontier, bloom=bloom)
+
+
+def test_two_sources_one_host_single_politeness_stream(spark):
+    """Same-host multi-source politeness rule (VERDICT r3 task 5): when two
+    sources' URLs map onto ONE host, the scale path serializes them into a
+    SINGLE per-host fetch stream — politeness (crawl-delay, ordering) is a
+    property of the host, not of the source. drain_ordered must interleave
+    both sources' URLs into one strictly-(priority, seq)-ordered fetch_order
+    with no rank gaps, exactly what a per-host politeness worker consumes."""
+    rows = []
+    # source A: seqs 0..14 even priority 0; source B: seqs 100..114 priority 0
+    for i in range(15):
+        rows.append((f"https://shared.org/a/{i}", "shared.org", 0, i))
+        rows.append((f"https://shared.org/b/{i}", "shared.org", 0, 100 + i))
+    # control host, one source
+    for i in range(10):
+        rows.append((f"https://solo.org/p/{i}", "solo.org", 0, i))
+    frontier = _frontier_df(spark, rows)
+    sched, _ = schedule_batch(frontier, default_k=40, salt_span=8)
+    drained = drain_ordered(sched).collect()
+
+    shared = sorted(
+        (r for r in drained if r.host == "shared.org"),
+        key=lambda r: (r.salt, r.fetch_order),
+    )
+    # one serialized stream: ranks 1..n with no gaps, seq strictly rising —
+    # source A's 15 URLs (seq 0..14) drain before source B's (seq 100+),
+    # i.e. the host FIFO ignores which source contributed the URL.
+    assert [r.rank for r in shared] == list(range(1, 31))
+    seqs = [r.seq for r in shared]
+    assert seqs == sorted(seqs)
+    assert [u.split("/")[-2] for u in (r.url for r in shared)] == ["a"] * 15 + ["b"] * 15
+    # fetch_order never collides within the host's salted subgroups
+    per_group = {}
+    for r in shared:
+        per_group.setdefault(r.salt, []).append(r.fetch_order)
+    for fos in per_group.values():
+        assert fos == sorted(fos) and len(set(fos)) == len(fos)
