@@ -611,18 +611,13 @@ def _minhash_rep_pairs(docs: DataFrame):
     return members, groups, sizes, scored
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup dedup. At 10^10-doc scale every
-    stage is a hash shuffle on a bounded key (band bucket / doc pair) —
-    never an all-pairs comparison: candidate generation touches only
-    docs sharing a band bucket, the exact-Jaccard verify runs only on
-    those candidates, and the hot-bucket guard (_minhash_rep_pairs)
-    collapses identical texts to one representative so degenerate
-    buckets stay linear (tests/test_dedup_lsh.py::test_degenerate_bucket
-    plants 10^3 identical docs and counts candidate pairs)."""
-    members, groups, sizes, scored = _minhash_rep_pairs(
-        _lsh_corpus(load(spark, sf, "documents"))
-    )
+def minhash_dedup_map(docs: DataFrame) -> DataFrame:
+    """(dup_doc_id, keep_doc_id, jac_milli) MinHash-LSH dedup map over
+    any (doc_id, text) frame — q_dedup_minhash_lsh without the planted
+    fixture corpus; the composition form pipeline.curate_corpus
+    anti-joins against. Same stages, same scale shape (see the query
+    docstring below)."""
+    members, groups, sizes, scored = _minhash_rep_pairs(docs)
     ok_pairs = scored.filter(F.col("jac_milli") >= _LSH_JAC_MIN)
     edges = ok_pairs.select(
         F.col("doc_a").alias("rep_id"),
@@ -652,6 +647,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("keep_id").alias("keep_doc_id"),
         F.col("score").alias("jac_milli"),
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup dedup. At 10^10-doc scale every
+    stage is a hash shuffle on a bounded key (band bucket / doc pair) —
+    never an all-pairs comparison: candidate generation touches only
+    docs sharing a band bucket, the exact-Jaccard verify runs only on
+    those candidates, and the hot-bucket guard (_minhash_rep_pairs)
+    collapses identical texts to one representative so degenerate
+    buckets stay linear (tests/test_dedup_lsh.py::test_degenerate_bucket
+    plants 10^3 identical docs and counts candidate pairs)."""
+    return minhash_dedup_map(_lsh_corpus(load(spark, sf, "documents")))
 
 
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:

@@ -1419,18 +1419,24 @@ def q_token_pack(spark: SparkSession, sf: str) -> DataFrame:
     else is map-only integer arithmetic. At 10^10 docs each shard's
     prefix sum is the classic two-pass pattern Spark's partitioned
     window already implements (per-partition partials + carry)."""
-    docs = load(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+    return token_pack_frame(
+        load(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+        )
     )
+
+
+def token_pack_frame(toks: DataFrame, window_len: int = _PACK_WINDOW) -> DataFrame:
+    """q_token_pack over any (doc_id, lang, tokens) frame — the
+    composition form pipeline.curate_corpus chains after the mix."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    L = _PACK_WINDOW
+    L = window_len
     return (
         toks.withColumn("offset", F.sum("tokens").over(w) - F.col("tokens"))
         .withColumn("chunk_first", F.expr(f"offset DIV {L}"))
@@ -2609,27 +2615,31 @@ def q_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     pos/offset; nothing global, no sort of the corpus. The doc->shard
     map is exactly how a 1000-executor job writes partitioned training
     data: partitionBy(shard_id) with the in-shard order carried by hv."""
-    docs = load(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+    return shard_shuffle_frame(
+        load(spark, sf, "documents").select(
+            "doc_id",
+            F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+        )
     )
+
+
+def shard_shuffle_frame(
+    toks: DataFrame, n_shards: int = _SHARD_SHUF_N, salt: str = _SHARD_SHUF_SALT
+) -> DataFrame:
+    """q_shard_shuffle over any (doc_id, tokens) frame — the composition
+    form pipeline.curate_corpus ends with."""
     hashed = toks.withColumn(
         "hv",
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", F.lit(_SHARD_SHUF_SALT), F.col("doc_id").cast("string")
-                    )
-                ),
+                F.md5(F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"))),
                 1,
                 15,
             ),
             16,
             10,
         ).cast("long"),
-    ).withColumn("shard_id", (F.col("hv") % _SHARD_SHUF_N).cast("long"))
+    ).withColumn("shard_id", (F.col("hv") % n_shards).cast("long"))
     w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (

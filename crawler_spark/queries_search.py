@@ -707,15 +707,18 @@ def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     return strip_boilerplate(corpus)
 
 
-def strip_boilerplate(corpus: DataFrame) -> DataFrame:
-    """Per-host boilerplate stripping over any (doc_id, host, text)
-    frame; see q_boilerplate_strip for the operator contract and scale
-    shape."""
+def _bp_marked(corpus: DataFrame, carry_cols: tuple = ()) -> DataFrame:
+    """The shared strip core: (doc_id, host, pos, block, keep) rows with
+    per-host boilerplate blocks marked keep=false. ``carry_cols`` are
+    extra corpus columns threaded through the explode (narrow — they
+    ride the block rows) for consumers that must preserve them
+    (pipeline.curate_corpus carries lang)."""
     blocks = corpus.select(
-        "doc_id", "host", F.split(F.col("text"), " ").alias("toks")
+        "doc_id", "host", *carry_cols, F.split(F.col("text"), " ").alias("toks")
     ).select(
         "doc_id",
         "host",
+        *carry_cols,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
@@ -737,9 +740,41 @@ def strip_boilerplate(corpus: DataFrame) -> DataFrame:
         .select("host", "block")
         .withColumn("is_boiler", F.lit(True))
     )
-    marked = blocks.join(boiler, ["host", "block"], "left").withColumn(
+    return blocks.join(boiler, ["host", "block"], "left").withColumn(
         "keep", F.col("is_boiler").isNull()
     )
+
+
+def strip_boilerplate_text(corpus: DataFrame, carry_cols: tuple = ()) -> DataFrame:
+    """strip_boilerplate variant that REASSEMBLES the kept text — the
+    composition form pipeline.curate_corpus chains the rest of the
+    curation pass onto (the stats form below fingerprints the kept text
+    but does not return it). Same core, same shuffles; the reassembly
+    groupBy replaces the stats groupBy."""
+    marked = _bp_marked(corpus, carry_cols)
+    return marked.groupBy("doc_id", "host", *carry_cols).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "block")))
+                ),
+                lambda s: s.getField("block"),
+            ),
+        ).alias("text"),
+        F.sum(
+            F.when(F.col("keep"), F.size(F.split(F.col("block"), " "))).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def strip_boilerplate(corpus: DataFrame) -> DataFrame:
+    """Per-host boilerplate stripping over any (doc_id, host, text)
+    frame; see q_boilerplate_strip for the operator contract and scale
+    shape."""
+    marked = _bp_marked(corpus)
     return marked.groupBy("doc_id", "host").agg(
         F.count("*").cast("long").alias("n_blocks"),
         F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_boiler"),
@@ -1539,6 +1574,49 @@ def repeated_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
         "n_occ",
         "first_doc",
         "first_pos",
+    )
+
+
+def dup_span_exposure(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Per-document duplicated-span EXPOSURE — the filter form of
+    repeated_spans a curation pipeline composes (RefinedWeb drops docs
+    whose content is mostly text that also appears elsewhere): for each
+    doc, the fraction (milli, integer-exact) of its w-token sliding
+    windows whose span occurs in >= 2 DISTINCT documents. Docs shorter
+    than w tokens have no windows and are exempt (no row).
+
+    Scale shape: same as repeated_spans minus the winner-text
+    reconstruction — the shuffle carries only the 128-bit fingerprint
+    pair + doc_id; per-doc rollups are combine-heavy groupBys. Never
+    touches span text after the fingerprint projection."""
+    spans = _span_rows(docs, w)
+    fps = spans.select(
+        F.xxhash64("span").alias("fp_hi"),
+        F.xxhash64(F.lit(1), F.col("span")).alias("fp_lo"),
+        "doc_id",
+    )
+    fps = _barrier(fps)
+    winners = (
+        fps.groupBy("fp_hi", "fp_lo")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp_hi", "fp_lo")
+    )
+    dup_counts = (
+        fps.join(winners, ["fp_hi", "fp_lo"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup_windows"))
+    )
+    totals = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
+    return (
+        totals.join(dup_counts, "doc_id", "left")
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("(1000 * n_dup_windows) DIV n_windows").cast("long").alias("dup_milli"),
+        )
     )
 
 
