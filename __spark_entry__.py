@@ -283,9 +283,13 @@ DRIVER_CHECK_ORDER: list[str] = [
     "dup_spans",
     "contamination",
     "semdedup",
-    # embedding similarity family
+    # the FULL composed curation pipeline (all 7 stages, one end-to-end
+    # value-hash vs the composed DuckDB oracle — the round-4 flagship
+    # composition; tools/pipeline_bench.py measures it at 10^7 docs)
+    "curation_pipeline_full",
+    # embedding similarity family (ann_lsh_search past the cap: the
+    # family keeps cosine_topk + ann_ivfpq_search + dedup_embedding_lsh)
     "cosine_topk",
-    "ann_lsh_search",
     "ann_ivfpq_search",
     "dedup_embedding_lsh",
     # search / tokenizer training

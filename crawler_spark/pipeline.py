@@ -70,7 +70,7 @@ _MIX_SALT = "mix0"  # deterministic per-domain take order (epoch-style salt)
 def curate_corpus(
     docs: DataFrame,
     *,
-    mix_budget: int,
+    mix_budget: int | Callable[[], int],
     dup_span_max_milli: int = 500,
     span_w: int = 8,
     n_shards: int = 8,
@@ -81,7 +81,10 @@ def curate_corpus(
 
     ``mix_budget`` is the token budget stage 5 apportions across domains
     (tokens^0.5 temperature, Hamilton rounding — quotas sum to the budget
-    exactly). ``stage_cb(name, df) -> df`` is called once per stage with
+    exactly); pass a zero-arg callable to defer it until stage 5 is
+    constructed — i.e. until after stage 4's callback ran, so a caller
+    can derive the budget from the measured surviving token mass (the
+    bench sets 25% of it). ``stage_cb(name, df) -> df`` is called once per stage with
     its output frame; the bench uses it to persist + measure each stage
     (default: identity, leaving one lazy composed plan). Returns every
     stage's output frame by name, final training shards under
@@ -141,12 +144,13 @@ def curate_corpus(
     # mix_budget tokens, applied by a deterministic hash-ordered take per
     # domain (cumulative tokens <= quota). The quota table is domain-sized
     # (broadcast); the take is a per-domain window prefix sum.
+    budget = int(mix_budget() if callable(mix_budget) else mix_budget)
     domains = (
         toks.groupBy("host")
         .agg(F.sum("tokens").cast("long").alias("tokens"))
         .withColumn("weight", _isqrt_col("tokens"))
     )
-    alloc = _largest_remainder(domains, "weight", "host", mix_budget).select(
+    alloc = _largest_remainder(domains, "weight", "host", budget).select(
         "host", F.col("_lr_quota").alias("quota_tokens")
     )
     worder = (

@@ -712,7 +712,14 @@ def _bp_marked(corpus: DataFrame, carry_cols: tuple = ()) -> DataFrame:
     per-host boilerplate blocks marked keep=false. ``carry_cols`` are
     extra corpus columns threaded through the explode (narrow — they
     ride the block rows) for consumers that must preserve them
-    (pipeline.curate_corpus carries lang)."""
+    (pipeline.curate_corpus carries lang).
+
+    Scale note: the frequency agg keys on the raw (host, block) strings
+    on purpose — duplicated blocks collapse map-side before the shuffle,
+    so the exchange is already small; an xxhash64-pair key variant was
+    measured SLOWER at 640k docs (12.5s vs 25-40s: the hash projection
+    cost exceeds the string-shuffle savings once partial aggregation has
+    done its job)."""
     blocks = corpus.select(
         "doc_id", "host", *carry_cols, F.split(F.col("text"), " ").alias("toks")
     ).select(
@@ -1467,6 +1474,229 @@ WITH {_BP_CTES}, quality AS (
 SELECT doc_id, host, n_kept_toks, kept_fp, disposition,
        disposition = 'kept' AS is_output
 FROM verdicts"""
+
+
+# ---------------------------------------------------------------------------
+# FULL composed curation pipeline (all seven stages, end-to-end oracle)
+# ---------------------------------------------------------------------------
+
+_CPF_BUDGET = 100_000  # stage-5 token budget at the driver gate's fixture scale
+
+
+def q_curation_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The ENTIRE seven-stage curation pipeline
+    (crawler_spark/pipeline.py: boilerplate strip -> quality filter ->
+    MinHash-LSH near-dup dedup -> duplicated-span exposure filter ->
+    temperature domain mix -> token pack -> shard shuffle) as ONE
+    driver-checkable query: the returned frame is the FINAL training-shard
+    assignment, so a value-hash match against the composed DuckDB oracle
+    pins every stage boundary at once — which docs each stage dropped,
+    the mix quotas, the pack offsets, and the shard deal. q_curation_pipeline
+    above pins the 3-stage ordering argument; this pins the full
+    composition the 10^7-doc benchmark (tools/pipeline_bench.py) measures.
+
+    Stage outputs are localCheckpointed: the composed lineage (the LSH
+    stage alone forks its plan four ways) otherwise grows a plan tree
+    that can OOM the driver's plan printer."""
+    docs = load(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        "lang",
+        F.concat(
+            F.lit("nav home about contact "), F.col("source"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    from .pipeline import curate_corpus
+
+    out = curate_corpus(
+        corpus,
+        mix_budget=_CPF_BUDGET,
+        stage_cb=lambda _n, df: df.localCheckpoint(eager=True),
+    )
+    return out["shard_shuffle"]
+
+
+def _curation_full_sql() -> str:
+    """The composed seven-stage oracle: every CTE family is the already-
+    proven per-operator oracle (strip: _BP_CTES shape; quality: the
+    quality_filter SQL; LSH: the dedup_minhash_lsh naive formulation;
+    spans: the dup_spans window shape; mix/pack/shuffle: the
+    queries_scale oracles) re-pointed at the previous stage's CTE instead
+    of the raw table. Built lazily so the minhash/shingle SQL fragments
+    come from ONE definition (queries._SHINGLES_DUCK) and can never drift
+    from the standalone dedup oracle."""
+    from .queries import (
+        _LSH_JAC_MIN,
+        _MINHASH_COLS_DUCK,
+        _SHINGLES_DUCK,
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    mk = {la: ", ".join(f"'{w}'" for w in ms) for la, ms in LANG_MARKERS.items()}
+    B = _CPF_BUDGET
+    w = _SPAN_W
+    isqrt = (
+        "CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)"
+        " + CASE WHEN (CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) + 1)"
+        " * (CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) + 1)"
+        " <= tokens THEN 1 ELSE 0 END"
+        " - CASE WHEN CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)"
+        " * CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)"
+        " > tokens THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source AS host, lang,
+         'nav home about contact ' || source || ' ' || text AS text2
+  FROM documents
+), toked AS (
+  SELECT doc_id, host, lang, string_split(text2, ' ') AS toks FROM corpus
+), blk AS (
+  SELECT doc_id, host, lang,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / {_BP_BLOCK}.0) AS BIGINT)),
+           i -> {{'pos': i, 'block': array_to_string(toks[i * {_BP_BLOCK} + 1 : i * {_BP_BLOCK} + {_BP_BLOCK}], ' ')}})) AS z
+  FROM toked
+), blocks AS (
+  SELECT doc_id, host, lang, CAST(z.pos AS INT) AS pos, z.block AS block FROM blk
+), host_docs AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM corpus GROUP BY host
+), block_df AS (
+  SELECT host, block, CAST(count(DISTINCT doc_id) AS BIGINT) AS bdf
+  FROM blocks GROUP BY host, block
+), boiler AS (
+  SELECT bd.host, bd.block FROM block_df bd JOIN host_docs h ON bd.host = h.host
+  WHERE bd.bdf * {_BP_DEN} >= h.n_docs * {_BP_NUM} AND h.n_docs >= {_BP_MIN_DOCS}
+), marked AS (
+  SELECT b.doc_id, b.host, b.lang, b.pos, b.block, o.block IS NULL AS keep
+  FROM blocks b LEFT JOIN boiler o ON b.host = o.host AND b.block = o.block
+), stripped0 AS (
+  SELECT doc_id, host, lang,
+         coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '') AS text,
+         CAST(sum(CASE WHEN keep THEN len(string_split(block, ' ')) ELSE 0 END) AS BIGINT) AS n_tokens
+  FROM marked GROUP BY doc_id, host, lang
+), stripped AS (
+  SELECT * FROM stripped0 WHERE n_tokens > 0
+), q_s AS (
+  SELECT doc_id, len(toks) AS q_n_tokens,
+    CAST(floor(1000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS distinct_milli,
+    len(list_filter(toks, t -> t IN ({stop}))) AS stop_cnt,
+    len(list_filter(toks, t -> t IN ({mk['en']}))) AS en_hits,
+    len(list_filter(toks, t -> t IN ({mk['de']}))) AS de_hits,
+    len(list_filter(toks, t -> t IN ({mk['fr']}))) AS fr_hits,
+    len(list_filter(toks, t -> t IN ({mk['es']}))) AS es_hits,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM stripped)
+), q_bg AS (
+  SELECT doc_id, unnest(bigrams) AS bg FROM q_s
+), q_per AS (
+  SELECT doc_id, bg, count(*) AS c FROM q_bg GROUP BY 1, 2
+), q_tb AS (
+  SELECT doc_id, CAST(floor(1000.0 * max(c) / sum(c)) AS BIGINT) AS top_bigram_milli
+  FROM q_per GROUP BY 1
+), q_r AS (
+  SELECT s.doc_id,
+    CASE WHEN q_n_tokens < 20 THEN 'too_short'
+         WHEN NOT (en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits)
+           THEN 'non_english'
+         WHEN stop_cnt < 2 THEN 'low_stopword'
+         WHEN distinct_milli < 350 THEN 'low_diversity'
+         WHEN coalesce(tb.top_bigram_milli, 0) > 200 THEN 'repetitive'
+         ELSE 'accept' END AS reject_reason
+  FROM q_s s LEFT JOIN q_tb tb USING (doc_id)
+), accepted AS (
+  SELECT s.* FROM stripped s JOIN q_r USING (doc_id)
+  WHERE q_r.reject_reason = 'accept'
+), mh AS (
+  SELECT doc_id, {_MINHASH_COLS_DUCK}
+  FROM accepted WHERE len(string_split(text, ' ')) >= 3
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(mh2 || mh3) AS band_key FROM mh
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM accepted
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter_cnt
+  FROM lsh_pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE CAST(floor(1000.0 * i.inter_cnt / (x.n_sh + y.n_sh - i.inter_cnt)) AS BIGINT)
+        >= {_LSH_JAC_MIN}
+), deduped AS (
+  SELECT a.* FROM accepted a LEFT JOIN dups d USING (doc_id) WHERE d.doc_id IS NULL
+), sp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {w} + 2),
+           p -> array_to_string(toks[p : p + {w} - 1], ' '))) AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM deduped)
+  WHERE len(toks) >= {w}
+), sp_g AS (
+  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+), sp_doc AS (
+  SELECT sp.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN g.span IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM sp LEFT JOIN sp_g g USING (span) GROUP BY sp.doc_id
+), span_drop AS (
+  SELECT doc_id FROM sp_doc WHERE (1000 * n_dup) // n_windows > 500
+), span_ok AS (
+  SELECT d.* FROM deduped d LEFT JOIN span_drop s USING (doc_id)
+  WHERE s.doc_id IS NULL
+), mtoks AS (
+  SELECT doc_id, host, lang, n_tokens AS tokens FROM span_ok
+), mweighted AS (
+  SELECT host, {isqrt} AS weight
+  FROM (SELECT host, CAST(sum(tokens) AS BIGINT) AS tokens FROM mtoks GROUP BY host)
+), mtotals AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM mweighted
+), mbased AS (
+  SELECT w.host, ({B} * weight) // t.w_total AS base_alloc,
+         ({B} * weight) % t.w_total AS rem
+  FROM mweighted w, mtotals t
+), mleft AS (
+  SELECT {B} - sum(base_alloc) AS leftover FROM mbased
+), malloc AS (
+  SELECT host,
+         CAST(base_alloc + CASE WHEN row_number() OVER (ORDER BY rem DESC, host ASC)
+                                     <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM mbased, mleft
+), mixed AS (
+  SELECT c.doc_id, c.tokens
+  FROM (SELECT doc_id, host, tokens,
+               sum(tokens) OVER (PARTITION BY host
+                 ORDER BY md5('mix0#' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM mtoks) c
+  JOIN malloc a USING (host)
+  WHERE c.cum <= a.quota
+), sharded AS (
+  SELECT doc_id, tokens, hv, CAST(hv % 8 AS BIGINT) AS shard_id
+  FROM (SELECT doc_id, tokens,
+               CAST(concat('0x', substring(md5('epoch0#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM mixed)
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       tokens,
+       CAST(sum(tokens) OVER (PARTITION BY shard_id ORDER BY hv, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - tokens AS BIGINT) AS shard_offset
+FROM sharded"""
 
 
 # ---------------------------------------------------------------------------
@@ -2419,6 +2649,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "boilerplate_strip": q_boilerplate_strip,
     "curation_pipeline": q_curation_pipeline,
+    "curation_pipeline_full": q_curation_pipeline_full,
     "posting_gaps": q_posting_gaps,
     "phash_neardup": q_phash_neardup,
     "media_captions": q_media_captions,
@@ -2441,6 +2672,7 @@ SEARCH_ORACLES: dict[str, str] = {
     "quality_classifier": _QC_SQL,
     "boilerplate_strip": _BP_SQL,
     "curation_pipeline": _CURATION_SQL,
+    "curation_pipeline_full": _curation_full_sql(),
     "posting_gaps": _GAPS_SQL,
     "phash_neardup": _phash_neardup_sql(),
     "media_captions": _CAPTION_SQL,
