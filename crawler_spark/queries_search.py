@@ -752,12 +752,104 @@ def _bp_marked(corpus: DataFrame, carry_cols: tuple = ()) -> DataFrame:
     )
 
 
-def strip_boilerplate_text(corpus: DataFrame, carry_cols: tuple = ()) -> DataFrame:
+# Map-side strip applies while the boilerplate table stays under this many
+# (host, block) rows — chrome-sized in any real corpus. Past it (an
+# adversarial template corpus where most blocks clear the 60% threshold)
+# the explode-join-reassemble fallback keeps memory bounded.
+_BP_BROADCAST_MAX_BLOCKS = 500_000
+
+
+def _bp_boiler(corpus: DataFrame) -> DataFrame:
+    """(host, block) boilerplate table — the frequency side of the strip.
+    The explode shuffles only (host, block, doc_id) with map-side combine
+    (duplicated blocks collapse before the exchange); output is
+    host x chrome-block sized."""
+    block_rows = corpus.select(
+        "doc_id", "host", F.split(F.col("text"), " ").alias("toks")
+    ).select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i * {_BP_BLOCK} + 1, {_BP_BLOCK})))"
+            )
+        ).alias("block"),
+    )
+    host_docs = corpus.groupBy("host").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        block_rows.groupBy("host", "block")
+        .agg(F.countDistinct("doc_id").cast("long").alias("bdf"))
+        .join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("bdf") * _BP_DEN >= F.col("n_docs") * _BP_NUM)
+            & (F.col("n_docs") >= _BP_MIN_DOCS)
+        )
+        .select("host", "block")
+    )
+
+
+_BP_BLOCKS_EXPR = (
+    f"transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
+    f" i -> concat_ws(' ', slice(toks, i * {_BP_BLOCK} + 1, {_BP_BLOCK})))"
+)
+
+
+def _bp_mapside(corpus: DataFrame, boiler: DataFrame, carry_cols: tuple) -> DataFrame:
+    """Map-side strip: the per-host boiler block lists ride a broadcast
+    join and each doc filters its own block grid in place — no corpus
+    text ever crosses a shuffle (the 10^7-doc bench measured the
+    reassembly exchange at 18.8 GB; this path eliminates it). Returns
+    (doc_id, host, *carry, blocks, kept) with kept in original order."""
+    per_host = boiler.groupBy("host").agg(F.collect_list("block").alias("_boiler"))
+    return (
+        corpus.join(F.broadcast(per_host), "host", "left")
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .withColumn("blocks", F.expr(_BP_BLOCKS_EXPR))
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN _boiler IS NULL THEN blocks"
+                " ELSE filter(blocks, b -> NOT array_contains(_boiler, b)) END"
+            ),
+        )
+        .select("doc_id", "host", *carry_cols, "blocks", "kept")
+    )
+
+
+_BP_KEPT_TOKENS = "aggregate(kept, CAST(0 AS BIGINT), (a, b) -> a + size(split(b, ' ')))"
+
+
+def _bp_use_mapside(boiler: DataFrame, mode: str) -> bool:
+    if mode in ("mapside", "shuffle"):
+        return mode == "mapside"
+    # bounded probe — never a full count of an adversarial boiler table
+    return (
+        boiler.limit(_BP_BROADCAST_MAX_BLOCKS + 1).count() <= _BP_BROADCAST_MAX_BLOCKS
+    )
+
+
+def strip_boilerplate_text(
+    corpus: DataFrame, carry_cols: tuple = (), mode: str = "auto"
+) -> DataFrame:
     """strip_boilerplate variant that REASSEMBLES the kept text — the
     composition form pipeline.curate_corpus chains the rest of the
     curation pass onto (the stats form below fingerprints the kept text
-    but does not return it). Same core, same shuffles; the reassembly
-    groupBy replaces the stats groupBy."""
+    but does not return it).
+
+    Delivery auto-mode (same contract as bloom/robots): while the boiler
+    table is broadcast-sized, each doc strips ITS OWN block grid map-side
+    and no document text crosses a shuffle; past the cap it falls back to
+    the explode -> mark-join -> reassemble path. Outputs are identical in
+    both modes (pinned in tests/test_queries_search.py)."""
+    if _bp_use_mapside(boiler := _barrier(_bp_boiler(corpus)), mode):
+        return _bp_mapside(corpus, boiler, carry_cols).select(
+            "doc_id",
+            "host",
+            *carry_cols,
+            F.concat_ws(" ", F.col("kept")).alias("text"),
+            F.expr(_BP_KEPT_TOKENS).alias("n_tokens"),
+        )
     marked = _bp_marked(corpus, carry_cols)
     return marked.groupBy("doc_id", "host", *carry_cols).agg(
         F.concat_ws(
@@ -777,10 +869,19 @@ def strip_boilerplate_text(corpus: DataFrame, carry_cols: tuple = ()) -> DataFra
     )
 
 
-def strip_boilerplate(corpus: DataFrame) -> DataFrame:
+def strip_boilerplate(corpus: DataFrame, mode: str = "auto") -> DataFrame:
     """Per-host boilerplate stripping over any (doc_id, host, text)
-    frame; see q_boilerplate_strip for the operator contract and scale
-    shape."""
+    frame; see q_boilerplate_strip for the operator contract and
+    strip_boilerplate_text for the delivery auto-mode (shared)."""
+    if _bp_use_mapside(boiler := _barrier(_bp_boiler(corpus)), mode):
+        return _bp_mapside(corpus, boiler, ()).select(
+            "doc_id",
+            "host",
+            F.size("blocks").cast("long").alias("n_blocks"),
+            (F.size("blocks") - F.size("kept")).cast("long").alias("n_boiler"),
+            F.expr(_BP_KEPT_TOKENS).alias("n_kept_toks"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("kept_fp"),
+        )
     marked = _bp_marked(corpus)
     return marked.groupBy("doc_id", "host").agg(
         F.count("*").cast("long").alias("n_blocks"),

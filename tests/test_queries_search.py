@@ -1149,3 +1149,38 @@ def test_token_diversity_on_planted_corpus(spark):
         row["bigram_vocab"],
         row["simpson_big_ppm"],
     ) == (5, 3, 600000, 300000, 3, 3, 0)
+
+
+def test_strip_boilerplate_modes_agree(spark):
+    """Map-side (broadcast boiler, no text shuffle) and shuffle
+    (explode -> mark-join -> reassemble) strip deliveries produce
+    byte-identical outputs — both forms, including carry columns and the
+    boiler-only/empty-kept edge."""
+    from crawler_spark.queries import release_query_barriers
+    from crawler_spark.queries_search import strip_boilerplate, strip_boilerplate_text
+
+    chrome = "nav home about contact hostx"
+    rows = []
+    for i in range(6):
+        rows.append((i, "hostx", "en", f"{chrome} body{i} w{i}a w{i}b w{i}c tail{i}"))
+    rows.append((6, "hostx", "fr", chrome))  # strips to NOTHING (empty kept)
+    rows.append((7, "tiny", "en", "too few docs for a frequency signal"))
+    rows.append((8, "tiny", "en", "second page of the tiny host"))
+    corpus = spark.createDataFrame(rows, "doc_id long, host string, lang string, text string")
+
+    outs = {}
+    for m in ("mapside", "shuffle"):
+        outs[m] = {
+            "text": sorted(
+                strip_boilerplate_text(corpus, carry_cols=("lang",), mode=m).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            "stats": sorted(strip_boilerplate(corpus, mode=m).collect(), key=lambda r: r["doc_id"]),
+        }
+        release_query_barriers()
+    assert outs["mapside"]["text"] == outs["shuffle"]["text"]
+    assert outs["mapside"]["stats"] == outs["shuffle"]["stats"]
+    by_id = {r["doc_id"]: r for r in outs["mapside"]["text"]}
+    assert by_id[0]["text"].startswith("body0")  # chrome gone
+    assert by_id[6]["text"] == "" and by_id[6]["n_tokens"] == 0
+    assert by_id[7]["text"] == rows[7][3]  # tiny host exempt
