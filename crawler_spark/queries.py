@@ -562,15 +562,30 @@ def _minhash_rep_pairs(docs: DataFrame):
     LSH skew failure (boilerplate-heavy corpora) is structurally
     impossible for identical payloads, with zero recall loss (the
     expansion in _lsh_expand_groups is exact, nothing is capped or
-    dropped). Returns (members, groups, sizes, scored_rep_pairs)."""
+    dropped). Returns (members, groups, sizes, scored_rep_pairs).
+
+    Shuffle budget (the 10^7-doc pipeline stage was dominated by this
+    function): every text in an md5(text) group is IDENTICAL, so the
+    rep's text rides the groupBy as any_value — partial aggregation
+    combines map-side and the full-corpus rep semi-join shuffle is gone;
+    shingle-set sizes come from F.size on the array (no explode/groupBy);
+    the exact-Jaccard verify joins candidate PAIRS against packed shingle
+    ARRAYS and intersects per row (array_intersect), so the shuffle
+    carries one array row per rep instead of one row per shingle and the
+    per-pair groupBy disappears. Zero-intersection candidates now score
+    jac_milli=0 instead of being absent — every consumer filters
+    >= _LSH_JAC_MIN, so the verified pair set is unchanged."""
     keyed = _barrier(docs.withColumn("ekey", F.md5("text")))
-    groups = keyed.groupBy("ekey").agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("grp_n")
+    groups_full = keyed.groupBy("ekey").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("grp_n"),
+        F.any_value("text").alias("rep_text"),
     )
+    groups = groups_full.select("ekey", "rep_id", "grp_n")
     members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select("doc_id", "rep_id")
-    reps = keyed.join(
-        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).select("doc_id", "text")
+    reps = groups_full.select(
+        F.col("rep_id").alias("doc_id"), F.col("rep_text").alias("text")
+    )
     shingled = _barrier(_with_shingles(reps))
     bands = _bands_from_shingled(shingled)
     a, b = bands.alias("a"), bands.alias("b")
@@ -584,27 +599,25 @@ def _minhash_rep_pairs(docs: DataFrame):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _barrier(shingled.select("doc_id", F.explode(F.array_distinct("sh")).alias("s")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        pairs.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
+    shd = _barrier(shingled.select("doc_id", F.array_distinct("sh").alias("shd")))
+    sizes = shd.select("doc_id", F.size("shd").alias("n_sh"))
     scored = (
-        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        pairs.join(shd.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(shd.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("x.shd"), F.col("y.shd"))).alias("inter_cnt"),
+            F.size(F.col("x.shd")).alias("na"),
+            F.size(F.col("y.shd")).alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             F.floor(
                 1000.0
                 * F.col("inter_cnt")
-                / (F.col("x.n_sh") + F.col("y.n_sh") - F.col("inter_cnt"))
+                / (F.col("na") + F.col("nb") - F.col("inter_cnt"))
             ).cast("long").alias("jac_milli"),
         )
     )
@@ -708,12 +721,15 @@ def incremental_dedup(index: DataFrame, batch: DataFrame) -> DataFrame:
     q_dedup_minhash_lsh pass; this operator answers only "is this new
     doc already in the corpus?"."""
     def side(df: DataFrame):
+        # rep text rides the groupBy (identical within an md5 group), so
+        # no second full-side semi-join shuffle — same shuffle-budget
+        # rework as _minhash_rep_pairs
         keyed = _barrier(df.withColumn("ekey", F.md5("text")))
-        groups = keyed.groupBy("ekey").agg(F.min("doc_id").alias("rep_id"))
-        members = keyed.join(groups, "ekey").select("doc_id", "rep_id")
-        reps = keyed.join(
-            groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-        ).select("doc_id", "text")
+        groups = keyed.groupBy("ekey").agg(
+            F.min("doc_id").alias("rep_id"), F.any_value("text").alias("rep_text")
+        )
+        members = keyed.join(groups.select("ekey", "rep_id"), "ekey").select("doc_id", "rep_id")
+        reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("rep_text").alias("text"))
         return members, _barrier(_with_shingles(reps))
 
     idx_members, idx_sh = side(index)
@@ -730,36 +746,33 @@ def incremental_dedup(index: DataFrame, batch: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    def cand_shingles(shingled: DataFrame, ids: DataFrame) -> DataFrame:
-        return _barrier(
-            shingled.join(ids, "doc_id", "left_semi").select(
-                "doc_id", F.explode(F.array_distinct("sh")).alias("s")
-            )
+    def cand_arrays(shingled: DataFrame, ids: DataFrame) -> DataFrame:
+        # candidate reps only (left-semi pruned), shingle set packed as
+        # one array row per rep — the verify intersects arrays per pair
+        # instead of shuffling exploded shingle rows
+        return shingled.join(ids, "doc_id", "left_semi").select(
+            "doc_id", F.array_distinct("sh").alias("shd")
         )
 
-    sh_i = cand_shingles(idx_sh, pairs.select(F.col("idx_rep").alias("doc_id")))
-    sh_n = cand_shingles(new_sh, pairs.select(F.col("new_rep").alias("doc_id")))
-    inter = (
-        pairs.join(sh_i.alias("sa"), F.col("sa.doc_id") == F.col("idx_rep"))
-        .join(
-            sh_n.alias("sb"),
-            (F.col("sb.doc_id") == F.col("new_rep")) & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("idx_rep", "new_rep")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
-    sizes_i = sh_i.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shd_i = cand_arrays(idx_sh, pairs.select(F.col("idx_rep").alias("doc_id")))
+    shd_n = cand_arrays(new_sh, pairs.select(F.col("new_rep").alias("doc_id")))
     edges = (
-        inter.join(sizes_i.alias("x"), F.col("x.doc_id") == F.col("idx_rep"))
-        .join(sizes_n.alias("y"), F.col("y.doc_id") == F.col("new_rep"))
+        pairs.join(shd_i.alias("x"), F.col("x.doc_id") == F.col("idx_rep"))
+        .join(shd_n.alias("y"), F.col("y.doc_id") == F.col("new_rep"))
+        .select(
+            "idx_rep",
+            "new_rep",
+            F.size(F.array_intersect(F.col("x.shd"), F.col("y.shd"))).alias("inter_cnt"),
+            F.size(F.col("x.shd")).alias("na"),
+            F.size(F.col("y.shd")).alias("nb"),
+        )
         .select(
             "idx_rep",
             "new_rep",
             F.floor(
                 1000.0
                 * F.col("inter_cnt")
-                / (F.col("x.n_sh") + F.col("y.n_sh") - F.col("inter_cnt"))
+                / (F.col("na") + F.col("nb") - F.col("inter_cnt"))
             ).cast("long").alias("jac_milli"),
         )
         .filter(F.col("jac_milli") >= _LSH_JAC_MIN)
