@@ -761,25 +761,26 @@ _BP_BROADCAST_MAX_BLOCKS = 500_000
 
 def _bp_boiler(corpus: DataFrame) -> DataFrame:
     """(host, block) boilerplate table — the frequency side of the strip.
-    The explode shuffles only (host, block, doc_id) with map-side combine
-    (duplicated blocks collapse before the exchange); output is
-    host x chrome-block sized."""
+    Each doc's block grid is deduped IN PLACE (array_distinct) before the
+    explode, so bdf is a plain count(*) instead of countDistinct(doc_id):
+    the aggregation combines map-side on (host, block) and the exchange
+    carries per-partition block counts, not one row per (doc, block)
+    triple; output is host x chrome-block sized."""
     block_rows = corpus.select(
-        "doc_id", "host", F.split(F.col("text"), " ").alias("toks")
+        "host", F.split(F.col("text"), " ").alias("toks")
     ).select(
-        "doc_id",
         "host",
         F.explode(
             F.expr(
-                f"transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
-                f" i -> concat_ws(' ', slice(toks, i * {_BP_BLOCK} + 1, {_BP_BLOCK})))"
+                f"array_distinct(transform(sequence(0, CAST(ceil(size(toks) / {_BP_BLOCK}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i * {_BP_BLOCK} + 1, {_BP_BLOCK}))))"
             )
         ).alias("block"),
     )
     host_docs = corpus.groupBy("host").agg(F.count("*").cast("long").alias("n_docs"))
     return (
         block_rows.groupBy("host", "block")
-        .agg(F.countDistinct("doc_id").cast("long").alias("bdf"))
+        .agg(F.count("*").cast("long").alias("bdf"))
         .join(F.broadcast(host_docs), "host")
         .filter(
             (F.col("bdf") * _BP_DEN >= F.col("n_docs") * _BP_NUM)
