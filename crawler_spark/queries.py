@@ -599,7 +599,17 @@ def _minhash_rep_pairs(docs: DataFrame):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shd = _barrier(shingled.select("doc_id", F.array_distinct("sh").alias("shd")))
+    # shingles ride the verify as 64-bit xxhash64 ints, not strings: the
+    # array_intersect scan is memory-bandwidth-bound and the pair join
+    # replicates each candidate's set, so 8-byte elements cut both ~5x.
+    # A within-pair collision (P ~ |set|^2 / 2^64, ~1e-15 at 200
+    # shingles) is the only way this diverges from the string oracle.
+    shd = _barrier(
+        shingled.select(
+            "doc_id",
+            F.expr("array_distinct(transform(sh, s -> xxhash64(s)))").alias("shd"),
+        )
+    )
     sizes = shd.select("doc_id", F.size("shd").alias("n_sh"))
     scored = (
         pairs.join(shd.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
@@ -748,10 +758,12 @@ def incremental_dedup(index: DataFrame, batch: DataFrame) -> DataFrame:
 
     def cand_arrays(shingled: DataFrame, ids: DataFrame) -> DataFrame:
         # candidate reps only (left-semi pruned), shingle set packed as
-        # one array row per rep — the verify intersects arrays per pair
-        # instead of shuffling exploded shingle rows
+        # one array of xxhash64 ints per rep — the verify intersects
+        # arrays per pair instead of shuffling exploded shingle rows
+        # (see _minhash_rep_pairs on the 64-bit collision bound)
         return shingled.join(ids, "doc_id", "left_semi").select(
-            "doc_id", F.array_distinct("sh").alias("shd")
+            "doc_id",
+            F.expr("array_distinct(transform(sh, s -> xxhash64(s)))").alias("shd"),
         )
 
     shd_i = cand_arrays(idx_sh, pairs.select(F.col("idx_rep").alias("doc_id")))

@@ -1,0 +1,133 @@
+"""Scaling efficiency on REAL separate executor JVMs (north rule, letter).
+
+`tools/scaling.py` evidences N-vs-4N with local[n] thread counts; this
+tool runs the SAME end-to-end drain job (bench.run_frontier_drain) on
+Spark's `local-cluster[numExecutors, coresPerExecutor, memMB]` master —
+actual separate executor processes with their own heaps, GC, Python
+worker pools, and block-manager shuffle — the closest a single host gets
+to a multi-executor cluster:
+
+    N  = local-cluster[1,6,6144]   (1 executor  x 6 cores)
+    4N = local-cluster[4,6,6144]   (4 executors x 6 cores = 24, under the
+                                    host's 32 vCPUs so 4N never saturates)
+
+Reps INTERLEAVE the two levels (N, 4N, N, 4N) because this host's CPU
+throughput drifts >2x between quiet windows; best-of per level is the
+capability measure and every rep lands in the JSON so the spread is
+visible. Shuffle partitions are pinned to 48 at both levels (divisible
+by 6 and 24) so the plan is identical and only the executor count moves.
+
+    python tools/scaling_cluster.py [n_rows]    # default 2,000,000
+
+Appends a section to BENCH/BASELINE.md and writes
+BENCH/scaling_cluster_<date>.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_EXECS = int(os.environ.get("SCALING_CLUSTER_N", "1"))
+CORES_PER = int(os.environ.get("SCALING_CLUSTER_CORES", "6"))
+MEM_MB = int(os.environ.get("SCALING_CLUSTER_MEM", "6144"))
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+
+RUNNER = """
+import sys, json
+sys.path.insert(0, {repo!r})
+from crawler_spark.session import get_spark
+from bench import run_frontier_drain
+spark = get_spark(
+    "scaling_cluster",
+    cores={total_cores},
+    shuffle_partitions=48,
+    master={master!r},
+    extra_conf={{"spark.executor.memory": "{mem}m"}},
+)
+# warm-up: JIT + executor registration + python worker spin-up
+run_frontier_drain(spark, 200_000)
+res = run_frontier_drain(spark, {n_rows})
+res["master"] = {master!r}
+print("RESULT " + json.dumps(res))
+spark.stop()
+"""
+
+
+def run_at(n_execs: int, n_rows: int) -> dict:
+    master = f"local-cluster[{n_execs},{CORES_PER},{MEM_MB}]"
+    code = RUNNER.format(
+        repo=REPO,
+        master=master,
+        total_cores=n_execs * CORES_PER,
+        mem=MEM_MB,
+        n_rows=n_rows,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for ln in out.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    reps_n: list[dict] = []
+    reps_4n: list[dict] = []
+    for _ in range(REPS):
+        reps_n.append(run_at(N_EXECS, n_rows))
+        reps_4n.append(run_at(4 * N_EXECS, n_rows))
+    r_n = max(reps_n, key=lambda r: r["e2e_urls_per_sec"])
+    r_4n = max(reps_4n, key=lambda r: r["e2e_urls_per_sec"])
+    eff = (r_4n["e2e_urls_per_sec"] / r_n["e2e_urls_per_sec"]) / 4
+    eff_parse = (r_4n["parsed_docs_per_sec"] / r_n["parsed_docs_per_sec"]) / 4
+    date = datetime.date.today().isoformat()
+    report = {
+        "n_rows": n_rows,
+        "cores_per_executor": CORES_PER,
+        f"execs{N_EXECS}": r_n,
+        f"execs{4 * N_EXECS}": r_4n,
+        "scaling_efficiency_e2e": round(eff, 3),
+        "scaling_efficiency_parse": round(eff_parse, 3),
+        "reps": {f"execs{N_EXECS}": reps_n, f"execs{4 * N_EXECS}": reps_4n},
+        "date": date,
+    }
+    print(json.dumps(report, indent=1))
+    md = f"""
+## Scaling evidence on REAL executor JVMs (measured, {date})
+
+Same end-to-end drain job as the local[n] scaling sections, but on
+`local-cluster` masters — {N_EXECS} vs {4 * N_EXECS} SEPARATE executor
+processes ({CORES_PER} cores / {MEM_MB} MB each; own heaps, own Python
+worker pools, shuffle through the block manager), the north rule's
+"N and 4N executors" taken literally on one host. Identical
+partitioning-independent {n_rows:,}-row Zipf frontier, shuffle
+partitions pinned at both levels, interleaved best-of-{REPS} reps:
+
+| cluster | schedule sec | parse sec | parsed docs/s | e2e URLs/sec |
+|---|---|---|---|---|
+| {N_EXECS} executor x {CORES_PER} cores (N) | {r_n['drain_sec']} | {r_n['parse_sec']} | {r_n['parsed_docs_per_sec']:,} | {r_n['e2e_urls_per_sec']:,} |
+| {4 * N_EXECS} executors x {CORES_PER} cores (4N) | {r_4n['drain_sec']} | {r_4n['parse_sec']} | {r_4n['parsed_docs_per_sec']:,} | {r_4n['e2e_urls_per_sec']:,} |
+
+**End-to-end scaling efficiency (T_4N/T_N)/4 = {eff:.3f}**
+(parse stage alone: {eff_parse:.3f}; target >= 0.8).
+Scheduled+deduped rows identical at both levels: {r_n['n_scheduled']:,}.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_cluster_{date}.json"), "w"
+    ) as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    main()
