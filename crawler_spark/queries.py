@@ -809,6 +809,10 @@ _NORM_SQ = (
     "aggregate(transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), "
     "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
 )
+# the shared fixed-point quantization (floor(x*1000) as BIGINT) as a
+# standalone transform, for paths that reuse a vector's quantized form
+# across many comparisons instead of re-quantizing per pair
+_QUANT = "transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -953,13 +957,23 @@ def _cos_milli_col(va: str, vb: str):
     it, DESC orderings put it last on both engines) — pre-ANSI Spark
     returned NULL here implicitly; ANSI mode raised DIVIDE_BY_ZERO
     (caught by the degenerate-corpus sweep)."""
+    na = F.expr(_NORM_SQ.format(col=va))
+    nb = F.expr(_NORM_SQ.format(col=vb))
+    return _cos_milli_pre(va, vb, na, nb)
+
+
+def _cos_milli_pre(va: str, vb: str, na, nb):
+    """_cos_milli_col with the two norm-squares precomputed per SIDE
+    (columns na/nb, from _NORM_SQ — bit-identical either way) instead of
+    per pair: a verify stage that joins candidate pairs computes each
+    side's norm once per ROW upstream and the per-pair work drops from
+    three interpreted lambda passes over the arrays to the single fused
+    dot pass. Same zero-norm NULL guard, same double math."""
     dot = (
         f"aggregate(zip_with({va}, {vb}, (x, y) -> "
         "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    na = F.expr(_NORM_SQ.format(col=va))
-    nb = F.expr(_NORM_SQ.format(col=vb))
     return (
         F.when((na == 0) | (nb == 0), F.lit(None))
         .otherwise(
@@ -1067,18 +1081,57 @@ def _semdedup_nlist(n_emb: int) -> int:
 
 def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every (vec_id, embedding) row to its max-cosine coarse
-    centroid via a BROADCAST join (map-side, no shuffle; ties break on
-    cent_id asc). The assignment RULE is shared by q_ann_ivf_search
-    and q_semdedup; their centroid SETS differ (_IVF_NLIST=8 for
-    search, _SEMDEDUP_NLIST=64 for dedup), so cent_id values are not
-    comparable across the two queries."""
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    centroid, MAP-ONLY (ties break on cent_id asc): the centroid set is
+    collected into ONE broadcast row — a cent_id-sorted array of
+    (cid, quantized vector, norm-sq) structs — and each vector scores
+    the whole array in a single projection (transform computes each
+    cosine once, a cheap fold arg-maxes), so assignment is zero-shuffle
+    and emits exactly one output row per input row. The previous
+    row_number() formulation broadcast-joined then SHUFFLED n x nlist
+    rows (embedding arrays included) into a per-vector sort — the
+    assignment bottleneck at 10^10 vectors; output is identical
+    (bit-equal cosines — same quantization, same double math; parity
+    with the window formulation pinned in
+    tests/test_embedding_lsh_ivf.py::test_ivf_assignment_covers_corpus_once).
+    Fold order is cent_id asc with a strictly-greater update, so ties
+    keep the lowest cent_id and a zero-norm vector (all cosines NULL)
+    keeps the first centroid — exactly the old desc(cos) NULLS LAST,
+    asc(cent_id) contract. The assignment RULE is shared by
+    q_ann_ivf_search and q_semdedup; their centroid SETS differ
+    (_IVF_NLIST=8 for search, nlist-∝-N for dedup), so cent_id values
+    are not comparable across the two queries. Returns (vec_id,
+    embedding, cent_id, nv); nv is the vector's _NORM_SQ — free here,
+    reused by pair-verify consumers via _cos_milli_pre."""
+    packed = _barrier(
+        cents.select(
+            F.struct(
+                F.col("cent_id").alias("cid"),
+                F.expr(_QUANT.format(col="ce")).alias("qc"),
+                F.expr(_NORM_SQ.format(col="ce")).alias("nc"),
+            ).alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )  # 1 row; persisted so multi-branch consumers quantize the set once
+    scored = (
+        "transform(cents, c -> named_struct("
+        "'cid', c.cid, "
+        "'cos', CASE WHEN nv = 0 OR c.nc = 0 THEN CAST(NULL AS BIGINT) ELSE "
+        "CAST(FLOOR(1000.0 * aggregate(zip_with(qv, c.qc, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v) "
+        "/ SQRT(CAST(nv AS DOUBLE) * CAST(c.nc AS DOUBLE))) AS BIGINT) END))"
+    )
+    best = (
+        f"aggregate({scored}, "
+        "named_struct('cid', CAST(NULL AS BIGINT), 'cos', CAST(NULL AS BIGINT)), "
+        "(acc, s) -> IF(acc.cid IS NULL OR (s.cos IS NOT NULL AND "
+        "(acc.cos IS NULL OR s.cos > acc.cos)), s, acc))"
+    )
     return (
-        vectors.join(F.broadcast(cents))
-        .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
-        .withColumn("ark", F.row_number().over(w_assign))
-        .filter("ark = 1")
-        .select("vec_id", "embedding", "cent_id")
+        vectors.crossJoin(F.broadcast(packed))
+        .withColumn("qv", F.expr(_QUANT.format(col="embedding")))
+        .withColumn("nv", F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+        .withColumn("cent_id", F.expr(best + ".cid"))
+        .filter(F.col("cent_id").isNotNull())
+        .select("vec_id", "embedding", "cent_id", "nv")
     )
 
 
@@ -1100,10 +1153,18 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     q = (
         assigned.orderBy("vec_id")
         .limit(1)
-        .select(F.col("embedding").alias("qe"), F.col("cent_id").alias("qcent"))
+        .select(
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("qcent"),
+            F.col("nv").alias("nq"),
+        )
     )
     probe = assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
-    scored = probe.select("vec_id", "cent_id", _cos_milli_col("embedding", "qe").alias("cos_milli"))
+    scored = probe.select(
+        "vec_id",
+        "cent_id",
+        _cos_milli_pre("embedding", "qe", F.col("nv"), F.col("nq")).alias("cos_milli"),
+    )
     # TakeOrderedAndProject over the probed inverted list — a 10^10/nlist
     # list (~40 M rows) must never sort in one task
     top = scored.orderBy(F.desc("cos_milli"), F.asc("vec_id")).limit(5)
@@ -1351,7 +1412,10 @@ def _semdedup_candidate_pairs(
     id_b. The LEFT side keeps only rows with (cluster_size <= cap) OR
     (rank-in-cluster <= anchors): an oversized cluster contributes
     anchors*n pairs instead of n^2/2, bounded declaratively in one plan
-    — both windows ride the same hash shuffle on cent_id as the join."""
+    — both windows ride the same hash shuffle on cent_id as the join.
+    Each side's norm-sq (nv, free on `assigned` from _ivf_assign) rides
+    the join as an 8-byte scalar so the per-pair cosine is the
+    single-pass _cos_milli_pre, not three interpreted array passes."""
     w_rank = Window.partitionBy("cent_id").orderBy("vec_id")
     w_size = Window.partitionBy("cent_id")
     ranked = assigned.withColumn("crank", F.row_number().over(w_rank)).withColumn(
@@ -1359,12 +1423,26 @@ def _semdedup_candidate_pairs(
     )
     a = ranked.filter(
         (F.col("csize") <= F.lit(cluster_cap)) | (F.col("crank") <= F.lit(anchors))
-    ).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "cent_id")
-    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "cent_id")
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nv").alias("na"),
+        "cent_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nv").alias("nb"),
+        "cent_id",
+    )
     return (
         a.join(b, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_milli_pre("ea", "eb", F.col("na"), F.col("nb")).alias("cos_milli"),
+        )
     )
 
 

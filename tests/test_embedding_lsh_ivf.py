@@ -48,11 +48,14 @@ def test_ivf_probe_is_subset_of_bruteforce_order(spark):
 
 
 def test_ivf_assignment_covers_corpus_once(spark):
-    # rebuild the assignment stage standalone: every vector lands in
-    # exactly one inverted list and lists cover the corpus
+    # the REFERENCE formulation: broadcast-join every vector against all
+    # centroids, row_number() desc(cos) asc(cent_id) — the shape
+    # _ivf_assign used before the map-only fold rewrite. The production
+    # fold must agree row-for-row (same quantization, same double math,
+    # same NULLS-LAST + lowest-cent_id tie contract).
     from pyspark.sql import Window
 
-    from crawler_spark.queries import _cos_milli_col
+    from crawler_spark.queries import _cos_milli_col, _ivf_assign
 
     emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
     cents = (
@@ -73,6 +76,47 @@ def test_ivf_assignment_covers_corpus_once(spark):
     # a centroid is its own nearest centroid (cos 1000 to itself)
     own = assigned.filter(F.col("vec_id") < _IVF_NLIST)
     assert all(r.cent_id == r.vec_id for r in own.collect())
+    # the map-only fold agrees with the window reference on every vector
+    ref = {r.vec_id: r.cent_id for r in assigned.collect()}
+    fold = {r.vec_id: r.cent_id for r in _ivf_assign(emb, cents).collect()}
+    assert fold == ref
+
+
+def test_ivf_assign_zero_norm_contract(spark):
+    """Failed-encoder rows (zero-norm vectors/centroids, present in any
+    10^10-vector corpus) must assign exactly as the window reference:
+    NULL cosines lose to any real cosine, and an all-NULL row keeps the
+    lowest cent_id."""
+    from pyspark.sql import Window
+
+    from crawler_spark.queries import _cos_milli_col, _ivf_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+
+    def ref_assign(cents):
+        return {
+            r.vec_id: r.cent_id
+            for r in (
+                emb.join(F.broadcast(cents))
+                .withColumn("cent_cos", _cos_milli_col("embedding", "ce"))
+                .withColumn("ark", F.row_number().over(w))
+                .filter("ark = 1")
+            ).collect()
+        }
+
+    mixed = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.1]), (12, [0.1, 1.0])],
+        "cent_id long, ce array<float>",
+    )
+    assert {r.vec_id: r.cent_id for r in _ivf_assign(emb, mixed).collect()} == ref_assign(mixed)
+    all_zero = spark.createDataFrame(
+        [(20, [0.0, 0.0]), (21, [0.0, 0.0])], "cent_id long, ce array<float>"
+    )
+    assert {r.vec_id: r.cent_id for r in _ivf_assign(emb, all_zero).collect()} == ref_assign(all_zero)
 
 
 def test_lsh_bucket_join_plan_is_broadcast_free_shuffle_on_bucket(spark):
