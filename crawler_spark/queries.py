@@ -1019,11 +1019,23 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
         .select("doc_id", "embedding")
         .withColumn("bucket", F.expr(_bucket_expr_spark()))
+        # norm-sq once per REP (an 8-byte scalar riding the bucket join)
+        # so the per-pair verify below is the single-pass _cos_milli_pre
+        .withColumn("nsq", F.expr(_NORM_SQ.format(col="embedding")))
     )
-    a = reps.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    b = reps.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    a = reps.select(
+        F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nsq").alias("na"), "bucket",
+    )
+    b = reps.select(
+        F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nsq").alias("nb"), "bucket",
+    )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select("id_a", "id_b", _cos_milli_col("ea", "eb").alias("cos_milli"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        _cos_milli_pre("ea", "eb", F.col("na"), F.col("nb")).alias("cos_milli"),
+    )
     ok_pairs = scored.filter(F.col("cos_milli") >= _EMB_LSH_COS_MIN)
     edges = ok_pairs.select(
         F.col("id_a").alias("rep_id"),
