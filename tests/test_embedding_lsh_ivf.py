@@ -82,6 +82,30 @@ def test_ivf_assignment_covers_corpus_once(spark):
     assert fold == ref
 
 
+def test_ivf_assign_plan_is_shuffle_free_on_the_corpus_side(spark):
+    """The corpus side of the assignment must reach the output through a
+    projection only — no Window (the pre-round-4 row_number shape that
+    shuffled n x nlist rows) and no exchange of corpus rows; the only
+    exchange allowed is the tiny single-row centroid-array aggregate."""
+    from crawler_spark.plans.inspect import formatted_plan
+    from crawler_spark.queries import _ivf_assign, release_query_barriers
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_NLIST)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    plan = formatted_plan(_ivf_assign(emb, cents))
+    release_query_barriers()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # zero SHUFFLE exchanges anywhere: every Exchange in the plan is a
+    # BroadcastExchange (the packed centroid row); the corpus scan feeds
+    # the join and the arg-max projection directly
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
 def test_ivf_assign_zero_norm_contract(spark):
     """Failed-encoder rows (zero-norm vectors/centroids, present in any
     10^10-vector corpus) must assign exactly as the window reference:
