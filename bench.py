@@ -117,23 +117,38 @@ N_HOSTS = 10_000
 SEEN_EVERY = 3  # every 3rd URL is already seen
 
 
-def make_frontier(spark: SparkSession, n_rows: int):
+def make_frontier(spark: SparkSession, n_rows: int, start: int = 0, dup_back: int = 0):
     """Deterministic Zipf-ish frontier: host = log-uniform in [0, N_HOSTS)
     (density ~ 1/rank), plus 10% of rows on one mega-host to exercise
-    salting. Pure function of the row id — partitioning-independent."""
-    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0)
+    salting. Pure function of the row id — partitioning-independent.
+
+    start offsets the id range (micro-batched drains slice one logical
+    frontier into [start, start+n) windows). dup_back > 0 makes every
+    5th row re-discover the URL of id-dup_back (a previous window): the
+    20% cross-batch duplication a real crawl loop's accumulated URL-seen
+    state must absorb. seq/priority stay keyed on the ORIGINAL id (a
+    rediscovered URL is a new frontier entry), and 10^8 % 10 == 0 keeps
+    the mega-host rule identical under the id shift. Defaults (0, 0)
+    reproduce the single-shot bench frontier bit-for-bit."""
+    eff = F.col("id")
+    if dup_back > 0:
+        eff = F.when(
+            (F.pmod(F.col("id"), F.lit(5)) == 1) & (F.col("id") >= dup_back),
+            F.col("id") - dup_back,
+        ).otherwise(F.col("id"))
+    u = (F.pmod(F.xxhash64(eff), F.lit(1_000_000)) / 1_000_000.0)
     host_id = F.when(
-        F.pmod(F.col("id"), F.lit(10)) == 0, F.lit(0)
+        F.pmod(eff, F.lit(10)) == 0, F.lit(0)
     ).otherwise(F.floor(F.exp(F.log(F.lit(float(N_HOSTS))) * u)).cast("int"))
     return (
-        spark.range(n_rows)
+        spark.range(start, start + n_rows)
         .select(
             F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.org")).alias("host"),
             F.col("id").alias("seq"),
             F.pmod(F.col("id"), F.lit(10)).cast("int").alias("priority"),
             F.concat(
                 F.lit("https://h"), host_id.cast("string"), F.lit(".example.org/p/"),
-                F.col("id").cast("string"),
+                eff.cast("string"),
             ).alias("url"),
         )
         .withColumn("url_hash", F.xxhash64("url"))
