@@ -40,6 +40,7 @@ def main() -> None:
         if a == "--out" and i + 1 < len(sys.argv):
             out_path = sys.argv[i + 1]
 
+    from pyspark import StorageLevel
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -91,9 +92,19 @@ def main() -> None:
     robots_b = broadcast_robots(spark, robots_df)
     quotas = host_quotas(spark, robots_b, default_k=1000)
 
+    # The Bloom filter is a STATE TABLE, not a cached plan: each batch's
+    # update is written to parquet and read back, cutting lineage at the
+    # batch boundary exactly like the engine's snapshot store does. A
+    # persist()-chained bloom keeps every prior batch's cogroup in its
+    # plan — one dropped cache block and "incremental" silently recomputes
+    # the whole history (observed as 32-task frontier-regeneration stages
+    # inside the state step, state_sec 28 -> 136 -> 430 s).
+    bloom_root = seen_dir + "_bloom"
+    shutil.rmtree(bloom_root, ignore_errors=True)
     empty_seen = spark.createDataFrame([], "url string")
-    bloom = build_bloom(empty_seen, n_parts=n_parts, m_bits_per_part=m_bits).persist()
-    bloom.count()
+    # batch 0's bloom is a 0-row local relation (a 0-row parquet write has
+    # no schema to read back); the round-trip starts with batch 0's update
+    bloom = build_bloom(empty_seen, n_parts=n_parts, m_bits_per_part=m_bits)
 
     # untimed warm-up (JIT + python worker pool), tiny and state-free
     warm = bench.make_frontier(spark, 100_000).persist()
@@ -134,25 +145,35 @@ def main() -> None:
             max_quota=1000,
             n_bloom_parts=n_parts,
         )
-        drained = drain_ordered(scheduled, n_buckets=sc.defaultParallelism * 4).persist()
+        # DISK_ONLY: the scheduled set is small (~10% of the batch) and
+        # must survive the next stages' execution-memory pressure — a
+        # memory-cached block that gets LRU-evicted silently recomputes
+        # the whole schedule pipeline inside the state-maintenance step
+        # (observed: 95 s -> 800 s state_sec from exactly that)
+        drained = drain_ordered(
+            scheduled, n_buckets=sc.defaultParallelism * 4
+        ).persist(StorageLevel.DISK_ONLY)
         n_sched = drained.count()
         release_barrier(barrier)
         t_drain = time.monotonic() - t0
+
+        # frontier cache is dead weight once the batch is materialized;
+        # free it BEFORE state maintenance so the bloom cogroup never
+        # competes with 10+ GB of spent cache
+        frontier.unpersist()
 
         # state maintenance — the incremental path whose cost must track
         # the batch, not the accumulated total
         t1 = time.monotonic()
         drained.select("url").coalesce(32).write.mode("append").parquet(seen_dir)
-        bloom_next = update_bloom(
+        update_bloom(
             bloom, drained.select("url"), n_parts=n_parts, m_bits_per_part=m_bits
-        ).persist()
-        bloom_next.count()
-        bloom.unpersist()
-        bloom = bloom_next
+        ).write.parquet(f"{bloom_root}/b{i + 1}")
+        bloom = spark.read.parquet(f"{bloom_root}/b{i + 1}")
+        shutil.rmtree(f"{bloom_root}/b{i}", ignore_errors=True)
         t_state = time.monotonic() - t1
 
         drained.unpersist()
-        frontier.unpersist()
         seen_total += n_sched
         row = {
             "batch": i,
