@@ -30,6 +30,7 @@ __all__ = [
     "add_bloom_keys",
     "build_bloom",
     "update_bloom",
+    "advance_bloom",
     "bloom_fill",
     "bloom_prefilter",
     "K_PROBES",
@@ -135,6 +136,14 @@ def update_bloom(
     Partitions with new keys but no existing blob (build_bloom emits no
     row for a partition whose seen-slice was empty) get a fresh bitmap;
     partitions with no new keys pass their blob through untouched.
+
+    Lifecycle note: in a multi-batch loop, commit each update to a state
+    table (parquet/snapshot-store write, read back) rather than chaining
+    ``persist()`` handles — a cached chain keeps every prior batch's
+    cogroup in its lineage, and one evicted block silently recomputes the
+    whole history (tools/scale_frontier_loop.py documents the measured
+    failure). State tables cut lineage at the batch boundary, which is
+    how the engine's SnapshotParquetStore treats all its tables.
     """
     if m_bits_per_part is None:
         widest = bloom.agg(F.max(F.length("blob"))).first()[0]
@@ -164,6 +173,57 @@ def update_bloom(
         .cogroup(keyed.groupBy("bloom_part"))
         .applyInPandas(_upd, "bloom_part int, blob binary")
     )
+
+
+def advance_bloom(
+    bloom: DataFrame,
+    new_seen: DataFrame,
+    full_seen: DataFrame,
+    url_col: str = "url",
+    n_parts: int = 64,
+    m_bits_per_part: int | None = None,
+    rebuild_fill: float = 0.5,
+) -> tuple[DataFrame, dict]:
+    """One drain-batch advance of the seen-filter state: OR the batch's
+    newly-seen URLs in (update_bloom), then check saturation and rebuild
+    wider from the full seen table when max per-partition fill crosses
+    ``rebuild_fill`` — the executable form of the capacity contract.
+
+    Width doubles on rebuild (and re-derives from the actual seen count
+    if that asks for more), so rebuilds happen once per doubling of the
+    seen set: amortized O(1) per batch, never O(|seen|) per batch. At
+    fill 0.5 and k=5 probes fpp is ~3% — still safe (the exact anti-join
+    resolves every maybe-seen), but the maybe slice starts to cost real
+    join work, which is the right moment to spend one rebuild.
+
+    Returns ``(bloom', info)``; info carries fill_max and, when a
+    rebuild fired, the old/new widths. The caller owns persist/unpersist
+    of the returned DataFrame (state tables outlive the batch).
+    """
+    if m_bits_per_part is None:
+        widest = bloom.agg(F.max(F.length("blob"))).first()[0]
+        if not widest:
+            raise ValueError(
+                "advance_bloom: cannot infer bitmap width from an empty bloom "
+                "table — pass m_bits_per_part explicitly"
+            )
+        m_bits_per_part = int(widest) * 8
+    out = update_bloom(
+        bloom, new_seen, url_col=url_col, n_parts=n_parts, m_bits_per_part=m_bits_per_part
+    )
+    fill_max = bloom_fill(out).agg(F.max("fill")).first()[0] or 0.0
+    info = {"fill_max": float(fill_max), "rebuilt": False, "m_bits_per_part": m_bits_per_part}
+    if fill_max > rebuild_fill:
+        n_keys = full_seen.count()
+        need = max(m_bits_per_part * 2, (n_keys * BITS_PER_KEY) // max(n_parts, 1))
+        new_m = 1 << (need - 1).bit_length()
+        out = build_bloom(
+            full_seen.select(F.col(url_col).alias("url")),
+            n_parts=n_parts,
+            m_bits_per_part=new_m,
+        )
+        info.update(rebuilt=True, m_bits_per_part=new_m, m_bits_before=m_bits_per_part)
+    return out, info
 
 
 def bloom_fill(bloom: DataFrame) -> DataFrame:

@@ -36,6 +36,8 @@ __all__ = [
     "add_cuckoo_keys",
     "build_cuckoo",
     "cuckoo_prefilter",
+    "insert_into_cuckoo",
+    "cuckoo_load",
     "delete_from_cuckoo",
     "BUCKET_SLOTS",
 ]
@@ -92,9 +94,15 @@ def _bulk_place(table: np.ndarray, occ: np.ndarray, idx: np.ndarray, fps: np.nda
     return mask
 
 
-def _build_table(h: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
-    table = np.zeros((n_buckets, BUCKET_SLOTS), dtype=np.uint16)
-    occ = np.zeros(n_buckets, dtype=np.int64)
+def _place_keys(
+    table: np.ndarray, occ: np.ndarray, h: np.ndarray, fp: np.ndarray, n_buckets: int
+) -> None:
+    """Place keys into an existing table in vectorized rounds (first-choice
+    pass, partner pass, residual kick walk). ``occ`` must be the current
+    per-bucket occupancy AND rows must be left-packed (nonzero slots
+    first) — _bulk_place writes at slot index occ+rank. Shared by the
+    bulk build (zeroed table) and the incremental insert (compacted
+    existing table)."""
     fp16 = fp.astype(np.uint16)
     i1 = _bucket1(h, n_buckets)
     placed = _bulk_place(table, occ, i1, fp16)
@@ -118,7 +126,22 @@ def _build_table(h: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
                 "cuckoo partition over capacity — raise slots_per_part "
                 f"(n_buckets={n_buckets}, keys~{len(h)})"
             )
+
+
+def _build_table(h: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    table = np.zeros((n_buckets, BUCKET_SLOTS), dtype=np.uint16)
+    occ = np.zeros(n_buckets, dtype=np.int64)
+    _place_keys(table, occ, h, fp, n_buckets)
     return table
+
+
+def _compact_rows(table: np.ndarray) -> None:
+    """Left-pack each bucket's nonzero fingerprints in place. Deletion
+    zeroes slots mid-row; the occupancy-indexed bulk placement would then
+    overwrite live slots, so inserts compact first. Membership semantics
+    are slot-order-independent (probe scans all slots)."""
+    order = np.argsort(table == 0, axis=1, kind="stable")
+    table[:] = np.take_along_axis(table, order, axis=1)
 
 
 def _probe_table(table: np.ndarray, h: np.ndarray, fp: np.ndarray) -> np.ndarray:
@@ -209,6 +232,86 @@ def cuckoo_prefilter(candidates: DataFrame, cuckoo: DataFrame, n_parts: int = 64
         .cogroup(cuckoo.groupBy("cuckoo_part"))
         .applyInPandas(_probe, out_schema)
         .drop("cuckoo_part")
+    )
+
+
+def insert_into_cuckoo(
+    cuckoo: DataFrame,
+    new_seen: DataFrame,
+    n_parts: int = 64,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Insert one batch's newly-seen URLs into an existing cuckoo filter —
+    the incremental sibling of bloom.update_bloom, and with
+    delete_from_cuckoo the full add/remove lifecycle a mutable seen
+    prefilter needs. Cogrouped: each task compacts + places into ONE
+    partition's table; partitions with no new keys pass through untouched.
+
+    Capacity contract mirrors the Bloom one: tables are fixed-size, so
+    size the build for the crawl's expected seen count (LOAD_FACTOR 0.8
+    headroom) and watch cuckoo_load; a partition that cannot place a key
+    within MAX_KICKS raises (deterministically), telling the caller to
+    rebuild wider from the seen table — once per doubling, amortized O(1)
+    per batch.
+
+    n_buckets=None infers the geometry from the widest existing blob (one
+    64-row agg); pass it explicitly to skip that job per batch, or when
+    ``cuckoo`` may have no rows yet (nothing to infer from — raises)."""
+    if n_buckets is None:
+        widest = cuckoo.agg(F.max(F.length("blob"))).first()[0]
+        if not widest:
+            raise ValueError(
+                "insert_into_cuckoo: cannot infer table geometry from an "
+                "empty cuckoo table — pass n_buckets explicitly"
+            )
+        n_buckets = int(widest) // 2 // BUCKET_SLOTS
+    nb = int(n_buckets)
+    keyed = add_cuckoo_keys(new_seen, n_parts=n_parts).select("cuckoo_part", "ch", "cfp")
+
+    def _ins(blobs: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        part = int(blobs["cuckoo_part"].iloc[0] if len(blobs) else keys["cuckoo_part"].iloc[0])
+        if len(blobs):
+            table = (
+                np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint16)
+                .reshape(-1, BUCKET_SLOTS)
+                .copy()
+            )
+        else:
+            table = np.zeros((nb, BUCKET_SLOTS), dtype=np.uint16)
+        if len(keys):
+            _compact_rows(table)
+            occ = (table != 0).sum(axis=1).astype(np.int64)
+            _place_keys(
+                table, occ, keys["ch"].to_numpy(), keys["cfp"].to_numpy(), table.shape[0]
+            )
+        return pd.DataFrame({"cuckoo_part": [part], "blob": [table.tobytes()]})
+
+    return (
+        cuckoo.groupBy("cuckoo_part")
+        .cogroup(keyed.groupBy("cuckoo_part"))
+        .applyInPandas(_ins, CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_load(cuckoo: DataFrame) -> DataFrame:
+    """Per-partition occupancy report: (cuckoo_part, n_buckets, slots_used,
+    load). Past LOAD_FACTOR, inserts start failing their kick walks —
+    rebuild wider from the seen table (the same amortized-doubling rule
+    as bloom_fill's 0.5 threshold)."""
+
+    def _load(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            table = np.frombuffer(r["blob"], dtype=np.uint16).reshape(-1, BUCKET_SLOTS)
+            used = int((table != 0).sum())
+            out.append(
+                (int(r["cuckoo_part"]), table.shape[0], used, used / table.size)
+            )
+        return pd.DataFrame(out, columns=["cuckoo_part", "n_buckets", "slots_used", "load"])
+
+    return cuckoo.mapInPandas(
+        lambda it: (_load(pdf) for pdf in it),
+        "cuckoo_part int, n_buckets bigint, slots_used bigint, load double",
     )
 
 

@@ -124,3 +124,81 @@ def test_deleted_source_urls_become_schedulable_again(spark):
     )
     rescheduled = {r.url for r in again.collect()}
     assert rescheduled == {u for (u,) in _urls(0, 100)}
+
+
+# --- incremental insert ---
+
+
+def test_core_compact_then_place_handles_deletion_holes():
+    """Placement indexes slots by occupancy count, which is only sound on
+    left-packed rows; a delete can zero a MIDDLE slot. Compaction must
+    restore the invariant so inserts never overwrite live fingerprints."""
+    from crawler_spark.operators.cuckoo import _compact_rows, _place_keys
+
+    h, fp = _keys(600, 11)
+    table = _build_table(h, fp, 256)
+    # delete a third of the keys -> holes at arbitrary slot positions
+    _delete_from_table(table, h[::3], fp[::3])
+    _compact_rows(table)
+    for row in table:
+        nz = np.flatnonzero(row == 0)
+        assert len(nz) == 0 or nz[0] + len(nz) == BUCKET_SLOTS  # zeros only at the tail
+    occ = (table != 0).astype(np.int64).sum(axis=1)
+    h2, fp2 = _keys(400, 12)
+    _place_keys(table, occ, h2, fp2, table.shape[0])
+    # every surviving old key and every new key still probes positive
+    keep = np.ones(len(h), dtype=bool)
+    keep[::3] = False
+    assert _probe_table(table, h[keep], fp[keep]).all()
+    assert _probe_table(table, h2, fp2).all()
+
+
+def test_insert_into_cuckoo_matches_full_build_membership(spark):
+    """insert(build(A), B) has no false negatives over A|B and keeps the
+    same fpp class as build(A|B) — the incremental path loses nothing a
+    membership probe can observe."""
+    from crawler_spark.operators.cuckoo import insert_into_cuckoo
+
+    a = spark.createDataFrame(_urls(0, 1500), "url string")
+    b = spark.createDataFrame(_urls(1500, 3000), "url string")
+    base = build_cuckoo(a, n_parts=N_PARTS, n_buckets=1024)
+    incr = insert_into_cuckoo(base, b, n_parts=N_PARTS)
+    both = a.unionByName(b)
+    tagged = cuckoo_prefilter(both, incr, n_parts=N_PARTS)
+    assert all(r.maybe_seen for r in tagged.collect())
+    fresh = spark.createDataFrame(_urls(50_000, 53_000), "url string")
+    fp = sum(1 for r in cuckoo_prefilter(fresh, incr, n_parts=N_PARTS).collect() if r.maybe_seen)
+    assert fp / 3000 < 0.01
+
+
+def test_insert_after_delete_reuses_slots(spark):
+    """delete_source then keep crawling: evicted slots are reusable, the
+    re-inserted URLs probe positive, untouched keys unharmed."""
+    from crawler_spark.operators.cuckoo import cuckoo_load, insert_into_cuckoo
+
+    keep = spark.createDataFrame(_urls(0, 1000), "url string")
+    gone = spark.createDataFrame(_urls(1000, 2000), "url string")
+    filt = build_cuckoo(keep.unionByName(gone), n_parts=N_PARTS, n_buckets=1024)
+    used0 = {r.cuckoo_part: r.slots_used for r in cuckoo_load(filt).collect()}
+    filt = delete_from_cuckoo(filt, gone, n_parts=N_PARTS)
+    used1 = {r.cuckoo_part: r.slots_used for r in cuckoo_load(filt).collect()}
+    assert sum(used1.values()) < sum(used0.values())
+    newer = spark.createDataFrame(_urls(3000, 4000), "url string")
+    filt = insert_into_cuckoo(filt, newer, n_parts=N_PARTS)
+    tagged = cuckoo_prefilter(keep.unionByName(newer), filt, n_parts=N_PARTS)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_insert_into_empty_cuckoo_requires_geometry(spark):
+    from crawler_spark.operators.cuckoo import insert_into_cuckoo
+
+    empty = build_cuckoo(
+        spark.createDataFrame([], "url string"), n_parts=N_PARTS, n_buckets=256
+    )
+    b = spark.createDataFrame(_urls(0, 100), "url string")
+    with pytest.raises(ValueError, match="empty cuckoo"):
+        insert_into_cuckoo(empty, b, n_parts=N_PARTS)
+    # explicit geometry works on a rows-less table
+    filt = insert_into_cuckoo(empty, b, n_parts=N_PARTS, n_buckets=256)
+    tagged = cuckoo_prefilter(b, filt, n_parts=N_PARTS)
+    assert all(r.maybe_seen for r in tagged.collect())

@@ -546,3 +546,35 @@ def test_bloom_fill_reports_saturation(spark):
     )
     sat = update_bloom(bloom, many, n_parts=4)
     assert all(r.fill > 0.5 for r in bloom_fill(sat).collect())
+
+
+def test_advance_bloom_rebuilds_wider_on_saturation(spark):
+    """The amortized capacity contract, executable: advances below the
+    fill threshold are plain OR-ins at constant width; the advance that
+    crosses it rebuilds from the full seen table at >= double the width,
+    and the rebuilt filter still has no false negatives."""
+    from crawler_spark.operators.bloom import advance_bloom, bloom_prefilter, build_bloom
+
+    def urls(a, b):
+        return [(f"https://adv{i}.org/p/{i}",) for i in range(a, b)]
+
+    m0 = 1 << 13  # deliberately small: ~100 keys saturate it
+    seen0 = spark.createDataFrame(urls(0, 50), "url string")
+    bloom = build_bloom(seen0, n_parts=4, m_bits_per_part=m0)
+
+    # small advance: no rebuild, width unchanged
+    b1 = spark.createDataFrame(urls(50, 80), "url string")
+    full1 = seen0.unionByName(b1)
+    bloom, info1 = advance_bloom(bloom, b1, full1, n_parts=4, m_bits_per_part=m0)
+    assert not info1["rebuilt"] and info1["m_bits_per_part"] == m0
+
+    # saturating advance: rebuild fires, width at least doubles
+    b2 = spark.createDataFrame(urls(80, 5000), "url string")
+    full2 = full1.unionByName(b2)
+    bloom, info2 = advance_bloom(bloom, b2, full2, n_parts=4, m_bits_per_part=m0)
+    assert info2["rebuilt"] and info2["m_bits_per_part"] >= 2 * m0
+    assert info2["m_bits_before"] == m0
+
+    # no false negatives across the whole history after the rebuild
+    tagged = bloom_prefilter(full2, bloom, n_parts=4, mode="cogroup")
+    assert all(r.maybe_seen for r in tagged.collect())
