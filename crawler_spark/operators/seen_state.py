@@ -1,0 +1,151 @@
+"""URL-seen state for a long-running frontier drain — the product form of
+the state discipline tools/scale_frontier_loop.py measures at 10^9.
+
+One `SeenState` owns two tables in a SnapshotParquetStore:
+
+- ``url_seen`` (delta): append-only URL rows, the exact side of the
+  membership check (bloom maybe-seens anti-join against it).
+- ``seen_bloom`` (full): the partitioned Bloom blobs, advanced
+  incrementally each batch via ``advance_bloom`` (OR-in; rebuild-wider
+  from the full seen table past the saturation threshold — amortized
+  O(1) per batch).
+
+Committing through the store (rather than chaining ``persist()`` handles
+or ad-hoc parquet dirs) buys the drain loop what the crawl engine's
+tables already have: atomic per-batch commits, exact resume from HEAD,
+idempotent redelivery (re-committing an old batch_id is a no-op — new
+URLs can never double-append), snapshot history/expiry, and lineage cut
+at every batch boundary (the cached-chain recompute failure measured in
+the 10^9 run cannot occur, because each batch reads the previous batch's
+blobs from committed files).
+
+Reference contrast: the reference's URL-seen is a per-crawl in-memory
+``set`` lost on crash (/root/reference/backend/domain/entities.py:153);
+this is its 10^10-frontier replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..state import Manifest, SnapshotParquetStore
+from .bloom import BITS_PER_KEY, advance_bloom, bloom_fill, build_bloom
+
+__all__ = ["SeenState"]
+
+
+class SeenState:
+    TABLE_SEEN = "url_seen"
+    TABLE_BLOOM = "seen_bloom"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_parts: int = 64,
+        expected_keys: int = 10_000_000,
+        rebuild_fill: float = 0.5,
+        url_col: str = "url",
+    ):
+        """``expected_keys`` sizes the initial Bloom (BITS_PER_KEY bits per
+        expected seen URL); undersizing is safe — advance_bloom rebuilds
+        wider when fill crosses ``rebuild_fill``. On resume the width is
+        inferred from the committed blobs, so the parameter only matters
+        for a fresh store."""
+        self.spark = spark
+        self.store = SnapshotParquetStore(spark, root)
+        self.n_parts = n_parts
+        self.rebuild_fill = rebuild_fill
+        self.url_col = url_col
+        need = max(1 << 13, expected_keys * BITS_PER_KEY // max(n_parts, 1))
+        self._initial_m_bits = 1 << (need - 1).bit_length()
+        self._empty = spark.createDataFrame([], f"{url_col} string")
+
+    # -- reads ----------------------------------------------------------------
+
+    def batch_id(self) -> int:
+        head = self.store.head()
+        return head.batch_id if head else 0
+
+    def seen(self) -> DataFrame:
+        df = self.store.read(self.TABLE_SEEN)
+        return df if df is not None else self._empty
+
+    def bloom(self) -> DataFrame:
+        """Committed blobs (empty DataFrame before the first commit — the
+        prefilter treats a missing blob as maybe_seen=false, and the
+        exact anti-join side is equally empty, so batch 0 just works)."""
+        df = self.store.read(self.TABLE_BLOOM)
+        if df is not None:
+            return df
+        return build_bloom(
+            self._empty, n_parts=self.n_parts, m_bits_per_part=self._initial_m_bits
+        )
+
+    def fill(self) -> DataFrame:
+        return bloom_fill(self.bloom())
+
+    # -- writes ---------------------------------------------------------------
+
+    def commit_batch(
+        self,
+        new_seen: DataFrame,
+        batch_id: int | None = None,
+        metrics: dict | None = None,
+    ) -> tuple[Manifest, dict]:
+        """Commit one batch's newly-seen URLs: append to ``url_seen``,
+        advance the Bloom (incremental OR-in; rebuild-wider on
+        saturation), write both atomically. Returns (manifest, info) —
+        info is advance_bloom's report (fill_max, rebuilt, widths).
+
+        ``new_seen`` must carry the state's url column and be
+        deduplicated against the current seen set (schedule_batch output
+        already is — that is what scheduling MEANS); re-appending an
+        already-seen URL is harmless for membership but inflates the
+        seen table. Re-committing an already-committed batch_id is the
+        store's documented no-op."""
+        head = self.store.head()
+        bid = batch_id if batch_id is not None else (head.batch_id + 1 if head else 1)
+        if head is not None and bid <= head.batch_id:
+            return self.store.commit(bid, full_tables={}), {"redelivered": True}
+        bloom = self.bloom()
+        has_blobs = bool(
+            head and head.tables.get(self.TABLE_BLOOM, {}).get("rows", 0)
+        )
+        new_urls = new_seen.select(F.col(self.url_col))
+        out, info = advance_bloom(
+            bloom,
+            new_urls,
+            full_seen=self.seen().unionByName(new_urls),
+            url_col=self.url_col,
+            n_parts=self.n_parts,
+            # fresh store: the configured width (nothing committed to
+            # infer from); resume/steady state: infer from the blobs so a
+            # past rebuild's wider width is honored
+            m_bits_per_part=None if has_blobs else self._initial_m_bits,
+            rebuild_fill=self.rebuild_fill,
+        )
+        man = self.store.commit(
+            bid,
+            full_tables={self.TABLE_BLOOM: out},
+            delta_tables={self.TABLE_SEEN: new_urls},
+            metrics={**(metrics or {}), "bloom": info},
+        )
+        return man, info
+
+    def expire(self, keep_last: int = 2) -> dict:
+        """Drop old snapshots' files. Retention is directory-granular and
+        every snapshot dir stays referenced through the url_seen delta
+        chain, so superseded blob files inside kept-but-old dirs reclaim
+        only after ``compact`` rewrites the delta history into one dir:
+        call ``compact("url_seen")`` every N batches (the engine's own
+        cadence) and expire then — history cost stays ~keep_last blob
+        tables, not one per batch."""
+        return self.store.expire_snapshots(keep_last=keep_last)
+
+    def compact(self, n_files: int = 8) -> Manifest:
+        """Rewrite the url_seen delta history into one snapshot's files
+        (read path shrinks; a following expire() reclaims the old dirs —
+        including every superseded blob table that shared them)."""
+        return self.store.compact(self.TABLE_SEEN, n_files=n_files)

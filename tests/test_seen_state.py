@@ -1,0 +1,101 @@
+"""SeenState: the drain loop's URL-seen state as snapshot-store tables —
+membership across batches, resume from HEAD, idempotent redelivery,
+saturation rebuild. (The 10^9-scale behavior of the same discipline is
+recorded in BENCH/scale_1e9_loop.json.)"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.bloom import bloom_prefilter
+from crawler_spark.operators.scheduler import release_barrier, schedule_batch
+from crawler_spark.operators.seen_state import SeenState
+
+
+def _urls(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"https://s{i % 9}.example.org/p/{i}",) for i in range(lo, hi)], "url string"
+    )
+
+
+def _frontier_of(df):
+    return (
+        df.withColumn("host", F.lit("h"))
+        .withColumn("priority", F.lit(0))
+        .withColumn("seq", F.monotonically_increasing_id())
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    p = str(tmp_path / "seen_state")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_commit_batches_filter_previously_scheduled(spark, root):
+    st = SeenState(spark, root, n_parts=8, expected_keys=10_000)
+    b0, b1 = _urls(spark, 0, 300), _urls(spark, 200, 500)  # 100 overlap
+    st.commit_batch(b0)
+    assert st.batch_id() == 1 and st.seen().count() == 300
+
+    # scheduling batch 1's frontier against the state drops the overlap
+    sched, bar = schedule_batch(
+        _frontier_of(b1), seen=st.seen(), bloom=st.bloom(), default_k=10_000,
+        n_bloom_parts=8,
+    )
+    got = {r.url for r in sched.collect()}
+    release_barrier(bar)
+    assert got == {r.url for r in _urls(spark, 300, 500).collect()}
+
+    st.commit_batch(_urls(spark, 300, 500))
+    assert st.seen().count() == 500
+    # everything committed probes maybe_seen (no false negatives via state)
+    tagged = bloom_prefilter(_urls(spark, 0, 500), st.bloom(), n_parts=8)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_resume_from_head_and_idempotent_redelivery(spark, root):
+    st = SeenState(spark, root, n_parts=8, expected_keys=10_000)
+    st.commit_batch(_urls(spark, 0, 200))
+    st.commit_batch(_urls(spark, 200, 400))
+    snaps_before = len(st.store.history())
+
+    # a FRESH SeenState on the same root sees the committed state
+    st2 = SeenState(spark, root, n_parts=8, expected_keys=10_000)
+    assert st2.batch_id() == 2 and st2.seen().count() == 400
+    tagged = bloom_prefilter(_urls(spark, 0, 400), st2.bloom(), n_parts=8)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+    # redelivering batch 2 is a no-op: no new snapshot, no double-append
+    _, info = st2.commit_batch(_urls(spark, 200, 400), batch_id=2)
+    assert info.get("redelivered") is True
+    assert len(st2.store.history()) == snaps_before
+    assert st2.seen().count() == 400
+
+
+def test_saturation_rebuild_persists_wider_width(spark, root):
+    st = SeenState(spark, root, n_parts=4, expected_keys=10, rebuild_fill=0.5)
+    m0 = st._initial_m_bits
+    _, info = st.commit_batch(_urls(spark, 0, 12000))  # cram a tiny filter
+    assert info["rebuilt"] and info["m_bits_per_part"] >= 2 * m0
+
+    # the NEXT batch infers the committed (wider) width, not the config
+    _, info2 = st.commit_batch(_urls(spark, 12000, 12050))
+    assert info2["m_bits_per_part"] >= info["m_bits_per_part"]
+    tagged = bloom_prefilter(_urls(spark, 0, 12050), st.bloom(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_expire_bounds_blob_history(spark, root):
+    st = SeenState(spark, root, n_parts=4, expected_keys=1000)
+    for i in range(4):
+        st.commit_batch(_urls(spark, i * 50, (i + 1) * 50))
+    st.expire(keep_last=2)
+    assert len(st.store.history()) <= 2
+    # state is intact after expiry
+    assert st.seen().count() == 200
+    tagged = bloom_prefilter(_urls(spark, 0, 200), st.bloom(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())

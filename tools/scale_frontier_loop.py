@@ -6,14 +6,25 @@ Each batch drains a [i*B, (i+1)*B) window of the deterministic Zipf
 frontier (bench.make_frontier with dup_back=B: every 5th row
 re-discovers a batch-0-family URL, so the accumulated seen state faces
 persistent nav-link-like re-discovery pressure). After a batch, its
-scheduled URLs are appended to a parquet seen table and OR-ed into the
-partitioned Bloom filter via update_bloom — per-batch state-maintenance
-cost tracks the BATCH, not the total seen count, which is exactly what
-a 10^10 frontier needs (a per-batch full rebuild would be quadratic).
+scheduled URLs are committed through SeenState (operators/seen_state.py):
+an append to the snapshot store's url_seen delta table plus an
+incremental update_bloom OR-in of the seen_bloom full table — per-batch
+state-maintenance cost tracks the BATCH, not the total seen count, which
+is exactly what a 10^10 frontier needs (a per-batch full rebuild would
+be quadratic).
 
 Peak memory is one batch's caches + the (fixed-width) Bloom blobs; the
 frontier is never materialized whole. Per-batch throughput flat across
 batches = the scale evidence.
+
+Two hard-won rules this tool encodes (both measured, see
+BENCH/BASELINE.md "10^9-URL micro-batched frontier drain"):
+- in-loop state must COMMIT per batch (SeenState/snapshot store), never
+  chain persist() handles — a cached chain keeps every prior batch's
+  cogroup in its lineage and one evicted block recomputes the history;
+- the batch's scheduled set rides DISK_ONLY, because an LRU-evicted
+  memory block recomputes the whole schedule pipeline inside whatever
+  step touches it next.
 
 Usage:
     python tools/scale_frontier_loop.py [batch_rows] [n_batches] \
@@ -45,13 +56,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     import bench
-    from crawler_spark.operators.bloom import bloom_fill, build_bloom, update_bloom
     from crawler_spark.operators.politeness import broadcast_robots, host_quotas
     from crawler_spark.operators.scheduler import (
         drain_ordered,
         release_barrier,
         schedule_batch,
     )
+    from crawler_spark.operators.seen_state import SeenState
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "256"))
@@ -67,20 +78,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
 
-    seen_dir = os.environ.get("SPARK_GRAFT_SEEN_DIR", "/tmp/scale_loop_seen")
-    shutil.rmtree(seen_dir, ignore_errors=True)
+    state_root = os.environ.get("SPARK_GRAFT_SEEN_DIR", "/tmp/scale_loop_state")
+    shutil.rmtree(state_root, ignore_errors=True)
 
     # Bloom sized ONCE for the whole run's expected seen count (~10% of
     # the frontier gets scheduled -> seen): capacity_keys * BITS_PER_KEY
     # bits, power-of-two per part. 2^26 bits/part * 64 parts = 537 MB —
     # past the broadcast ceiling, so the prefilter runs the cogroup path,
     # the only one that exists at 10^10 (total filter ~15 GiB there).
+    # Undersizing is safe: SeenState.commit_batch rebuilds wider past
+    # fill 0.5 (amortized doubling).
     capacity = int(batch_rows * n_batches * 0.15)
-    from crawler_spark.operators.bloom import BITS_PER_KEY
-
     n_parts = 64
-    need = max(1 << 13, capacity * BITS_PER_KEY // n_parts)
-    m_bits = 1 << (need - 1).bit_length()
+    st = SeenState(spark, state_root, n_parts=n_parts, expected_keys=capacity)
+    m_bits = st._initial_m_bits
 
     robots_rows = [
         (f"h{i}.example.org", ["/private", "/login"], 100 if i % 2 else 0)
@@ -92,25 +103,11 @@ def main() -> None:
     robots_b = broadcast_robots(spark, robots_df)
     quotas = host_quotas(spark, robots_b, default_k=1000)
 
-    # The Bloom filter is a STATE TABLE, not a cached plan: each batch's
-    # update is written to parquet and read back, cutting lineage at the
-    # batch boundary exactly like the engine's snapshot store does. A
-    # persist()-chained bloom keeps every prior batch's cogroup in its
-    # plan — one dropped cache block and "incremental" silently recomputes
-    # the whole history (observed as 32-task frontier-regeneration stages
-    # inside the state step, state_sec 28 -> 136 -> 430 s).
-    bloom_root = seen_dir + "_bloom"
-    shutil.rmtree(bloom_root, ignore_errors=True)
-    empty_seen = spark.createDataFrame([], "url string")
-    # batch 0's bloom is a 0-row local relation (a 0-row parquet write has
-    # no schema to read back); the round-trip starts with batch 0's update
-    bloom = build_bloom(empty_seen, n_parts=n_parts, m_bits_per_part=m_bits)
-
     # untimed warm-up (JIT + python worker pool), tiny and state-free
     warm = bench.make_frontier(spark, 100_000).persist()
     warm.count()
     ws, wb = schedule_batch(
-        warm, seen=empty_seen, bloom=bloom, robots_bcast=robots_b, quotas=quotas,
+        warm, seen=st.seen(), bloom=st.bloom(), robots_bcast=robots_b, quotas=quotas,
         default_k=1000, salt_span=250, max_quota=1000, n_bloom_parts=n_parts,
     )
     drain_ordered(ws, n_buckets=sc.defaultParallelism * 4).count()
@@ -129,15 +126,12 @@ def main() -> None:
         # frontier from state; synthesis+cache is reported but not part of
         # drain_sec, same discipline as the single-shot bench
         t_gen = time.monotonic() - tg
-        seen = (
-            spark.read.parquet(seen_dir) if seen_total else empty_seen
-        )
 
         t0 = time.monotonic()
         scheduled, barrier = schedule_batch(
             frontier,
-            seen=seen,
-            bloom=bloom,
+            seen=st.seen(),
+            bloom=st.bloom(),
             robots_bcast=robots_b,
             quotas=quotas,
             default_k=1000,
@@ -145,11 +139,6 @@ def main() -> None:
             max_quota=1000,
             n_bloom_parts=n_parts,
         )
-        # DISK_ONLY: the scheduled set is small (~10% of the batch) and
-        # must survive the next stages' execution-memory pressure — a
-        # memory-cached block that gets LRU-evicted silently recomputes
-        # the whole schedule pipeline inside the state-maintenance step
-        # (observed: 95 s -> 800 s state_sec from exactly that)
         drained = drain_ordered(
             scheduled, n_buckets=sc.defaultParallelism * 4
         ).persist(StorageLevel.DISK_ONLY)
@@ -165,12 +154,15 @@ def main() -> None:
         # state maintenance — the incremental path whose cost must track
         # the batch, not the accumulated total
         t1 = time.monotonic()
-        drained.select("url").coalesce(32).write.mode("append").parquet(seen_dir)
-        update_bloom(
-            bloom, drained.select("url"), n_parts=n_parts, m_bits_per_part=m_bits
-        ).write.parquet(f"{bloom_root}/b{i + 1}")
-        bloom = spark.read.parquet(f"{bloom_root}/b{i + 1}")
-        shutil.rmtree(f"{bloom_root}/b{i}", ignore_errors=True)
+        man, info = st.commit_batch(
+            drained.select("url").coalesce(32), metrics={"n_scheduled": n_sched}
+        )
+        if (i + 1) % 4 == 0:
+            # compact the delta chain THEN expire: retention is
+            # dir-granular, so superseded blob tables reclaim only once
+            # the url_seen deltas stop referencing their dirs
+            st.compact(n_files=32)
+        st.expire(keep_last=2)
         t_state = time.monotonic() - t1
 
         drained.unpersist()
@@ -183,14 +175,13 @@ def main() -> None:
             "drain_sec": round(t_drain, 2),
             "state_sec": round(t_state, 2),
             "urls_per_sec": round(batch_rows / t_drain, 1),
+            "bloom_rebuilt": bool(info.get("rebuilt")),
         }
         batches.append(row)
         print(json.dumps(row), flush=True)
 
     wall = time.monotonic() - t_run0
-    fill = bloom_fill(bloom).agg(
-        F.avg("fill").alias("avg"), F.max("fill").alias("max")
-    ).first()
+    fill = st.fill().agg(F.avg("fill").alias("avg"), F.max("fill").alias("max")).first()
     total_rows = batch_rows * n_batches
     drain_total = sum(b["drain_sec"] for b in batches)
     out = {
@@ -215,11 +206,10 @@ def main() -> None:
         "driver_mem": driver_mem,
         "date": time.strftime("%Y-%m-%d"),
         "note": (
-            "micro-batched drain with accumulating seen state: per-batch "
-            "schedule+dedup over a fresh frontier window, scheduled URLs "
-            "appended to parquet seen + OR-ed into the Bloom via "
-            "update_bloom (incremental, fixed width); throughput flat "
-            "across batches = the 10^10 bounded-memory shape"
+            "micro-batched drain with accumulating seen state, committed "
+            "per batch through SeenState (snapshot-store url_seen delta + "
+            "incremental seen_bloom full table); throughput flat across "
+            "batches = the 10^10 bounded-memory shape"
         ),
     }
     spark.stop()
