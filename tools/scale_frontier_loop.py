@@ -28,7 +28,14 @@ BENCH/BASELINE.md "10^9-URL micro-batched frontier drain"):
 
 Usage:
     python tools/scale_frontier_loop.py [batch_rows] [n_batches] \
-        [--out BENCH/scale_1e9_loop.json]
+        [--out BENCH/scale_1e9_loop.json] [--resume]
+
+--resume picks the loop up from the state's HEAD batch: a killed run
+continues from its last committed batch with the identical frontier
+windows (deterministic from row ids) and identical accumulated seen
+state — the store's idempotent-redelivery guarantee means a batch that
+died between its drain and its commit is simply re-drained and commits
+once.
 """
 
 from __future__ import annotations
@@ -78,8 +85,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
 
+    resume = "--resume" in sys.argv
     state_root = os.environ.get("SPARK_GRAFT_SEEN_DIR", "/tmp/scale_loop_state")
-    shutil.rmtree(state_root, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(state_root, ignore_errors=True)
 
     # Bloom sized ONCE for the whole run's expected seen count (~10% of
     # the frontier gets scheduled -> seen): capacity_keys * BITS_PER_KEY
@@ -115,9 +124,26 @@ def main() -> None:
     warm.unpersist()
 
     batches = []
-    seen_total = 0
+
+    def _loop_cursor() -> int:
+        # The store's batch_id counts COMMITS (compactions included), so
+        # it is NOT the loop window index. The manifest metrics are the
+        # journal: each loop commit records its window as loop_batch;
+        # resume at newest+1. (expire keep_last=2 always retains the
+        # newest loop commit: per iteration the kept pair is either
+        # (L_i, compact) or (L_{i-1}, L_i).)
+        for man in reversed(st.store.history()):
+            lb = (man.metrics or {}).get("loop_batch")
+            if lb is not None:
+                return int(lb) + 1
+        return 0
+
+    start_batch = _loop_cursor() if resume else 0  # committed windows stay done
+    seen_total = st.seen().count() if start_batch else 0
+    if resume:
+        print(json.dumps({"resumed_at_batch": start_batch, "seen_rows": seen_total}), flush=True)
     t_run0 = time.monotonic()
-    for i in range(n_batches):
+    for i in range(start_batch, n_batches):
         tg = time.monotonic()
         frontier = bench.make_frontier(
             spark, batch_rows, start=i * batch_rows, dup_back=batch_rows
@@ -155,7 +181,8 @@ def main() -> None:
         # the batch, not the accumulated total
         t1 = time.monotonic()
         man, info = st.commit_batch(
-            drained.select("url").coalesce(32), metrics={"n_scheduled": n_sched}
+            drained.select("url").coalesce(32),
+            metrics={"n_scheduled": n_sched, "loop_batch": i},
         )
         if (i + 1) % 4 == 0:
             # compact the delta chain THEN expire: retention is
@@ -181,11 +208,16 @@ def main() -> None:
         print(json.dumps(row), flush=True)
 
     wall = time.monotonic() - t_run0
+    if not batches:
+        print(json.dumps({"note": "nothing to do: state already at target batch"}))
+        spark.stop()
+        return
     fill = st.fill().agg(F.avg("fill").alias("avg"), F.max("fill").alias("max")).first()
-    total_rows = batch_rows * n_batches
+    total_rows = batch_rows * len(batches)  # rows drained by THIS run
     drain_total = sum(b["drain_sec"] for b in batches)
     out = {
         "frontier_rows_total": total_rows,
+        "resumed_at_batch": start_batch or None,
         "batch_rows": batch_rows,
         "n_batches": n_batches,
         "seen_rows_final": seen_total,
