@@ -5,10 +5,10 @@ One `SeenState` owns two tables in a SnapshotParquetStore:
 
 - ``url_seen`` (delta): append-only URL rows, the exact side of the
   membership check (bloom maybe-seens anti-join against it).
-- ``seen_bloom`` (full): the partitioned Bloom blobs, advanced
-  incrementally each batch via ``advance_bloom`` (OR-in; rebuild-wider
-  from the full seen table past the saturation threshold — amortized
-  O(1) per batch).
+- ``seen_bloom`` (full): the partitioned Bloom blobs, OR-ed forward each
+  batch via ``update_bloom`` and fill-checked on the committed files
+  (rebuild-wider from the full seen table past the saturation
+  threshold — amortized O(1) per batch).
 
 Committing through the store (rather than chaining ``persist()`` handles
 or ad-hoc parquet dirs) buys the drain loop what the crawl engine's
@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..state import Manifest, SnapshotParquetStore
-from .bloom import BITS_PER_KEY, advance_bloom, bloom_fill, build_bloom
+from .bloom import BITS_PER_KEY, bloom_fill, build_bloom, update_bloom
 
 __all__ = ["SeenState"]
 
@@ -95,9 +95,11 @@ class SeenState:
         metrics: dict | None = None,
     ) -> tuple[Manifest, dict]:
         """Commit one batch's newly-seen URLs: append to ``url_seen``,
-        advance the Bloom (incremental OR-in; rebuild-wider on
-        saturation), write both atomically. Returns (manifest, info) —
-        info is advance_bloom's report (fill_max, rebuilt, widths).
+        OR the batch into the Bloom (update_bloom), write both
+        atomically; then fill-check the committed blobs and rebuild
+        wider in a follow-up commit when saturation crosses
+        ``rebuild_fill``. Returns (manifest, info) — info reports
+        fill_max, rebuilt, and the widths.
 
         ``new_seen`` must carry the state's url column and be
         deduplicated against the current seen set (schedule_batch output
@@ -113,25 +115,56 @@ class SeenState:
         has_blobs = bool(
             head and head.tables.get(self.TABLE_BLOOM, {}).get("rows", 0)
         )
+        if has_blobs:
+            # resume/steady state: infer the width from the committed
+            # blobs so a past rebuild's wider width is honored (one
+            # 64-row agg over the parquet blob table)
+            m_bits = int(bloom.agg(F.max(F.length("blob"))).first()[0]) * 8
+        else:
+            m_bits = self._initial_m_bits
         new_urls = new_seen.select(F.col(self.url_col))
-        out, info = advance_bloom(
-            bloom,
-            new_urls,
-            full_seen=self.seen().unionByName(new_urls),
-            url_col=self.url_col,
-            n_parts=self.n_parts,
-            # fresh store: the configured width (nothing committed to
-            # infer from); resume/steady state: infer from the blobs so a
-            # past rebuild's wider width is honored
-            m_bits_per_part=None if has_blobs else self._initial_m_bits,
-            rebuild_fill=self.rebuild_fill,
+        out = update_bloom(
+            bloom, new_urls, url_col=self.url_col, n_parts=self.n_parts,
+            m_bits_per_part=m_bits,
         )
+        # Commit FIRST, fill-check the COMMITTED blobs after: checking
+        # fill on the un-materialized update would evaluate the whole
+        # cogroup twice (once for the check, again for the write) —
+        # measured as the bulk of per-batch state cost at 10^8-row
+        # batches. The post-commit check is a popcount over the written
+        # parquet; the rare rebuild lands as a follow-up commit (same
+        # amortized-doubling contract, one extra snapshot per doubling).
         man = self.store.commit(
             bid,
             full_tables={self.TABLE_BLOOM: out},
             delta_tables={self.TABLE_SEEN: new_urls},
-            metrics={**(metrics or {}), "bloom": info},
+            metrics=metrics or {},
         )
+        fill_max = float(
+            bloom_fill(self.bloom()).agg(F.max("fill")).first()[0] or 0.0
+        )
+        info = {"fill_max": fill_max, "rebuilt": False, "m_bits_per_part": m_bits}
+        if fill_max > self.rebuild_fill:
+            full_seen = self.seen()
+            n_keys = full_seen.count()
+            need = max(m_bits * 2, (n_keys * BITS_PER_KEY) // max(self.n_parts, 1))
+            new_m = 1 << (need - 1).bit_length()
+            rebuilt = build_bloom(
+                full_seen.select(F.col(self.url_col).alias("url")),
+                n_parts=self.n_parts,
+                m_bits_per_part=new_m,
+            )
+            man = self.store.commit(
+                man.batch_id + 1,
+                full_tables={self.TABLE_BLOOM: rebuilt},
+                metrics={
+                    "event": "bloom_rebuild",
+                    "fill_max": fill_max,
+                    "m_bits_before": m_bits,
+                    "m_bits_per_part": new_m,
+                },
+            )
+            info.update(rebuilt=True, m_bits_before=m_bits, m_bits_per_part=new_m)
         return man, info
 
     def expire(self, keep_last: int = 2) -> dict:
