@@ -124,17 +124,24 @@ def make_frontier(spark: SparkSession, n_rows: int, start: int = 0, dup_back: in
 
     start offsets the id range (micro-batched drains slice one logical
     frontier into [start, start+n) windows). dup_back > 0 makes every
-    5th row re-discover the URL of id-dup_back (a previous window): the
-    20% cross-batch duplication a real crawl loop's accumulated URL-seen
-    state must absorb. seq/priority stay keyed on the ORIGINAL id (a
-    rediscovered URL is a new frontier entry), and 10^8 % 10 == 0 keeps
-    the mega-host rule identical under the id shift. Defaults (0, 0)
-    reproduce the single-shot bench frontier bit-for-bit."""
+    5th row re-discover a batch-0-family URL (eff = id mod dup_back):
+    the 20% cross-batch duplication a real crawl loop's accumulated
+    URL-seen state must absorb. The target must be the FIXED-POINT
+    batch-0 family, not id-dup_back: a batch-(i-1) row at id-dup_back
+    was itself shifted (it emitted a different URL), so the chained
+    form re-discovers URLs that were never emitted — measured as dup
+    pressure collapsing to 0 for every batch >= 2. Batch-0 rows are
+    unshifted (id < dup_back), so their URLs were genuinely emitted and
+    every batch >= 1 now carries a real 20% seen-state re-probe load.
+    seq/priority stay keyed on the ORIGINAL id (a rediscovered URL is a
+    new frontier entry), and 10^8 % 10 == 0 keeps the mega-host rule
+    identical under the id shift. Defaults (0, 0) reproduce the
+    single-shot bench frontier bit-for-bit."""
     eff = F.col("id")
     if dup_back > 0:
         eff = F.when(
             (F.pmod(F.col("id"), F.lit(5)) == 1) & (F.col("id") >= dup_back),
-            F.col("id") - dup_back,
+            F.pmod(F.col("id"), F.lit(dup_back)),
         ).otherwise(F.col("id"))
     u = (F.pmod(F.xxhash64(eff), F.lit(1_000_000)) / 1_000_000.0)
     host_id = F.when(

@@ -197,8 +197,14 @@ def advance_bloom(
     join work, which is the right moment to spend one rebuild.
 
     Returns ``(bloom', info)``; info carries fill_max and, when a
-    rebuild fired, the old/new widths. The caller owns persist/unpersist
-    of the returned DataFrame (state tables outlive the batch).
+    rebuild fired, the old/new widths. The returned blobs are
+    local-checkpointed (materialized, lineage cut): the fill check below
+    must not evaluate the un-materialized update cogroup once for the
+    popcount and leave the caller's materialization to evaluate it a
+    second time — the same double-evaluation cost SeenState.commit_batch
+    measured and removed via its commit-then-fill-check ordering. State
+    tables outlive the batch either way; a caller that commits the
+    result to a store re-cuts lineage at the committed files.
     """
     if m_bits_per_part is None:
         widest = bloom.agg(F.max(F.length("blob"))).first()[0]
@@ -210,7 +216,7 @@ def advance_bloom(
         m_bits_per_part = int(widest) * 8
     out = update_bloom(
         bloom, new_seen, url_col=url_col, n_parts=n_parts, m_bits_per_part=m_bits_per_part
-    )
+    ).localCheckpoint()
     fill_max = bloom_fill(out).agg(F.max("fill")).first()[0] or 0.0
     info = {"fill_max": float(fill_max), "rebuilt": False, "m_bits_per_part": m_bits_per_part}
     if fill_max > rebuild_fill:

@@ -64,7 +64,34 @@ class SeenState:
 
     # -- reads ----------------------------------------------------------------
 
+    METRIC_LOGICAL = "seen_logical_batch"
+
     def batch_id(self) -> int:
+        head = self.store.head()
+        return head.batch_id if head else 0
+
+    def last_logical(self) -> int:
+        """The last LOGICAL batch id committed through ``commit_batch`` —
+        the caller-facing counter the idempotent-redelivery guard checks.
+
+        The store's ``batch_id`` counts COMMITS, and SeenState itself
+        commits internally (a bloom rebuild, a compaction), so the two
+        namespaces diverge: a caller supplying its own sequential
+        batch_ids — the exact use case the redelivery contract invites —
+        would otherwise have the first fresh batch after any
+        rebuild/compaction silently classified as redelivered (its URLs
+        never entering the seen state, re-scheduled forever). Every
+        commit SeenState writes therefore carries the current logical id
+        in its metrics, so the newest kept manifest always records it
+        even after ``expire(keep_last=2)`` drops the data commit that
+        introduced it. Falls back to the store batch_id for stores
+        written before this metric existed (there the namespaces never
+        diverged unless a rebuild/compact fired — such stores should
+        resume with explicit batch_ids only after one fresh commit)."""
+        for man in reversed(self.store.history()):
+            lb = (man.metrics or {}).get(self.METRIC_LOGICAL)
+            if lb is not None:
+                return int(lb)
         head = self.store.head()
         return head.batch_id if head else 0
 
@@ -105,12 +132,15 @@ class SeenState:
         deduplicated against the current seen set (schedule_batch output
         already is — that is what scheduling MEANS); re-appending an
         already-seen URL is harmless for membership but inflates the
-        seen table. Re-committing an already-committed batch_id is the
-        store's documented no-op."""
+        seen table. Re-committing an already-committed batch_id is a
+        no-op (guarded on the LOGICAL counter, see ``last_logical`` —
+        the store's own batch_id also counts internal rebuild/compact
+        commits, so it cannot be the redelivery namespace)."""
         head = self.store.head()
-        bid = batch_id if batch_id is not None else (head.batch_id + 1 if head else 1)
-        if head is not None and bid <= head.batch_id:
-            return self.store.commit(bid, full_tables={}), {"redelivered": True}
+        last = self.last_logical()
+        bid = batch_id if batch_id is not None else last + 1
+        if head is not None and bid <= last:
+            return head, {"redelivered": True}
         bloom = self.bloom()
         has_blobs = bool(
             head and head.tables.get(self.TABLE_BLOOM, {}).get("rows", 0)
@@ -135,10 +165,10 @@ class SeenState:
         # parquet; the rare rebuild lands as a follow-up commit (same
         # amortized-doubling contract, one extra snapshot per doubling).
         man = self.store.commit(
-            bid,
+            head.batch_id + 1 if head else 1,
             full_tables={self.TABLE_BLOOM: out},
             delta_tables={self.TABLE_SEEN: new_urls},
-            metrics=metrics or {},
+            metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
         )
         fill_max = float(
             bloom_fill(self.bloom()).agg(F.max("fill")).first()[0] or 0.0
@@ -162,6 +192,7 @@ class SeenState:
                     "fill_max": fill_max,
                     "m_bits_before": m_bits,
                     "m_bits_per_part": new_m,
+                    self.METRIC_LOGICAL: bid,
                 },
             )
             info.update(rebuilt=True, m_bits_before=m_bits, m_bits_per_part=new_m)
@@ -180,5 +211,13 @@ class SeenState:
     def compact(self, n_files: int = 8) -> Manifest:
         """Rewrite the url_seen delta history into one snapshot's files
         (read path shrinks; a following expire() reclaims the old dirs —
-        including every superseded blob table that shared them)."""
-        return self.store.compact(self.TABLE_SEEN, n_files=n_files)
+        including every superseded blob table that shared them). The
+        compaction commit carries the current logical batch id forward
+        so ``last_logical`` (and any loop cursor) survives even when
+        ``expire(keep_last=2)`` keeps only (rebuild, compact) manifests
+        from an iteration that triggered both."""
+        return self.store.compact(
+            self.TABLE_SEEN,
+            n_files=n_files,
+            extra_metrics={self.METRIC_LOGICAL: self.last_logical()},
+        )

@@ -270,7 +270,9 @@ class SnapshotParquetStore:
 
     # -- compaction -----------------------------------------------------------
 
-    def compact(self, table: str, n_files: int = 1) -> Manifest:
+    def compact(
+        self, table: str, n_files: int = 1, extra_metrics: dict | None = None
+    ) -> Manifest:
         """Rewrite a delta table's accumulated per-batch files into one
         coalesced file set and commit it as a new snapshot (event:
         compact). Bounds the file-count growth of long drains — a
@@ -289,7 +291,7 @@ class SnapshotParquetStore:
         return self.commit(
             batch_id=head.batch_id + 1,
             full_tables={table: df.coalesce(n_files)},
-            metrics={"event": "compact", "table": table},
+            metrics={**(extra_metrics or {}), "event": "compact", "table": table},
         )
 
     # -- read -----------------------------------------------------------------

@@ -578,3 +578,40 @@ def test_advance_bloom_rebuilds_wider_on_saturation(spark):
     # no false negatives across the whole history after the rebuild
     tagged = bloom_prefilter(full2, bloom, n_parts=4, mode="cogroup")
     assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_advance_bloom_evaluates_update_cogroup_once(spark, tmp_path):
+    """ADVICE r4: advance_bloom used to fill-check the un-materialized
+    update plan and hand the caller the same un-materialized plan — the
+    caller's materialization then re-ran the whole cogroup. The returned
+    blobs are now local-checkpointed, so the batch's keys are hashed
+    exactly once no matter how often the result is evaluated."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from crawler_spark.operators.bloom import advance_bloom, build_bloom
+
+    marker = tmp_path / "evals"
+    marker.mkdir()
+
+    def _tag(s):
+        import os
+        import uuid
+
+        # one file per udf batch: counts plan evaluations, not rows
+        open(os.path.join(str(marker), uuid.uuid4().hex), "w").close()
+        return s
+
+    tag = F.udf(_tag, StringType())
+    base = spark.createDataFrame([(f"https://a.org/{i}",) for i in range(50)], "url string")
+    bloom = build_bloom(base, n_parts=2, m_bits_per_part=1 << 13).localCheckpoint()
+    new = spark.range(64).select(
+        tag(F.concat(F.lit("https://b.org/"), F.col("id"))).alias("url")
+    ).coalesce(1)
+
+    out, info = advance_bloom(bloom, new, base, n_parts=2, m_bits_per_part=1 << 13)
+    n_after_advance = len(list(marker.iterdir()))
+    assert n_after_advance >= 1
+    out.count()
+    out.count()  # caller-side materializations must not re-run the cogroup
+    assert len(list(marker.iterdir())) == n_after_advance

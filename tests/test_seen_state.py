@@ -99,3 +99,47 @@ def test_expire_bounds_blob_history(spark, root):
     assert st.seen().count() == 200
     tagged = bloom_prefilter(_urls(spark, 0, 200), st.bloom(), n_parts=4)
     assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_explicit_batch_ids_survive_internal_rebuild_commits(spark, root):
+    """Logical-vs-store batch-id namespaces (ADVICE r4): a bloom rebuild
+    commits internally at the store's next batch_id, so a caller using
+    its own sequential batch_ids must NOT have its next fresh batch
+    classified as redelivered — the guard runs on the logical counter
+    carried in manifest metrics, not the store's commit counter."""
+    st = SeenState(spark, root, n_parts=4, expected_keys=10, rebuild_fill=0.5)
+    _, info = st.commit_batch(_urls(spark, 0, 12000), batch_id=1)
+    assert info["rebuilt"]  # tiny filter => rebuild => extra store commit
+    assert st.batch_id() > 1  # store counter ran ahead of the logical id
+
+    # the first fresh batch after the rebuild must land, not no-op
+    _, info2 = st.commit_batch(_urls(spark, 12000, 12100), batch_id=2)
+    assert not info2.get("redelivered")
+    assert st.seen().count() == 12100
+
+    # true redelivery of batch 2 is still a no-op
+    _, info3 = st.commit_batch(_urls(spark, 12000, 12100), batch_id=2)
+    assert info3.get("redelivered") is True
+    assert st.seen().count() == 12100
+
+    # and a fresh SeenState on the same root agrees on the cursor
+    st2 = SeenState(spark, root, n_parts=4, expected_keys=10)
+    assert st2.last_logical() == 2
+
+
+def test_logical_cursor_survives_rebuild_plus_compact_plus_expire(spark, root):
+    """ADVICE r4 (loop cursor): when one iteration triggers both a bloom
+    rebuild and a compaction, expire(keep_last=2) keeps only (rebuild,
+    compact) — both internal commits — and the logical cursor must still
+    be readable from their metrics (previously --resume restarted at 0)."""
+    st = SeenState(spark, root, n_parts=4, expected_keys=10, rebuild_fill=0.5)
+    _, info = st.commit_batch(_urls(spark, 0, 12000), batch_id=1)
+    assert info["rebuilt"]
+    st.compact(n_files=2)
+    st.expire(keep_last=2)
+    hist = st.store.history()
+    assert len(hist) == 2
+    # neither kept manifest is the original data commit...
+    assert all((m.metrics or {}).get("event") in ("bloom_rebuild", "compact") for m in hist)
+    # ...yet the cursor survives
+    assert SeenState(spark, root, n_parts=4, expected_keys=10).last_logical() == 1

@@ -127,16 +127,15 @@ def main() -> None:
 
     def _loop_cursor() -> int:
         # The store's batch_id counts COMMITS (compactions included), so
-        # it is NOT the loop window index. The manifest metrics are the
-        # journal: each loop commit records its window as loop_batch;
-        # resume at newest+1. (expire keep_last=2 always retains the
-        # newest loop commit: per iteration the kept pair is either
-        # (L_i, compact) or (L_{i-1}, L_i).)
-        for man in reversed(st.store.history()):
-            lb = (man.metrics or {}).get("loop_batch")
-            if lb is not None:
-                return int(lb) + 1
-        return 0
+        # it is NOT the loop window index. The loop commits window i as
+        # LOGICAL batch i+1, and SeenState propagates the logical id into
+        # every commit it writes — including internal bloom-rebuild and
+        # compaction commits — so the newest kept manifest always records
+        # it: an iteration that triggers both a rebuild and the every-4th
+        # compaction leaves (rebuild, compact) after expire(keep_last=2),
+        # and BOTH carry the cursor (previously only the evicted loop
+        # commit did, and --resume restarted from batch 0).
+        return st.last_logical()
 
     start_batch = _loop_cursor() if resume else 0  # committed windows stay done
     seen_total = st.seen().count() if start_batch else 0
@@ -182,6 +181,7 @@ def main() -> None:
         t1 = time.monotonic()
         man, info = st.commit_batch(
             drained.select("url").coalesce(32),
+            batch_id=i + 1,  # logical id: redelivery-guarded per window
             metrics={"n_scheduled": n_sched, "loop_batch": i},
         )
         if (i + 1) % 4 == 0:
