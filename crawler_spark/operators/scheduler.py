@@ -60,6 +60,7 @@ def schedule_batch(
     max_quota: int | None = None,
     refuse_traps: bool = False,
     quotas_broadcast: bool = True,
+    exact_anti_join=None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Select this micro-batch's fetch set from the frontier.
 
@@ -91,6 +92,16 @@ def schedule_batch(
     contract, supports deletion so delete_source need not rebuild it).
     Either way the exact anti-join resolves maybe-seens, so the scheduled
     set is identical (test_schedule_with_cuckoo_filter_matches_bloom).
+
+    exact_anti_join, when given, replaces the flat ``maybe LEFT ANTI
+    JOIN seen`` with a caller-supplied resolver — a callable
+    DataFrame -> DataFrame returning the not-seen subset with the same
+    schema. The engine passes ``SeenState.anti_join`` here for the
+    bucketed url_seen layout: the flat join reshuffles the entire
+    accumulated seen table every batch (the one per-batch cost that
+    grows with TOTAL crawl state, ~4 GB shuffled at 10^8 seen); the
+    bucket-wise resolver shuffles only the maybe-seen slice and reads
+    each bucket's committed files directly. ``seen`` may then be None.
     """
     cand = frontier
     if canonicalize:
@@ -135,11 +146,14 @@ def schedule_batch(
     # once the batch's downstream action has completed, or a long
     # multi-batch drain accumulates one leaked cache per batch.
     barrier = None
-    if bloom is not None and seen is None:
+    if bloom is not None and seen is None and exact_anti_join is None:
         # the prefilter only TAGS maybe-seens; without the exact anti-join
         # side it would silently schedule every already-crawled URL again
-        raise ValueError("schedule_batch: bloom/cuckoo prefilter requires `seen` for the exact anti-join")
-    if bloom is not None and seen is not None:
+        raise ValueError(
+            "schedule_batch: bloom/cuckoo prefilter requires `seen` (or "
+            "`exact_anti_join`) for the exact anti-join"
+        )
+    if bloom is not None:
         if seen_filter == "cuckoo":  # deletable variant, same blob contract
             from .cuckoo import cuckoo_prefilter as _prefilter
         else:
@@ -148,8 +162,13 @@ def schedule_batch(
         tagged.count()
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
+        if exact_anti_join is not None:
+            confirmed_new = exact_anti_join(maybe)
+        else:
+            confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
         cand = definitely_new.unionByName(confirmed_new)
+    elif exact_anti_join is not None:
+        cand = exact_anti_join(cand)
     elif seen is not None:
         cand = cand.join(seen.select("url"), "url", "left_anti")
 

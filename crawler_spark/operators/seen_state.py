@@ -39,6 +39,8 @@ class SeenState:
     TABLE_SEEN = "url_seen"
     TABLE_BLOOM = "seen_bloom"
 
+    BUCKET_COL = "seen_bucket"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -47,20 +49,53 @@ class SeenState:
         expected_keys: int = 10_000_000,
         rebuild_fill: float = 0.5,
         url_col: str = "url",
+        bucketed_parts: int | None = None,
+        write_tasks: int = 64,
     ):
         """``expected_keys`` sizes the initial Bloom (BITS_PER_KEY bits per
         expected seen URL); undersizing is safe — advance_bloom rebuilds
         wider when fill crosses ``rebuild_fill``. On resume the width is
         inferred from the committed blobs, so the parameter only matters
-        for a fresh store."""
+        for a fresh store.
+
+        ``bucketed_parts`` (B) turns on the hash-bucketed url_seen
+        layout: rows land under ``seen_bucket=<pmod(xxhash64(url,2),B)>``
+        hive directories, and :meth:`anti_join` resolves the maybe-seen
+        slice bucket-wise — each task opens its bucket's parquet files
+        directly (pyarrow), so the accumulated seen table is NEVER
+        shuffled; only the (small, post-Bloom) candidate slice is. This
+        is the per-batch cost that otherwise tracks ACCUMULATED state:
+        the flat anti-join reshuffles ~4 GB of seen rows per batch at
+        10^8 seen and grows linearly to 10^10. B must be a multiple of
+        ``n_parts`` and the bucket hash is the Bloom's partition hash
+        (seed 2), so bucket % n_parts == bloom_part — a per-part Bloom
+        rebuild can read exactly the B/n_parts matching bucket dirs
+        instead of the whole table. ``write_tasks`` caps the writer
+        fan-out: new rows are hash-clustered so each bucket's files come
+        from one task (~B files per commit, not tasks*B)."""
         self.spark = spark
         self.store = SnapshotParquetStore(spark, root)
         self.n_parts = n_parts
         self.rebuild_fill = rebuild_fill
         self.url_col = url_col
+        if bucketed_parts is not None and bucketed_parts % n_parts != 0:
+            raise ValueError(
+                f"bucketed_parts ({bucketed_parts}) must be a multiple of "
+                f"n_parts ({n_parts}) so bucket % n_parts == bloom_part"
+            )
+        self.bucketed_parts = bucketed_parts
+        self.write_tasks = write_tasks
         need = max(1 << 13, expected_keys * BITS_PER_KEY // max(n_parts, 1))
         self._initial_m_bits = 1 << (need - 1).bit_length()
         self._empty = spark.createDataFrame([], f"{url_col} string")
+
+    def _bucket_expr(self):
+        # seed 2 == add_bloom_keys' bloom_part hash: with B a multiple of
+        # n_parts, h mod n_parts == (h mod B) mod n_parts, so bucket dirs
+        # refine the Bloom partitioning
+        return F.pmod(
+            F.xxhash64(self.url_col, F.lit(2)), F.lit(self.bucketed_parts)
+        ).cast("int")
 
     # -- reads ----------------------------------------------------------------
 
@@ -113,6 +148,76 @@ class SeenState:
     def fill(self) -> DataFrame:
         return bloom_fill(self.bloom())
 
+    def bucket_files(self) -> dict[int, list[str]]:
+        """bucket id -> absolute parquet paths across every committed
+        url_seen delta directory (driver-side directory listing over the
+        manifest's file list — no Spark job). After a ``compact`` the
+        list is one directory; between compactions it is one per batch."""
+        if self.bucketed_parts is None:
+            raise ValueError("bucket_files: store is not bucketed")
+        import glob as _glob
+        import os as _os
+
+        head = self.store.head()
+        out: dict[int, list[str]] = {}
+        if head is None or self.TABLE_SEEN not in head.tables:
+            return out
+        for rel in head.tables[self.TABLE_SEEN]["files"]:
+            base = _os.path.join(self.store.root, "snapshots", rel)
+            for d in _glob.glob(_os.path.join(base, f"{self.BUCKET_COL}=*")):
+                b = int(d.rsplit("=", 1)[1])
+                out.setdefault(b, []).extend(
+                    _glob.glob(_os.path.join(d, "*.parquet"))
+                )
+        return out
+
+    def anti_join(self, candidates: DataFrame, url_col: str | None = None) -> DataFrame:
+        """Exact ``candidates LEFT ANTI JOIN url_seen ON url`` without
+        shuffling the seen table — the bucket-wise join the 10^10 design
+        point needs (a flat anti-join reshuffles the ENTIRE accumulated
+        seen table every batch; this shuffles only the candidate slice,
+        which after the Bloom prefilter is the maybe-seen fraction).
+
+        Candidates are hash-clustered by the layout's bucket key; each
+        task then opens ONLY its bucket's committed parquet files
+        (pyarrow, url column, ~|seen|/B rows) and drops candidates whose
+        url appears — membership compares full URLs, so the result is
+        exact, not fingerprint-approximate. Buckets with no candidates
+        are never read. The reference analog is the in-memory ``set``
+        lookup (/root/reference/backend/domain/entities.py:153,158-159);
+        a real cluster swaps this for an Iceberg bucket-partitioned
+        storage-partitioned join, same layout contract."""
+        if self.bucketed_parts is None:
+            raise ValueError("anti_join: store is not bucketed")
+        url_col = url_col or self.url_col
+        fmap = self.bucket_files()
+        if not fmap:
+            return candidates
+        bc = self.spark.sparkContext.broadcast(fmap)
+        out_schema = candidates.schema
+        keyed = candidates.withColumn(
+            "_sb",
+            F.pmod(F.xxhash64(url_col, F.lit(2)), F.lit(self.bucketed_parts)).cast("int"),
+        )
+        names = [f.name for f in out_schema.fields]
+
+        def _aj(pdf):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            out = pdf[names]
+            files = bc.value.get(int(pdf["_sb"].iloc[0]))
+            if not files or not len(pdf):
+                return out
+            seen_urls = pq.read_table(files, columns=[url_col]).column(url_col)
+            mask = pc.is_in(
+                pa.array(pdf[url_col]), value_set=seen_urls.combine_chunks()
+            )
+            return out[~mask.to_numpy(zero_copy_only=False)]
+
+        return keyed.groupBy("_sb").applyInPandas(_aj, out_schema)
+
     # -- writes ---------------------------------------------------------------
 
     def commit_batch(
@@ -153,6 +258,15 @@ class SeenState:
         else:
             m_bits = self._initial_m_bits
         new_urls = new_seen.select(F.col(self.url_col))
+        pcols = None
+        if self.bucketed_parts is not None:
+            # cluster the batch's rows by bucket BEFORE the partitioned
+            # write: each bucket's files then come from exactly one task
+            # (~B files per commit instead of tasks*B splinters)
+            new_urls = new_urls.withColumn(
+                self.BUCKET_COL, self._bucket_expr()
+            ).repartition(self.write_tasks, F.col(self.BUCKET_COL))
+            pcols = {self.TABLE_SEEN: [self.BUCKET_COL]}
         out = update_bloom(
             bloom, new_urls, url_col=self.url_col, n_parts=self.n_parts,
             m_bits_per_part=m_bits,
@@ -169,6 +283,7 @@ class SeenState:
             full_tables={self.TABLE_BLOOM: out},
             delta_tables={self.TABLE_SEEN: new_urls},
             metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
+            partition_cols=pcols,
         )
         fill_max = float(
             bloom_fill(self.bloom()).agg(F.max("fill")).first()[0] or 0.0

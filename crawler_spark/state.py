@@ -90,7 +90,7 @@ def _dir_meta(path: str) -> tuple[int, dict]:
     rows = 0
     stats: dict[str, list] = {}
     poisoned: set[str] = set()
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         md = pq.read_metadata(f)
         rows += md.num_rows
         for rg in range(md.num_row_groups):
@@ -187,6 +187,7 @@ class SnapshotParquetStore:
         full_tables: dict[str, DataFrame],
         delta_tables: dict[str, DataFrame] | None = None,
         metrics: dict | None = None,
+        partition_cols: dict[str, list[str]] | None = None,
     ) -> Manifest:
         """Atomically commit one micro-batch.
 
@@ -200,6 +201,16 @@ class SnapshotParquetStore:
         returning that batch's manifest (HEAD's if it expired), so
         acks_late redelivery can never double-append delta rows.
         Single-writer store: one driver process commits at a time.
+
+        ``partition_cols`` maps table name -> hive partition columns
+        (e.g. ``{"url_seen": ["seen_bucket"]}``): those tables write
+        ``partitionBy(*cols)`` so each value gets its own directory —
+        the hash-bucketed layout that lets a bucket-wise reader open one
+        bucket's files directly (no seen-side shuffle). The layout is
+        recorded in the manifest entry; delta commits inherit the
+        parent's layout when the arg is omitted, and ``read`` unions
+        per-directory reads (Spark refuses one multi-root partitioned
+        read: CONFLICTING_DIRECTORY_STRUCTURES).
         """
         head = self.head()
         if head is not None and batch_id <= head.batch_id:
@@ -219,10 +230,15 @@ class SnapshotParquetStore:
             shutil.rmtree(final)
         os.makedirs(tmp)
         tables: dict[str, dict] = {}
+        pcols = partition_cols or {}
         try:
             for tname, df in full_tables.items():
                 path = os.path.join(tmp, tname)
-                df.write.mode("overwrite").parquet(path)
+                cols = pcols.get(tname)
+                if cols:
+                    df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+                else:
+                    df.write.mode("overwrite").parquet(path)
                 rows, dstats = _dir_meta(path)
                 rel = os.path.join(name, tname)
                 tables[tname] = {
@@ -231,10 +247,19 @@ class SnapshotParquetStore:
                     "rows": rows,
                     "stats": {rel: dstats},
                 }
+                if cols:
+                    tables[tname]["partition_cols"] = list(cols)
             for tname, df in (delta_tables or {}).items():
                 parent_entry = (head.tables.get(tname) if head else None) or {"files": [], "rows": 0}
                 path = os.path.join(tmp, tname)
-                df.write.mode("overwrite").parquet(path)
+                # a delta append inherits the parent's layout: mixing
+                # partitioned and flat directories under one table would
+                # break both the union read and the bucket-wise reader
+                cols = pcols.get(tname) or parent_entry.get("partition_cols")
+                if cols:
+                    df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+                else:
+                    df.write.mode("overwrite").parquet(path)
                 rows, dstats = _dir_meta(path)
                 files = list(parent_entry["files"])
                 stats = dict(parent_entry.get("stats", {}))
@@ -249,6 +274,8 @@ class SnapshotParquetStore:
                     "delta_rows": rows,
                     "stats": stats,
                 }
+                if cols:
+                    tables[tname]["partition_cols"] = list(cols)
             if head is not None:
                 for tname, entry in head.tables.items():
                     if tname not in tables:
@@ -288,10 +315,21 @@ class SnapshotParquetStore:
         df = self.read(table)
         if df is None:  # zero files: nothing to compact
             return head
+        cols = head.tables[table].get("partition_cols")
+        if cols:
+            # preserve the bucketed layout; hash-distributing the
+            # partition cols over n_files tasks lands each bucket in
+            # exactly one task => ~one file per bucket, not n_files*B
+            from pyspark.sql import functions as F
+
+            out = df.repartition(n_files, *[F.col(c) for c in cols])
+        else:
+            out = df.coalesce(n_files)
         return self.commit(
             batch_id=head.batch_id + 1,
-            full_tables={table: df.coalesce(n_files)},
+            full_tables={table: out},
             metrics={**(extra_metrics or {}), "event": "compact", "table": table},
+            partition_cols={table: cols} if cols else None,
         )
 
     # -- read -----------------------------------------------------------------
@@ -305,6 +343,15 @@ class SnapshotParquetStore:
         if not entry["files"]:
             return None
         paths = [os.path.join(self.root, "snapshots", p) for p in entry["files"]]
+        if entry.get("partition_cols") and len(paths) > 1:
+            # Spark refuses one read over multiple partitioned roots
+            # (CONFLICTING_DIRECTORY_STRUCTURES); union per-dir reads —
+            # each dir's hive layout discovers the partition column
+            dfs = [self.spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
         return self.spark.read.parquet(*paths)
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:

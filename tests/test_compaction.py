@@ -234,3 +234,47 @@ def test_expire_sweeps_orphan_manifest_tmp_in_kept_dirs(spark, tmp_path):
     # the real manifest and all reads are untouched
     assert _rows(store) == before
     assert len(store.history()) == 3
+
+
+def test_partitioned_table_commit_read_compact_roundtrip(spark, tmp_path):
+    """partition_cols tables write hive bucket dirs, delta commits
+    inherit the parent's layout, multi-dir reads union per directory
+    (Spark refuses one multi-root partitioned read), and compaction
+    preserves the layout with ~one file per bucket."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = SnapshotParquetStore(spark, str(tmp_path / "pc"))
+
+    def _bucketed_rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.pmod("id", F.lit(4)).cast("int").alias("b"),
+        )
+
+    store.commit(
+        batch_id=1,
+        full_tables={},
+        delta_tables={"t": _bucketed_rows(0, 100)},
+        partition_cols={"t": ["b"]},
+    )
+    # second delta inherits the layout WITHOUT repeating partition_cols
+    store.commit(batch_id=2, full_tables={}, delta_tables={"t": _bucketed_rows(100, 150)})
+    entry = store.head().tables["t"]
+    assert entry["partition_cols"] == ["b"] and entry["rows"] == 150
+    for rel in entry["files"]:
+        base = os.path.join(store.root, "snapshots", rel)
+        assert glob.glob(os.path.join(base, "b=*")), rel
+    df = store.read("t")
+    assert df.count() == 150 and "b" in df.columns
+    assert df.filter("b = 2").count() == 150 // 4  # partition values survive
+
+    man = store.compact("t", n_files=2)
+    entry = man.tables["t"]
+    assert len(entry["files"]) == 1 and entry["partition_cols"] == ["b"]
+    assert store.read("t").count() == 150
+    base = os.path.join(store.root, "snapshots", entry["files"][0])
+    # one file per bucket, not n_files * buckets
+    assert len(glob.glob(os.path.join(base, "b=*", "*.parquet"))) == 4

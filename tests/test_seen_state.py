@@ -143,3 +143,100 @@ def test_logical_cursor_survives_rebuild_plus_compact_plus_expire(spark, root):
     assert all((m.metrics or {}).get("event") in ("bloom_rebuild", "compact") for m in hist)
     # ...yet the cursor survives
     assert SeenState(spark, root, n_parts=4, expected_keys=10).last_logical() == 1
+
+
+# -- bucketed url_seen layout (round-5: seen-side shuffle elimination) ---------
+
+
+def _bucketed(spark, root, **kw):
+    kw.setdefault("n_parts", 8)
+    kw.setdefault("expected_keys", 10_000)
+    kw.setdefault("bucketed_parts", 32)
+    kw.setdefault("write_tasks", 4)
+    return SeenState(spark, root, **kw)
+
+
+def test_bucketed_layout_writes_bucket_dirs_and_reads_back(spark, root):
+    st = _bucketed(spark, root)
+    st.commit_batch(_urls(spark, 0, 500))
+    st.commit_batch(_urls(spark, 500, 900))
+    # full read unions the partitioned delta dirs and carries the bucket col
+    seen = st.seen()
+    assert seen.count() == 900
+    assert "seen_bucket" in seen.columns
+    # bucket dirs exist and cover all rows
+    fmap = st.bucket_files()
+    assert fmap and all(fs for fs in fmap.values())
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(fs, columns=["url"]).num_rows for fs in fmap.values())
+    assert total == 900
+    # bucket refines the bloom partitioning: bucket % n_parts == bloom_part
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.bloom import add_bloom_keys
+
+    bad = (
+        add_bloom_keys(seen, n_parts=8)
+        .filter(F.pmod("seen_bucket", F.lit(8)) != F.col("bloom_part"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bucketed_anti_join_matches_flat_anti_join(spark, root):
+    st = _bucketed(spark, root)
+    st.commit_batch(_urls(spark, 0, 700))
+    cands = _frontier_of(_urls(spark, 500, 1200))  # 200 seen, 500 new
+    got = {r.url for r in st.anti_join(cands).collect()}
+    want = {
+        r.url
+        for r in cands.join(st.seen().select("url"), "url", "left_anti").collect()
+    }
+    assert got == want and len(got) == 500
+    # schema is preserved exactly (anti_join is a drop-in resolver)
+    assert st.anti_join(cands).schema == cands.schema
+
+
+def test_bucketed_schedule_batch_equals_flat_schedule(spark, root):
+    st = _bucketed(spark, root)
+    st.commit_batch(_urls(spark, 0, 400))
+    frontier = _frontier_of(_urls(spark, 300, 800))
+    flat, b1 = schedule_batch(
+        frontier, seen=st.seen().select("url"), bloom=st.bloom(),
+        default_k=10_000, n_bloom_parts=8,
+    )
+    bucketed, b2 = schedule_batch(
+        frontier, seen=None, bloom=st.bloom(), exact_anti_join=st.anti_join,
+        default_k=10_000, n_bloom_parts=8,
+    )
+    assert {r.url for r in flat.collect()} == {r.url for r in bucketed.collect()}
+    release_barrier(b1)
+    release_barrier(b2)
+
+
+def test_bucketed_compact_preserves_layout_and_membership(spark, root):
+    st = _bucketed(spark, root)
+    for i in range(3):
+        st.commit_batch(_urls(spark, i * 200, (i + 1) * 200))
+    dirs_before = len(st.store.head().tables[SeenState.TABLE_SEEN]["files"])
+    assert dirs_before == 3
+    st.compact(n_files=2)
+    st.expire(keep_last=2)
+    entry = st.store.head().tables[SeenState.TABLE_SEEN]
+    assert len(entry["files"]) == 1 and entry.get("partition_cols") == ["seen_bucket"]
+    assert st.seen().count() == 600
+    # anti-join still exact over the compacted single-dir layout
+    cands = _frontier_of(_urls(spark, 400, 900))
+    assert st.anti_join(cands).count() == 300
+    # and further deltas append partitioned on top of the compacted set
+    st.commit_batch(_urls(spark, 600, 650))
+    assert st.anti_join(_frontier_of(_urls(spark, 600, 660))).count() == 10
+
+
+def test_bucketed_resume_from_fresh_state(spark, root):
+    st = _bucketed(spark, root)
+    st.commit_batch(_urls(spark, 0, 300), batch_id=1)
+    st2 = _bucketed(spark, root)
+    assert st2.last_logical() == 1
+    assert st2.anti_join(_frontier_of(_urls(spark, 200, 400))).count() == 100

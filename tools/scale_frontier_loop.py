@@ -28,7 +28,13 @@ BENCH/BASELINE.md "10^9-URL micro-batched frontier drain"):
 
 Usage:
     python tools/scale_frontier_loop.py [batch_rows] [n_batches] \
-        [--out BENCH/scale_1e9_loop.json] [--resume]
+        [--out BENCH/scale_1e9_loop.json] [--resume] [--bucketed [B]]
+
+--bucketed stores url_seen in the hash-bucketed hive layout (B bucket
+dirs, default 256) and resolves the exact maybe-seen check bucket-wise
+(SeenState.anti_join): the accumulated seen table is never shuffled —
+the one per-batch cost that otherwise grows with TOTAL crawl state
+(flat anti-join reshuffles ~4 GB of seen rows per batch at 10^8 seen).
 
 --resume picks the loop up from the state's HEAD batch: a killed run
 continues from its last committed batch with the identical frontier
@@ -50,13 +56,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batch_rows = int(float(args[0])) if args else 100_000_000
-    n_batches = int(args[1]) if len(args) > 1 else 10
     out_path = None
-    for i, a in enumerate(sys.argv):
+    bucketed = None
+    args: list[str] = []
+    consumed = -1
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if i == consumed:
+            continue
         if a == "--out" and i + 1 < len(sys.argv):
             out_path = sys.argv[i + 1]
+            consumed = i + 1
+        elif a == "--bucketed":
+            nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+            bucketed = int(nxt) if nxt.isdigit() else 256
+            if nxt.isdigit():
+                consumed = i + 1
+        elif not a.startswith("--"):
+            args.append(a)
+    batch_rows = int(float(args[0])) if args else 100_000_000
+    n_batches = int(args[1]) if len(args) > 1 else 10
 
     from pyspark import StorageLevel
     from pyspark.sql import SparkSession
@@ -99,7 +117,10 @@ def main() -> None:
     # fill 0.5 (amortized doubling).
     capacity = int(batch_rows * n_batches * 0.15)
     n_parts = 64
-    st = SeenState(spark, state_root, n_parts=n_parts, expected_keys=capacity)
+    st = SeenState(
+        spark, state_root, n_parts=n_parts, expected_keys=capacity,
+        bucketed_parts=bucketed, write_tasks=min(64, shuffle_parts),
+    )
     m_bits = st._initial_m_bits
 
     robots_rows = [
@@ -155,7 +176,10 @@ def main() -> None:
         t0 = time.monotonic()
         scheduled, barrier = schedule_batch(
             frontier,
-            seen=st.seen(),
+            # bucketed: the seen table is never shuffled — the bucket-wise
+            # resolver reads each bucket's committed files directly
+            seen=None if bucketed else st.seen(),
+            exact_anti_join=st.anti_join if bucketed else None,
             bloom=st.bloom(),
             robots_bcast=robots_b,
             quotas=quotas,
@@ -179,8 +203,11 @@ def main() -> None:
         # state maintenance — the incremental path whose cost must track
         # the batch, not the accumulated total
         t1 = time.monotonic()
+        new_urls = drained.select("url")
+        if not bucketed:
+            new_urls = new_urls.coalesce(32)  # bucketed mode re-clusters itself
         man, info = st.commit_batch(
-            drained.select("url").coalesce(32),
+            new_urls,
             batch_id=i + 1,  # logical id: redelivery-guarded per window
             metrics={"n_scheduled": n_sched, "loop_batch": i},
         )
@@ -233,6 +260,7 @@ def main() -> None:
         "first_batch_urls_per_sec": batches[0]["urls_per_sec"],
         "last_batch_urls_per_sec": batches[-1]["urls_per_sec"],
         "batches": batches,
+        "bucketed_parts": bucketed,
         "cores": int(cpus) if str(cpus).isdigit() else cpus,
         "shuffle_partitions": shuffle_parts,
         "driver_mem": driver_mem,
