@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 from ..state import Manifest, SnapshotParquetStore
 from .bloom import BITS_PER_KEY, bloom_fill, build_bloom, update_bloom
+from .cuckoo import (
+    BUCKET_SLOTS,
+    build_cuckoo,
+    cuckoo_load,
+    delete_from_cuckoo,
+    insert_into_cuckoo,
+)
 
 __all__ = ["SeenState"]
 
@@ -38,6 +45,8 @@ __all__ = ["SeenState"]
 class SeenState:
     TABLE_SEEN = "url_seen"
     TABLE_BLOOM = "seen_bloom"
+    TABLE_CUCKOO = "seen_cuckoo"
+    TABLE_DELETED = "url_deleted"
 
     BUCKET_COL = "seen_bucket"
 
@@ -51,6 +60,8 @@ class SeenState:
         url_col: str = "url",
         bucketed_parts: int | None = None,
         write_tasks: int = 64,
+        filter_kind: str = "bloom",
+        stagger_parts: int | None = None,
     ):
         """``expected_keys`` sizes the initial Bloom (BITS_PER_KEY bits per
         expected seen URL); undersizing is safe — advance_bloom rebuilds
@@ -72,7 +83,33 @@ class SeenState:
         rebuild can read exactly the B/n_parts matching bucket dirs
         instead of the whole table. ``write_tasks`` caps the writer
         fan-out: new rows are hash-clustered so each bucket's files come
-        from one task (~B files per commit, not tasks*B)."""
+        from one task (~B files per commit, not tasks*B).
+
+        ``filter_kind`` picks the prefilter blob family: ``"bloom"``
+        (default; operators/bloom.py) or ``"cuckoo"``
+        (operators/cuckoo.py) — same partition contract, but cuckoo
+        supports DELETION: :meth:`delete_urls` evicts fingerprints so
+        ``delete_source`` at drain scale keeps the prefilter truthful
+        without a rebuild (a Bloom bit is shared by unknown other keys
+        and can never be unset; reference analog: page rows deleted with
+        their source, /root/reference/backend/service/services.py:317-324).
+        For cuckoo, ``rebuild_fill`` is the slot-load threshold (the
+        filter rebuilds wider BEFORE an insert that would start from a
+        load above it — cuckoo inserts fail their kick walks near
+        LOAD_FACTOR instead of degrading like Bloom fpp does).
+
+        ``stagger_parts`` (Bloom only) bounds the saturation rebuild to
+        at most that many worst-fill partitions per batch instead of all
+        ``n_parts`` at once: the amortized-doubling cost stays O(1) per
+        batch either way, but no single batch pays the whole doubling
+        (at 10^10 seen a full rebuild is a full-table scan + global
+        rebuild inside one commit window — a maintenance PAUSE; the
+        staggered form spreads it over ~n_parts/stagger_parts batches
+        while saturation degrades only fpp, never correctness, since the
+        exact tier resolves every maybe). With the bucketed layout the
+        per-part rebuild reads exactly the B/n_parts bucket directories
+        whose rows hash to the rebuilt partitions (bucket % n_parts ==
+        bloom_part), not the whole seen table."""
         self.spark = spark
         self.store = SnapshotParquetStore(spark, root)
         self.n_parts = n_parts
@@ -85,8 +122,16 @@ class SeenState:
             )
         self.bucketed_parts = bucketed_parts
         self.write_tasks = write_tasks
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo', got {filter_kind!r}")
+        self.filter_kind = filter_kind
+        self.stagger_parts = stagger_parts
         need = max(1 << 13, expected_keys * BITS_PER_KEY // max(n_parts, 1))
         self._initial_m_bits = 1 << (need - 1).bit_length()
+        # cuckoo geometry: slots for expected_keys at ~LOAD_FACTOR-with-
+        # headroom occupancy, power-of-two buckets per partition
+        nb_need = max(256, expected_keys // max(n_parts, 1) // (BUCKET_SLOTS * 2) * 3)
+        self._initial_buckets = 1 << (nb_need - 1).bit_length()
         self._empty = spark.createDataFrame([], f"{url_col} string")
 
     def _bucket_expr(self):
@@ -130,39 +175,81 @@ class SeenState:
         head = self.store.head()
         return head.batch_id if head else 0
 
+    @property
+    def filter_table(self) -> str:
+        return self.TABLE_CUCKOO if self.filter_kind == "cuckoo" else self.TABLE_BLOOM
+
     def seen(self) -> DataFrame:
+        """The exact membership side: every committed url MINUS the
+        tombstoned (deleted) ones — a deleted source's URLs are
+        re-crawlable, exactly the reference's delete-pages-with-source
+        semantics. The tombstone anti-join only appears in the plan when
+        deletions exist."""
         df = self.store.read(self.TABLE_SEEN)
+        if df is None:
+            return self._empty
+        dels = self.store.read(self.TABLE_DELETED)
+        if dels is not None:
+            df = df.join(dels.select(self.url_col), self.url_col, "left_anti")
+        return df
+
+    def deleted(self) -> DataFrame:
+        """Tombstoned URLs awaiting physical purge (apply_deletes)."""
+        df = self.store.read(self.TABLE_DELETED)
         return df if df is not None else self._empty
 
-    def bloom(self) -> DataFrame:
-        """Committed blobs (empty DataFrame before the first commit — the
-        prefilter treats a missing blob as maybe_seen=false, and the
-        exact anti-join side is equally empty, so batch 0 just works)."""
-        df = self.store.read(self.TABLE_BLOOM)
+    def blobs(self) -> DataFrame:
+        """Committed prefilter blobs of the configured ``filter_kind``
+        (empty DataFrame before the first commit — the prefilter treats
+        a missing blob as maybe_seen=false, and the exact anti-join side
+        is equally empty, so batch 0 just works)."""
+        df = self.store.read(self.filter_table)
         if df is not None:
             return df
+        if self.filter_kind == "cuckoo":
+            return build_cuckoo(
+                self._empty, n_parts=self.n_parts, n_buckets=self._initial_buckets
+            )
         return build_bloom(
             self._empty, n_parts=self.n_parts, m_bits_per_part=self._initial_m_bits
         )
 
-    def fill(self) -> DataFrame:
-        return bloom_fill(self.bloom())
+    def bloom(self) -> DataFrame:
+        """Back-compat alias of :meth:`blobs` (named when Bloom was the
+        only filter kind; schedule_batch's ``bloom=`` arg carries either
+        family, dispatched by its ``seen_filter``)."""
+        return self.blobs()
 
-    def bucket_files(self) -> dict[int, list[str]]:
+    def fill(self) -> DataFrame:
+        """Saturation report for the configured filter kind — columns
+        (part, capacity, used, fill): Bloom bit-fill or cuckoo slot-load,
+        normalized so the drain loop's reporting reads one shape."""
+        if self.filter_kind == "cuckoo":
+            return cuckoo_load(self.blobs()).select(
+                F.col("cuckoo_part").alias("bloom_part"),
+                (F.col("n_buckets") * BUCKET_SLOTS).alias("m_bits"),
+                F.col("slots_used").alias("bits_set"),
+                F.col("load").alias("fill"),
+            )
+        return bloom_fill(self.blobs())
+
+    def bucket_files(self, table: str | None = None) -> dict[int, list[str]]:
         """bucket id -> absolute parquet paths across every committed
-        url_seen delta directory (driver-side directory listing over the
-        manifest's file list — no Spark job). After a ``compact`` the
-        list is one directory; between compactions it is one per batch."""
+        delta directory of ``table`` (default url_seen; driver-side
+        directory listing over the manifest's file list — no Spark job).
+        After a ``compact`` the list is one directory; between
+        compactions it is one per batch."""
         if self.bucketed_parts is None:
             raise ValueError("bucket_files: store is not bucketed")
         import glob as _glob
         import os as _os
 
+        table = table or self.TABLE_SEEN
         head = self.store.head()
         out: dict[int, list[str]] = {}
-        if head is None or self.TABLE_SEEN not in head.tables:
+        if head is None or table not in head.tables:
             return out
-        for rel in head.tables[self.TABLE_SEEN]["files"]:
+        for rel in head.tables[table]["files"]:
             base = _os.path.join(self.store.root, "snapshots", rel)
             for d in _glob.glob(_os.path.join(base, f"{self.BUCKET_COL}=*")):
                 b = int(d.rsplit("=", 1)[1])
@@ -193,30 +280,73 @@ class SeenState:
         fmap = self.bucket_files()
         if not fmap:
             return candidates
-        bc = self.spark.sparkContext.broadcast(fmap)
+        dmap = self.bucket_files(self.TABLE_DELETED)
+        bc = self.spark.sparkContext.broadcast((fmap, dmap))
         out_schema = candidates.schema
         keyed = candidates.withColumn(
             "_sb",
             F.pmod(F.xxhash64(url_col, F.lit(2)), F.lit(self.bucketed_parts)).cast("int"),
-        )
+        ).repartition(self.bucketed_parts, F.col("_sb"))
         names = [f.name for f in out_schema.fields]
 
-        def _aj(pdf):
+        def _aj(batches):
+            # mapInArrow, not applyInPandas: candidate strings stay Arrow
+            # buffers end to end (pandas object materialization anti-
+            # scales on allocator contention — same finding as
+            # bloom_prefilter's broadcast probe). One task holds whole
+            # buckets (hash repartition on _sb), so each bucket's seen
+            # slice is read once per task and probed per Arrow batch.
+            import numpy as np
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            out = pdf[names]
-            files = bc.value.get(int(pdf["_sb"].iloc[0]))
-            if not files or not len(pdf):
-                return out
-            seen_urls = pq.read_table(files, columns=[url_col]).column(url_col)
-            mask = pc.is_in(
-                pa.array(pdf[url_col]), value_set=seen_urls.combine_chunks()
-            )
-            return out[~mask.to_numpy(zero_copy_only=False)]
+            seen_files, del_files = bc.value
+            cache: dict[int, object] = {}
 
-        return keyed.groupBy("_sb").applyInPandas(_aj, out_schema)
+            def _bucket_set(b: int):
+                if b not in cache:
+                    files = seen_files.get(b)
+                    if not files:
+                        cache[b] = None
+                    else:
+                        vals = pq.read_table(files, columns=[url_col]).column(url_col)
+                        dels = del_files.get(b)
+                        if dels:
+                            # tombstoned urls are re-crawlable: NOT seen
+                            gone = pq.read_table(dels, columns=[url_col]).column(
+                                url_col
+                            )
+                            vals = pc.filter(
+                                vals, pc.invert(pc.is_in(vals, value_set=gone.combine_chunks()))
+                            )
+                        cache[b] = vals.combine_chunks()
+                return cache[b]
+
+            for rb in batches:
+                parts = rb.column("_sb").to_numpy()
+                keep = [rb.column(n) for n in names]
+                if not len(parts):
+                    yield pa.record_batch(keep, names=names)
+                    continue
+                cand = rb.column(url_col)
+                seen_mask = np.zeros(len(parts), dtype=bool)
+                for b in np.unique(parts):
+                    vset = _bucket_set(int(b))
+                    if vset is None:
+                        continue
+                    sel = parts == b
+                    sub = pc.is_in(
+                        cand.take(pa.array(np.flatnonzero(sel))),
+                        value_set=vset,
+                    ).to_numpy(zero_copy_only=False)
+                    seen_mask[sel] = sub
+                tbl = pa.table(keep, names=names)
+                yield from pa.table(
+                    [c.filter(pa.array(~seen_mask)) for c in tbl.columns], names=names
+                ).to_batches()
+
+        return keyed.mapInArrow(_aj, out_schema)
 
     # -- writes ---------------------------------------------------------------
 
@@ -246,7 +376,31 @@ class SeenState:
         bid = batch_id if batch_id is not None else last + 1
         if head is not None and bid <= last:
             return head, {"redelivered": True}
-        bloom = self.bloom()
+        new_urls = new_seen.select(F.col(self.url_col))
+        pcols = None
+        if self.bucketed_parts is not None:
+            # cluster the batch's rows by bucket BEFORE the partitioned
+            # write: each bucket's files then come from exactly one task
+            # (~B files per commit instead of tasks*B splinters)
+            new_urls = new_urls.withColumn(
+                self.BUCKET_COL, self._bucket_expr()
+            ).repartition(self.write_tasks, F.col(self.BUCKET_COL))
+            pcols = {
+                self.TABLE_SEEN: [self.BUCKET_COL],
+                self.TABLE_DELETED: [self.BUCKET_COL],
+            }
+        # a re-crawled url leaves the tombstone set (it is seen again);
+        # tombstones are small (a deleted source's pages), so the rewrite
+        # is cheap and only happens while deletions are pending
+        full_extra: dict[str, DataFrame] = {}
+        if head is not None and head.tables.get(self.TABLE_DELETED, {}).get("rows", 0):
+            kept = self.store.read(self.TABLE_DELETED).join(
+                new_urls.select(self.url_col), self.url_col, "left_anti"
+            )
+            full_extra[self.TABLE_DELETED] = kept
+        if self.filter_kind == "cuckoo":
+            return self._commit_cuckoo(head, bid, new_urls, pcols, metrics, full_extra)
+        bloom = self.blobs()
         has_blobs = bool(
             head and head.tables.get(self.TABLE_BLOOM, {}).get("rows", 0)
         )
@@ -257,16 +411,6 @@ class SeenState:
             m_bits = int(bloom.agg(F.max(F.length("blob"))).first()[0]) * 8
         else:
             m_bits = self._initial_m_bits
-        new_urls = new_seen.select(F.col(self.url_col))
-        pcols = None
-        if self.bucketed_parts is not None:
-            # cluster the batch's rows by bucket BEFORE the partitioned
-            # write: each bucket's files then come from exactly one task
-            # (~B files per commit instead of tasks*B splinters)
-            new_urls = new_urls.withColumn(
-                self.BUCKET_COL, self._bucket_expr()
-            ).repartition(self.write_tasks, F.col(self.BUCKET_COL))
-            pcols = {self.TABLE_SEEN: [self.BUCKET_COL]}
         out = update_bloom(
             bloom, new_urls, url_col=self.url_col, n_parts=self.n_parts,
             m_bits_per_part=m_bits,
@@ -280,7 +424,7 @@ class SeenState:
         # amortized-doubling contract, one extra snapshot per doubling).
         man = self.store.commit(
             head.batch_id + 1 if head else 1,
-            full_tables={self.TABLE_BLOOM: out},
+            full_tables={self.TABLE_BLOOM: out, **full_extra},
             delta_tables={self.TABLE_SEEN: new_urls},
             metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
             partition_cols=pcols,
@@ -289,7 +433,10 @@ class SeenState:
             bloom_fill(self.bloom()).agg(F.max("fill")).first()[0] or 0.0
         )
         info = {"fill_max": fill_max, "rebuilt": False, "m_bits_per_part": m_bits}
-        if fill_max > self.rebuild_fill:
+        if fill_max > self.rebuild_fill and self.stagger_parts:
+            man, rinfo = self._stagger_rebuild(man, bid)
+            info.update(rinfo)
+        elif fill_max > self.rebuild_fill:
             full_seen = self.seen()
             n_keys = full_seen.count()
             need = max(m_bits * 2, (n_keys * BITS_PER_KEY) // max(self.n_parts, 1))
@@ -312,6 +459,211 @@ class SeenState:
             )
             info.update(rebuilt=True, m_bits_before=m_bits, m_bits_per_part=new_m)
         return man, info
+
+    def _stagger_rebuild(self, man: Manifest, bid: int) -> tuple[Manifest, dict]:
+        """Rebuild at most ``stagger_parts`` worst-fill Bloom partitions
+        at double their width (per-part amortized doubling). Mixed blob
+        widths are first-class across the filter code — every probe and
+        update derives the width from its own blob's length — so the
+        filter stays fully usable mid-doubling. With the bucketed
+        layout the rebuild rows come from exactly the bucket dirs whose
+        bucket % n_parts lands in the rebuilt partitions (pyarrow-listed
+        files, no full-table scan); otherwise from a filtered full
+        scan."""
+        fills = bloom_fill(self.blobs()).collect()  # n_parts rows
+        worst = sorted(
+            (r for r in fills if r.fill > self.rebuild_fill),
+            key=lambda r: -r.fill,
+        )[: self.stagger_parts]
+        if not worst:
+            return man, {}
+        parts = sorted(int(r.bloom_part) for r in worst)
+        new_m = 2 * max(int(r.m_bits) for r in worst)
+        if self.bucketed_parts is not None:
+            files = [
+                f
+                for b, fs in self.bucket_files().items()
+                if b % self.n_parts in set(parts)
+                for f in fs
+            ]
+            rows = self.spark.read.parquet(*files).select(
+                F.col(self.url_col).alias("url")
+            )
+            head = self.store.head()
+            if head and head.tables.get(self.TABLE_DELETED, {}).get("rows", 0):
+                rows = rows.join(
+                    self.deleted().select(F.col(self.url_col).alias("url")),
+                    "url",
+                    "left_anti",
+                )
+        else:
+            rows = self.seen().select(F.col(self.url_col).alias("url"))
+            rows = rows.filter(
+                F.pmod(F.xxhash64("url", F.lit(2)), F.lit(self.n_parts)).isin(parts)
+            )
+        rebuilt = build_bloom(rows, n_parts=self.n_parts, m_bits_per_part=new_m)
+        merged = self.blobs().filter(~F.col("bloom_part").isin(parts)).unionByName(
+            rebuilt
+        )
+        man = self.store.commit(
+            man.batch_id + 1,
+            full_tables={self.TABLE_BLOOM: merged},
+            metrics={
+                "event": "bloom_rebuild_partial",
+                "parts": ",".join(map(str, parts)),
+                "m_bits_per_part": new_m,
+                self.METRIC_LOGICAL: bid,
+            },
+            partition_cols=None,
+        )
+        return man, {
+            "rebuilt": True,
+            "staggered": True,
+            "parts_rebuilt": parts,
+            "m_bits_per_part": new_m,
+        }
+
+    def _commit_cuckoo(
+        self,
+        head: Manifest | None,
+        bid: int,
+        new_urls: DataFrame,
+        pcols: dict | None,
+        metrics: dict | None,
+        full_extra: dict[str, DataFrame],
+    ) -> tuple[Manifest, dict]:
+        """Cuckoo data-commit path. Unlike Bloom (commit first,
+        fill-check after, rebuild as a follow-up commit), the load check
+        runs BEFORE the insert: a cuckoo insert near LOAD_FACTOR fails
+        its kick walk outright instead of degrading gracefully, so a
+        saturated filter must rebuild wider first — and the rebuilt
+        blobs then ride the SAME commit as the batch (one snapshot, no
+        extra namespace traffic). The pre-insert check is one 64-row agg
+        over the committed blob table."""
+        blobs = self.blobs()
+        has_blobs = bool(
+            head and head.tables.get(self.TABLE_CUCKOO, {}).get("rows", 0)
+        )
+        if has_blobs:
+            nb = int(blobs.agg(F.max(F.length("blob"))).first()[0]) // 2 // BUCKET_SLOTS
+        else:
+            nb = self._initial_buckets
+        info: dict = {"rebuilt": False, "n_buckets": nb}
+        if has_blobs:
+            load_max = float(
+                cuckoo_load(blobs).agg(F.max("load")).first()[0] or 0.0
+            )
+            info["load_max_before"] = load_max
+            if load_max > self.rebuild_fill:
+                n_keys = self.seen().count()
+                need = max(
+                    nb * 2, n_keys // max(self.n_parts, 1) // BUCKET_SLOTS * 2
+                )
+                nb = 1 << (need - 1).bit_length()
+                blobs = build_cuckoo(
+                    self.seen().select(F.col(self.url_col).alias("url")),
+                    n_parts=self.n_parts,
+                    n_buckets=nb,
+                )
+                info.update(rebuilt=True, n_buckets=nb)
+        out = insert_into_cuckoo(
+            blobs,
+            new_urls.select(F.col(self.url_col).alias("url")),
+            n_parts=self.n_parts,
+            n_buckets=nb,
+        )
+        man = self.store.commit(
+            head.batch_id + 1 if head else 1,
+            full_tables={self.TABLE_CUCKOO: out, **full_extra},
+            delta_tables={self.TABLE_SEEN: new_urls},
+            metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
+            partition_cols=pcols,
+        )
+        return man, info
+
+    def delete_urls(
+        self, urls: DataFrame, metrics: dict | None = None
+    ) -> tuple[Manifest, dict]:
+        """Remove URLs from the seen state (the drain-scale form of the
+        reference's delete-source-cascades-to-pages,
+        /root/reference/backend/service/services.py:317-324): append
+        them to the ``url_deleted`` tombstone table — ``seen()`` and the
+        bucket-wise ``anti_join`` subtract tombstones, so the URLs are
+        immediately re-crawlable — and, with ``filter_kind='cuckoo'``,
+        evict their fingerprints from the prefilter blobs so the maybe
+        slice stays truthful WITHOUT a rebuild. (Bloom mode tombstones
+        only: shared bits cannot be unset, so deleted URLs keep probing
+        maybe_seen until the next width rebuild drops them — correct,
+        since the exact tier resolves every maybe, just more maybe
+        traffic. A cuckoo eviction can also drop a colliding
+        fingerprint of ANOTHER seen url — that url may then probe
+        definitely-new and be re-scheduled ONCE; the exact url_seen
+        anti-join at schedule time still filters it, so no double crawl
+        happens where the exact tier is consulted.) Physical purge of
+        the url_seen rows happens at ``apply_deletes``. This is an
+        internal commit: it advances the store counter but NOT the
+        logical batch id."""
+        head = self.store.head()
+        if head is None:
+            raise ValueError("delete_urls: nothing committed yet")
+        dels = urls.select(F.col(self.url_col))
+        pcols = None
+        if self.bucketed_parts is not None:
+            dels = dels.withColumn(self.BUCKET_COL, self._bucket_expr())
+            pcols = {self.TABLE_DELETED: [self.BUCKET_COL]}
+        full_tables: dict[str, DataFrame] = {}
+        if self.filter_kind == "cuckoo" and head.tables.get(
+            self.TABLE_CUCKOO, {}
+        ).get("rows", 0):
+            full_tables[self.TABLE_CUCKOO] = delete_from_cuckoo(
+                self.blobs(),
+                dels.select(F.col(self.url_col).alias("url")),
+                n_parts=self.n_parts,
+            )
+        man = self.store.commit(
+            head.batch_id + 1,
+            full_tables=full_tables,
+            delta_tables={self.TABLE_DELETED: dels},
+            metrics={
+                **(metrics or {}),
+                "event": "delete_urls",
+                self.METRIC_LOGICAL: self.last_logical(),
+            },
+            partition_cols=pcols,
+        )
+        return man, {"filter_evicted": self.filter_kind == "cuckoo"}
+
+    def apply_deletes(self, n_files: int = 8) -> Manifest:
+        """Physically purge tombstoned rows: rewrite url_seen as
+        ``seen()`` (already tombstone-subtracted) and clear the
+        tombstone table — the engine's compaction-cadence companion, so
+        steady-state deletes cost an append + blob eviction and the
+        O(|seen|) rewrite is paid on the same schedule as ``compact``."""
+        head = self.store.head()
+        if head is None:
+            raise ValueError("apply_deletes: nothing committed yet")
+        if not head.tables.get(self.TABLE_DELETED, {}).get("rows", 0):
+            return head  # no tombstones pending: nothing to purge
+        seen = self.seen()
+        pcols = None
+        if self.bucketed_parts is not None:
+            seen = seen.repartition(self.write_tasks, F.col(self.BUCKET_COL))
+            pcols = {
+                self.TABLE_SEEN: [self.BUCKET_COL],
+                self.TABLE_DELETED: [self.BUCKET_COL],
+            }
+        return self.store.commit(
+            head.batch_id + 1,
+            full_tables={
+                self.TABLE_SEEN: seen,
+                self.TABLE_DELETED: self.deleted().limit(0),
+            },
+            metrics={
+                "event": "apply_deletes",
+                self.METRIC_LOGICAL: self.last_logical(),
+            },
+            partition_cols=pcols,
+        )
 
     def expire(self, keep_last: int = 2) -> dict:
         """Drop old snapshots' files. Retention is directory-granular and

@@ -241,11 +241,16 @@ class SnapshotParquetStore:
                     df.write.mode("overwrite").parquet(path)
                 rows, dstats = _dir_meta(path)
                 rel = os.path.join(name, tname)
+                # an empty PARTITIONED write leaves no parquet files at
+                # all (no bucket dirs to hold them) — record no files so
+                # reads return None (callers' documented empty-table
+                # path) instead of failing schema inference on the dir
+                files = [] if (cols and rows == 0) else [rel]
                 tables[tname] = {
                     "mode": "full",
-                    "files": [rel],
+                    "files": files,
                     "rows": rows,
-                    "stats": {rel: dstats},
+                    "stats": {rel: dstats} if files else {},
                 }
                 if cols:
                     tables[tname]["partition_cols"] = list(cols)

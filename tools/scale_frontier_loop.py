@@ -36,6 +36,13 @@ dirs, default 256) and resolves the exact maybe-seen check bucket-wise
 the one per-batch cost that otherwise grows with TOTAL crawl state
 (flat anti-join reshuffles ~4 GB of seen rows per batch at 10^8 seen).
 
+--stagger K rebuilds at most K worst-fill Bloom partitions per batch
+on saturation (per-part width doubling) instead of the whole filter in
+one commit window — no single batch pays the doubling pause.
+
+--cuckoo swaps the Bloom prefilter for the deletable cuckoo filter
+(same partition contract; delete_urls evicts fingerprints in place).
+
 --resume picks the loop up from the state's HEAD batch: a killed run
 continues from its last committed batch with the identical frontier
 windows (deterministic from row ids) and identical accumulated seen
@@ -58,6 +65,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     out_path = None
     bucketed = None
+    stagger = None
     args: list[str] = []
     consumed = -1
     for i, a in enumerate(sys.argv[1:], start=1):
@@ -69,6 +77,11 @@ def main() -> None:
         elif a == "--bucketed":
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
             bucketed = int(nxt) if nxt.isdigit() else 256
+            if nxt.isdigit():
+                consumed = i + 1
+        elif a == "--stagger":
+            nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+            stagger = int(nxt) if nxt.isdigit() else 8
             if nxt.isdigit():
                 consumed = i + 1
         elif not a.startswith("--"):
@@ -117,9 +130,13 @@ def main() -> None:
     # fill 0.5 (amortized doubling).
     capacity = int(batch_rows * n_batches * 0.15)
     n_parts = 64
+    cuckoo = "--cuckoo" in sys.argv
     st = SeenState(
         spark, state_root, n_parts=n_parts, expected_keys=capacity,
         bucketed_parts=bucketed, write_tasks=min(64, shuffle_parts),
+        filter_kind="cuckoo" if cuckoo else "bloom",
+        stagger_parts=stagger,
+        rebuild_fill=0.7 if cuckoo else 0.5,
     )
     m_bits = st._initial_m_bits
 
@@ -137,8 +154,9 @@ def main() -> None:
     warm = bench.make_frontier(spark, 100_000).persist()
     warm.count()
     ws, wb = schedule_batch(
-        warm, seen=st.seen(), bloom=st.bloom(), robots_bcast=robots_b, quotas=quotas,
+        warm, seen=st.seen(), bloom=st.blobs(), robots_bcast=robots_b, quotas=quotas,
         default_k=1000, salt_span=250, max_quota=1000, n_bloom_parts=n_parts,
+        seen_filter=st.filter_kind,
     )
     drain_ordered(ws, n_buckets=sc.defaultParallelism * 4).count()
     release_barrier(wb)
@@ -180,13 +198,14 @@ def main() -> None:
             # resolver reads each bucket's committed files directly
             seen=None if bucketed else st.seen(),
             exact_anti_join=st.anti_join if bucketed else None,
-            bloom=st.bloom(),
+            bloom=st.blobs(),
             robots_bcast=robots_b,
             quotas=quotas,
             default_k=1000,
             salt_span=250,
             max_quota=1000,
             n_bloom_parts=n_parts,
+            seen_filter=st.filter_kind,
         )
         drained = drain_ordered(
             scheduled, n_buckets=sc.defaultParallelism * 4
@@ -261,6 +280,8 @@ def main() -> None:
         "last_batch_urls_per_sec": batches[-1]["urls_per_sec"],
         "batches": batches,
         "bucketed_parts": bucketed,
+        "filter_kind": st.filter_kind,
+        "stagger_parts": stagger,
         "cores": int(cpus) if str(cpus).isdigit() else cpus,
         "shuffle_partitions": shuffle_parts,
         "driver_mem": driver_mem,
