@@ -58,6 +58,27 @@ import os
 import shutil
 import sys
 import time
+import urllib.request
+
+
+def _shuffle_metrics(spark) -> dict:
+    """Cumulative completed-stage shuffle bytes from the UI REST API
+    (same instrument as tools/pipeline_bench.py). Per-batch DELTAS of
+    this are the structural evidence the bucketed layout claims: the
+    flat anti-join's shuffle grows with the ACCUMULATED seen table,
+    the bucket-wise probe's only with the batch's maybe slice."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        ui = spark.sparkContext.uiWebUrl
+        url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=30) as r:
+            stages = json.load(r)
+        return {
+            "shuffle_read_b": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        }
+    except Exception:
+        return {"shuffle_read_b": 0, "shuffle_write_b": 0}
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -191,6 +212,7 @@ def main() -> None:
         # drain_sec, same discipline as the single-shot bench
         t_gen = time.monotonic() - tg
 
+        sm0 = _shuffle_metrics(spark)
         t0 = time.monotonic()
         scheduled, barrier = schedule_batch(
             frontier,
@@ -239,6 +261,7 @@ def main() -> None:
         t_state = time.monotonic() - t1
 
         drained.unpersist()
+        sm1 = _shuffle_metrics(spark)
         seen_total += n_sched
         row = {
             "batch": i,
@@ -249,6 +272,9 @@ def main() -> None:
             "state_sec": round(t_state, 2),
             "urls_per_sec": round(batch_rows / t_drain, 1),
             "bloom_rebuilt": bool(info.get("rebuilt")),
+            "shuffle_write_gb": round(
+                (sm1["shuffle_write_b"] - sm0["shuffle_write_b"]) / 2**30, 2
+            ),
         }
         batches.append(row)
         print(json.dumps(row), flush=True)
