@@ -149,7 +149,9 @@ def main() -> None:
     # the only one that exists at 10^10 (total filter ~15 GiB there).
     # Undersizing is safe: SeenState.commit_batch rebuilds wider past
     # fill 0.5 (amortized doubling).
-    capacity = int(batch_rows * n_batches * 0.15)
+    capacity = int(
+        os.environ.get("SPARK_GRAFT_SEEN_CAPACITY", batch_rows * n_batches * 0.15)
+    )
     n_parts = 64
     cuckoo = "--cuckoo" in sys.argv
     st = SeenState(
