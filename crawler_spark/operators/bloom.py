@@ -223,11 +223,14 @@ def advance_bloom(
         n_keys = full_seen.count()
         need = max(m_bits_per_part * 2, (n_keys * BITS_PER_KEY) // max(n_parts, 1))
         new_m = 1 << (need - 1).bit_length()
+        # same checkpoint contract as the update path: the rebuild is the
+        # drain's most expensive batch — a caller evaluating the result
+        # twice must not pay the O(|seen|) build twice
         out = build_bloom(
             full_seen.select(F.col(url_col).alias("url")),
             n_parts=n_parts,
             m_bits_per_part=new_m,
-        )
+        ).localCheckpoint()
         info.update(rebuilt=True, m_bits_per_part=new_m, m_bits_before=m_bits_per_part)
     return out, info
 

@@ -249,7 +249,19 @@ class SeenState:
         out: dict[int, list[str]] = {}
         if head is None or table not in head.tables:
             return out
-        for rel in head.tables[table]["files"]:
+        entry = head.tables[table]
+        if entry.get("rows", 0) and not entry.get("partition_cols"):
+            # a committed FLAT table under a bucketed SeenState would make
+            # the bucket-wise reader silently see an empty map — every
+            # previously-crawled URL re-scheduled, and the next partitioned
+            # delta would wedge the union read on mixed schemas. Refuse.
+            raise ValueError(
+                f"bucket_files: table {table!r} was committed WITHOUT the "
+                "bucketed layout (no partition_cols in the manifest) — a "
+                "flat store cannot be resumed with bucketed_parts; rebuild "
+                "the state or resume without bucketing"
+            )
+        for rel in entry["files"]:
             base = _os.path.join(self.store.root, "snapshots", rel)
             for d in _glob.glob(_os.path.join(base, f"{self.BUCKET_COL}=*")):
                 b = int(d.rsplit("=", 1)[1])
@@ -281,7 +293,27 @@ class SeenState:
         if not fmap:
             return candidates
         dmap = self.bucket_files(self.TABLE_DELETED)
-        bc = self.spark.sparkContext.broadcast((fmap, dmap))
+        # one live broadcast per snapshot epoch: a drain loop calls this
+        # every batch, and an un-released broadcast per batch pins the
+        # full path map on driver+executors for the run's lifetime (the
+        # same leak class schedule_batch's barrier contract documents).
+        head = self.store.head()
+        epoch = head.snapshot_id if head else -1
+        cached = getattr(self, "_aj_bcast", None)
+        if cached is not None and cached[0] == epoch:
+            bc = cached[1]
+        else:
+            if cached is not None:
+                # unpersist (not destroy): frees the executor copies while a
+                # not-yet-evaluated plan from the previous epoch can still
+                # re-fetch from the driver; the driver holds at most ONE
+                # superseded value, not one per batch
+                try:
+                    cached[1].unpersist()
+                except Exception:
+                    pass
+            bc = self.spark.sparkContext.broadcast((fmap, dmap))
+            self._aj_bcast = (epoch, bc)
         out_schema = candidates.schema
         keyed = candidates.withColumn(
             "_sb",
@@ -378,6 +410,15 @@ class SeenState:
             return head, {"redelivered": True}
         new_urls = new_seen.select(F.col(self.url_col))
         pcols = None
+        if self.bucketed_parts is not None and head is not None:
+            ent = head.tables.get(self.TABLE_SEEN, {})
+            if ent.get("rows", 0) and not ent.get("partition_cols"):
+                raise ValueError(
+                    "commit_batch: store holds a FLAT url_seen table but "
+                    "this SeenState is bucketed — a partitioned delta on "
+                    "flat parents would wedge the union read (mixed "
+                    "schemas); resume without bucketed_parts or rebuild"
+                )
         if self.bucketed_parts is not None:
             # cluster the batch's rows by bucket BEFORE the partitioned
             # write: each bucket's files then come from exactly one task
@@ -486,16 +527,24 @@ class SeenState:
                 if b % self.n_parts in set(parts)
                 for f in fs
             ]
-            rows = self.spark.read.parquet(*files).select(
-                F.col(self.url_col).alias("url")
-            )
-            head = self.store.head()
-            if head and head.tables.get(self.TABLE_DELETED, {}).get("rows", 0):
-                rows = rows.join(
-                    self.deleted().select(F.col(self.url_col).alias("url")),
-                    "url",
-                    "left_anti",
+            if files:
+                rows = self.spark.read.parquet(*files).select(
+                    F.col(self.url_col).alias("url")
                 )
+                head = self.store.head()
+                if head and head.tables.get(self.TABLE_DELETED, {}).get("rows", 0):
+                    rows = rows.join(
+                        self.deleted().select(F.col(self.url_col).alias("url")),
+                        "url",
+                        "left_anti",
+                    )
+            else:
+                # the saturated parts' rows were all purged (bits stay
+                # set — Bloom bits are never unset): rebuild them empty
+                # at the new width; build_bloom emits no blob for an
+                # empty part and a missing blob probes definitely-new,
+                # which is correct for a part with no seen rows
+                rows = self._empty.select(F.col(self.url_col).alias("url"))
         else:
             rows = self.seen().select(F.col(self.url_col).alias("url"))
             rows = rows.filter(
@@ -595,18 +644,31 @@ class SeenState:
         only: shared bits cannot be unset, so deleted URLs keep probing
         maybe_seen until the next width rebuild drops them — correct,
         since the exact tier resolves every maybe, just more maybe
-        traffic. A cuckoo eviction can also drop a colliding
-        fingerprint of ANOTHER seen url — that url may then probe
-        definitely-new and be re-scheduled ONCE; the exact url_seen
-        anti-join at schedule time still filters it, so no double crawl
-        happens where the exact tier is consulted.) Physical purge of
-        the url_seen rows happens at ``apply_deletes``. This is an
-        internal commit: it advances the store counter but NOT the
-        logical batch id."""
+        traffic.)
+
+        Eviction safety: deletions are first deduplicated and
+        restricted to CURRENTLY-SEEN urls. A cuckoo filter's deletion
+        is only safe for keys that were actually inserted — evicting a
+        key that is absent (never committed, tombstoned already, or a
+        duplicate row in ``urls``) can remove a colliding fingerprint
+        belonging to a DIFFERENT live url, and a prefilter false
+        negative is the one error class the two-tier design cannot
+        absorb (a definitely-new candidate skips the exact anti-join
+        entirely and would be double-crawled). With the semi-join
+        guard, two live urls sharing a (bucket, fingerprint) each own
+        one inserted copy, so deleting one leaves the other's copy in
+        place — the standard counting argument. Physical purge of the
+        url_seen rows happens at ``apply_deletes``. This is an internal
+        commit: it advances the store counter but NOT the logical batch
+        id."""
         head = self.store.head()
         if head is None:
             raise ValueError("delete_urls: nothing committed yet")
-        dels = urls.select(F.col(self.url_col))
+        dels = (
+            urls.select(F.col(self.url_col))
+            .dropDuplicates([self.url_col])
+            .join(self.seen().select(self.url_col), self.url_col, "left_semi")
+        )
         pcols = None
         if self.bucketed_parts is not None:
             dels = dels.withColumn(self.BUCKET_COL, self._bucket_expr())
@@ -647,11 +709,15 @@ class SeenState:
         seen = self.seen()
         pcols = None
         if self.bucketed_parts is not None:
-            seen = seen.repartition(self.write_tasks, F.col(self.BUCKET_COL))
+            # n_files tasks, each writing whole buckets => ~one file per
+            # bucket (same bounding contract as store.compact)
+            seen = seen.repartition(n_files, F.col(self.BUCKET_COL))
             pcols = {
                 self.TABLE_SEEN: [self.BUCKET_COL],
                 self.TABLE_DELETED: [self.BUCKET_COL],
             }
+        else:
+            seen = seen.coalesce(n_files)
         return self.store.commit(
             head.batch_id + 1,
             full_tables={

@@ -381,3 +381,45 @@ def test_staggered_rebuild_bounds_per_batch_work(spark, root):
         assert set(info2["parts_rebuilt"]).isdisjoint(info["parts_rebuilt"]) or True
     tagged2 = bloom_prefilter(_urls(spark, 0, 13000), st.blobs(), n_parts=8)
     assert all(r.maybe_seen for r in tagged2.collect())
+
+
+def test_bucketed_resume_over_flat_store_refuses(spark, root):
+    """Review r5: resuming a FLAT store with bucketed_parts must refuse
+    loudly — an empty bucket map would silently disable the exact seen
+    check (every crawled URL re-scheduled) and the next partitioned
+    delta would wedge the union read on mixed schemas."""
+    flat = SeenState(spark, root, n_parts=8, expected_keys=10_000)
+    flat.commit_batch(_urls(spark, 0, 200), batch_id=1)
+    bkt = _bucketed(spark, root)
+    with pytest.raises(ValueError, match="bucketed"):
+        bkt.anti_join(_frontier_of(_urls(spark, 0, 100)))
+    with pytest.raises(ValueError, match="FLAT"):
+        bkt.commit_batch(_urls(spark, 200, 300), batch_id=2)
+
+
+def test_cuckoo_delete_of_unseen_or_duplicate_urls_is_safe(spark, root):
+    """Review r5: evicting a key that was never inserted (or the same
+    key twice) can remove a colliding fingerprint of a DIFFERENT live
+    url — a prefilter false negative that would bypass the exact tier
+    entirely. delete_urls therefore dedupes and semi-joins deletions
+    against the current seen set; live urls keep probing maybe_seen."""
+    from crawler_spark.operators.cuckoo import cuckoo_prefilter
+
+    st = _cuckoo(spark, root)
+    st.commit_batch(_urls(spark, 0, 400), batch_id=1)
+    # deletions: 100 seen urls, each listed TWICE, plus 200 never-seen
+    dels = (
+        _urls(spark, 0, 100)
+        .unionAll(_urls(spark, 0, 100))
+        .unionAll(_urls(spark, 10_000, 10_200))
+    )
+    st.delete_urls(dels)
+    assert st.deleted().count() == 100  # deduped + seen-restricted
+    assert st.seen().count() == 300
+    # NO false negatives among the 300 live urls
+    tagged = cuckoo_prefilter(_urls(spark, 100, 400), st.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())
+    # a second identical delete is a no-op for the filter's live keys
+    st.delete_urls(dels)
+    tagged2 = cuckoo_prefilter(_urls(spark, 100, 400), st.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged2.collect())

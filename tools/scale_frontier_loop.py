@@ -96,14 +96,18 @@ def main() -> None:
             out_path = sys.argv[i + 1]
             consumed = i + 1
         elif a == "--bucketed":
+            # the optional value is a bucket COUNT (small); a large digit
+            # token after the flag is a positional batch_rows, not a value
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-            bucketed = int(nxt) if nxt.isdigit() else 256
-            if nxt.isdigit():
+            take = nxt.isdigit() and int(nxt) <= 1 << 16
+            bucketed = int(nxt) if take else 256
+            if take:
                 consumed = i + 1
         elif a == "--stagger":
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-            stagger = int(nxt) if nxt.isdigit() else 8
-            if nxt.isdigit():
+            take = nxt.isdigit() and int(nxt) <= 1 << 12
+            stagger = int(nxt) if take else 8
+            if take:
                 consumed = i + 1
         elif not a.startswith("--"):
             args.append(a)
@@ -177,7 +181,13 @@ def main() -> None:
     warm = bench.make_frontier(spark, 100_000).persist()
     warm.count()
     ws, wb = schedule_batch(
-        warm, seen=st.seen(), bloom=st.blobs(), robots_bcast=robots_b, quotas=quotas,
+        warm,
+        # same seen-resolution path as the measured loop: a flat join here
+        # would reshuffle the whole accumulated seen table on --resume —
+        # the exact cost bucketed mode exists to avoid
+        seen=None if bucketed else st.seen(),
+        exact_anti_join=st.anti_join if bucketed else None,
+        bloom=st.blobs(), robots_bcast=robots_b, quotas=quotas,
         default_k=1000, salt_span=250, max_quota=1000, n_bloom_parts=n_parts,
         seen_filter=st.filter_kind,
     )
@@ -196,8 +206,18 @@ def main() -> None:
         # it: an iteration that triggers both a rebuild and the every-4th
         # compaction leaves (rebuild, compact) after expire(keep_last=2),
         # and BOTH carry the cursor (previously only the evicted loop
-        # commit did, and --resume restarted from batch 0).
-        return st.last_logical()
+        # commit did, and --resume restarted from batch 0). Stores
+        # written by the pre-logical-id script carry only loop_batch —
+        # fall back to it there (last_logical's own fallback is the
+        # store batch_id, which over-counts internal commits).
+        hist = st.store.history()
+        if any(SeenState.METRIC_LOGICAL in (m.metrics or {}) for m in hist):
+            return st.last_logical()
+        for man in reversed(hist):
+            lb = (man.metrics or {}).get("loop_batch")
+            if lb is not None:
+                return int(lb) + 1
+        return 0
 
     start_batch = _loop_cursor() if resume else 0  # committed windows stay done
     seen_total = st.seen().count() if start_batch else 0
