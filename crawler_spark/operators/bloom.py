@@ -205,6 +205,13 @@ def advance_bloom(
     measured and removed via its commit-then-fill-check ordering. State
     tables outlive the batch either way; a caller that commits the
     result to a store re-cuts lineage at the committed files.
+
+    Checkpoint lifetime: localCheckpoint blocks are released when the
+    returned DataFrame is garbage-collected (ContextCleaner), not by
+    unpersist() — a long multi-batch loop holding many returned handles
+    accumulates superseded blob copies until GC. Loop-grade drains
+    should use SeenState (per-batch committed tables, deterministic
+    file lifecycle) rather than chaining advance_bloom returns.
     """
     if m_bits_per_part is None:
         widest = bloom.agg(F.max(F.length("blob"))).first()[0]

@@ -134,13 +134,18 @@ class SeenState:
         self._initial_buckets = 1 << (nb_need - 1).bit_length()
         self._empty = spark.createDataFrame([], f"{url_col} string")
 
+    @staticmethod
+    def _part_expr(url_col: str, modulus: int):
+        """THE layout hash: seed 2 == add_bloom_keys'/add_cuckoo_keys'
+        part hash. Every bucket/part derivation in this class MUST go
+        through here — the contract bucket % n_parts == bloom_part holds
+        only while the expression is byte-identical everywhere."""
+        return F.pmod(F.xxhash64(url_col, F.lit(2)), F.lit(modulus)).cast("int")
+
     def _bucket_expr(self):
-        # seed 2 == add_bloom_keys' bloom_part hash: with B a multiple of
-        # n_parts, h mod n_parts == (h mod B) mod n_parts, so bucket dirs
-        # refine the Bloom partitioning
-        return F.pmod(
-            F.xxhash64(self.url_col, F.lit(2)), F.lit(self.bucketed_parts)
-        ).cast("int")
+        # with B a multiple of n_parts, h mod n_parts == (h mod B) mod
+        # n_parts, so bucket dirs refine the Bloom partitioning
+        return self._part_expr(self.url_col, self.bucketed_parts)
 
     # -- reads ----------------------------------------------------------------
 
@@ -164,16 +169,34 @@ class SeenState:
         commit SeenState writes therefore carries the current logical id
         in its metrics, so the newest kept manifest always records it
         even after ``expire(keep_last=2)`` drops the data commit that
-        introduced it. Falls back to the store batch_id for stores
-        written before this metric existed (there the namespaces never
-        diverged unless a rebuild/compact fired — such stores should
-        resume with explicit batch_ids only after one fresh commit)."""
-        for man in reversed(self.store.history()):
-            lb = (man.metrics or {}).get(self.METRIC_LOGICAL)
-            if lb is not None:
-                return int(lb)
+        introduced it. HEAD is checked first — every commit this code
+        writes carries the metric, so the full-history walk (one JSON
+        read per kept manifest) only runs for stores written by older
+        code; without the head fast-path a never-expiring drain would
+        pay O(batches) driver-side file reads per commit, O(batches^2)
+        over the run. Legacy fallbacks, in order: the drain loop's
+        ``loop_batch`` journal (+1 — it records the completed window
+        index) and only then the store batch_id; the store counter also
+        counts internal rebuild/compact commits, so using it where a
+        loop journal exists would classify the first post-resume
+        windows as redelivered and silently drop their URLs."""
         head = self.store.head()
-        return head.batch_id if head else 0
+        if head is None:
+            return 0
+        lb = (head.metrics or {}).get(self.METRIC_LOGICAL)
+        if lb is not None:
+            return int(lb)
+        hist = self.store.history()
+        legacy_loop = None
+        for man in reversed(hist):
+            m = man.metrics or {}
+            if self.METRIC_LOGICAL in m:
+                return int(m[self.METRIC_LOGICAL])
+            if legacy_loop is None and "loop_batch" in m:
+                legacy_loop = int(m["loop_batch"]) + 1
+        if legacy_loop is not None:
+            return legacy_loop
+        return head.batch_id
 
     @property
     def filter_table(self) -> str:
@@ -202,10 +225,35 @@ class SeenState:
         """Committed prefilter blobs of the configured ``filter_kind``
         (empty DataFrame before the first commit — the prefilter treats
         a missing blob as maybe_seen=false, and the exact anti-join side
-        is equally empty, so batch 0 just works)."""
+        is equally empty, so batch 0 just works). Resuming a store that
+        was committed with the OTHER filter kind refuses loudly: a
+        silently-empty prefilter would tag every previously seen URL
+        definitely-new, and the definitely-new branch bypasses the exact
+        anti-join entirely — the one error class the two-tier design
+        cannot absorb. Migrate with ``rebuild_filter()`` instead."""
+        head = self.store.head()
         df = self.store.read(self.filter_table)
         if df is not None:
+            if head is not None and not head.tables.get(
+                self.filter_table, {}
+            ).get("rows", 0) and head.tables.get(self.TABLE_SEEN, {}).get("rows", 0):
+                raise ValueError(
+                    f"blobs: {self.filter_table} is EMPTY while url_seen has "
+                    "rows (a cleared filter after a kind migration?) — call "
+                    "rebuild_filter() before scheduling against this state"
+                )
             return df
+        other = (
+            self.TABLE_BLOOM if self.filter_kind == "cuckoo" else self.TABLE_CUCKOO
+        )
+        if head is not None and head.tables.get(other, {}).get("rows", 0):
+            raise ValueError(
+                f"blobs: store was committed with filter_kind="
+                f"{'bloom' if other == self.TABLE_BLOOM else 'cuckoo'!r} but "
+                f"this SeenState is {self.filter_kind!r} — an empty "
+                f"{self.filter_table} would re-crawl every seen URL; resume "
+                "with the original kind or migrate via rebuild_filter()"
+            )
         if self.filter_kind == "cuckoo":
             return build_cuckoo(
                 self._empty, n_parts=self.n_parts, n_buckets=self._initial_buckets
@@ -316,8 +364,7 @@ class SeenState:
             self._aj_bcast = (epoch, bc)
         out_schema = candidates.schema
         keyed = candidates.withColumn(
-            "_sb",
-            F.pmod(F.xxhash64(url_col, F.lit(2)), F.lit(self.bucketed_parts)).cast("int"),
+            "_sb", self._part_expr(url_col, self.bucketed_parts)
         ).repartition(self.bucketed_parts, F.col("_sb"))
         names = [f.name for f in out_schema.fields]
 
@@ -547,9 +594,7 @@ class SeenState:
                 rows = self._empty.select(F.col(self.url_col).alias("url"))
         else:
             rows = self.seen().select(F.col(self.url_col).alias("url"))
-            rows = rows.filter(
-                F.pmod(F.xxhash64("url", F.lit(2)), F.lit(self.n_parts)).isin(parts)
-            )
+            rows = rows.filter(self._part_expr("url", self.n_parts).isin(parts))
         rebuilt = build_bloom(rows, n_parts=self.n_parts, m_bits_per_part=new_m)
         merged = self.blobs().filter(~F.col("bloom_part").isin(parts)).unionByName(
             rebuilt
@@ -621,13 +666,43 @@ class SeenState:
             n_parts=self.n_parts,
             n_buckets=nb,
         )
-        man = self.store.commit(
-            head.batch_id + 1 if head else 1,
-            full_tables={self.TABLE_CUCKOO: out, **full_extra},
-            delta_tables={self.TABLE_SEEN: new_urls},
-            metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
-            partition_cols=pcols,
-        )
+        try:
+            man = self.store.commit(
+                head.batch_id + 1 if head else 1,
+                full_tables={self.TABLE_CUCKOO: out, **full_extra},
+                delta_tables={self.TABLE_SEEN: new_urls},
+                metrics={**(metrics or {}), self.METRIC_LOGICAL: bid},
+                partition_cols=pcols,
+            )
+        except Exception as e:
+            # the pre-insert load check sees the COMMITTED load, not the
+            # incoming batch: a batch large relative to capacity (or the
+            # very first commit into an undersized fresh filter) can
+            # still fail its kick walk. store.commit staged to a tmp dir
+            # and cleaned up, so nothing was written — rebuild sized for
+            # seen+batch and retry once. This keeps the constructor's
+            # "undersizing is safe" contract true for cuckoo too.
+            if "over capacity" not in str(e):
+                raise
+            all_keys = self.seen().select(
+                F.col(self.url_col).alias("url")
+            ).unionByName(new_urls.select(F.col(self.url_col).alias("url")))
+            n_keys = all_keys.count()
+            need = max(nb * 2, n_keys // max(self.n_parts, 1) // BUCKET_SLOTS * 2)
+            nb = 1 << (need - 1).bit_length()
+            out = build_cuckoo(all_keys, n_parts=self.n_parts, n_buckets=nb)
+            man = self.store.commit(
+                head.batch_id + 1 if head else 1,
+                full_tables={self.TABLE_CUCKOO: out, **full_extra},
+                delta_tables={self.TABLE_SEEN: new_urls},
+                metrics={
+                    **(metrics or {}),
+                    "event": "cuckoo_overflow_rebuild",
+                    self.METRIC_LOGICAL: bid,
+                },
+                partition_cols=pcols,
+            )
+            info.update(rebuilt=True, n_buckets=nb, overflow_recovered=True)
         return man, info
 
     def delete_urls(
@@ -729,6 +804,49 @@ class SeenState:
                 self.METRIC_LOGICAL: self.last_logical(),
             },
             partition_cols=pcols,
+        )
+
+    def rebuild_filter(self) -> Manifest:
+        """(Re)build the configured filter kind from the full seen set
+        and commit it, clearing the OTHER kind's blob table — the
+        explicit migration path between filter kinds (bloom <-> cuckoo)
+        and the recovery path blobs() directs to. Internal commit (does
+        not advance the logical batch id)."""
+        head = self.store.head()
+        if head is None:
+            raise ValueError("rebuild_filter: nothing committed yet")
+        seen = self.seen().select(F.col(self.url_col).alias("url"))
+        n_keys = seen.count()
+        if self.filter_kind == "cuckoo":
+            need = max(
+                self._initial_buckets,
+                n_keys // max(self.n_parts, 1) // BUCKET_SLOTS * 2,
+            )
+            blobs = build_cuckoo(
+                seen, n_parts=self.n_parts, n_buckets=1 << (max(need, 1) - 1).bit_length()
+            )
+        else:
+            need = max(
+                self._initial_m_bits,
+                (n_keys * BITS_PER_KEY) // max(self.n_parts, 1),
+            )
+            blobs = build_bloom(
+                seen, n_parts=self.n_parts, m_bits_per_part=1 << (need - 1).bit_length()
+            )
+        other = (
+            self.TABLE_BLOOM if self.filter_kind == "cuckoo" else self.TABLE_CUCKOO
+        )
+        full: dict[str, DataFrame] = {self.filter_table: blobs}
+        if head.tables.get(other, {}).get("rows", 0):
+            full[other] = self.store.read(other).limit(0)
+        return self.store.commit(
+            head.batch_id + 1,
+            full_tables=full,
+            metrics={
+                "event": "filter_rebuild",
+                "filter_kind": self.filter_kind,
+                self.METRIC_LOGICAL: self.last_logical(),
+            },
         )
 
     def expire(self, keep_last: int = 2) -> dict:

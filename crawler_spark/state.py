@@ -476,7 +476,18 @@ class SnapshotParquetStore:
         if not rels:
             return None
         paths = [os.path.join(self.root, "snapshots", p) for p in rels]
-        return self.spark.read.parquet(*paths).filter(F.col(col).between(lo, hi))
+        man = self.head() if snapshot_id is None else self.manifest(snapshot_id)
+        if man.tables[table].get("partition_cols") and len(paths) > 1:
+            # same multi-root-partitioned-read refusal as read(): union
+            # per-directory so each dir's hive layout discovers its
+            # partition column independently
+            dfs = [self.spark.read.parquet(p) for p in paths]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+        else:
+            df = self.spark.read.parquet(*paths)
+        return df.filter(F.col(col).between(lo, hi))
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

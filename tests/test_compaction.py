@@ -278,3 +278,23 @@ def test_partitioned_table_commit_read_compact_roundtrip(spark, tmp_path):
     base = os.path.join(store.root, "snapshots", entry["files"][0])
     # one file per bucket, not n_files * buckets
     assert len(glob.glob(os.path.join(base, "b=*", "*.parquet"))) == 4
+
+
+def test_read_pruned_partitioned_multi_dir(spark, tmp_path):
+    """read_pruned must union per-directory for partitioned tables, like
+    read() — one multi-root partitioned read raises
+    CONFLICTING_DIRECTORY_STRUCTURES."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotParquetStore(spark, str(tmp_path / "rp"))
+
+    def _rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.pmod("id", F.lit(4)).cast("int").alias("b")
+        )
+
+    store.commit(1, full_tables={}, delta_tables={"t": _rows(0, 100)},
+                 partition_cols={"t": ["b"]})
+    store.commit(2, full_tables={}, delta_tables={"t": _rows(100, 200)})
+    df = store.read_pruned("t", "id", 50, 149)
+    assert df is not None and df.count() == 100

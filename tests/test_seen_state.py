@@ -423,3 +423,64 @@ def test_cuckoo_delete_of_unseen_or_duplicate_urls_is_safe(spark, root):
     st.delete_urls(dels)
     tagged2 = cuckoo_prefilter(_urls(spark, 100, 400), st.blobs(), n_parts=4)
     assert all(r.maybe_seen for r in tagged2.collect())
+
+
+def test_filter_kind_mismatch_on_resume_refuses(spark, root):
+    """Review r5 pass 2: resuming a bloom store as cuckoo (or back)
+    must refuse — a silently-empty prefilter tags every seen URL
+    definitely-new, bypassing the exact anti-join entirely."""
+    stb = SeenState(spark, root, n_parts=4, expected_keys=5_000)
+    stb.commit_batch(_urls(spark, 0, 300), batch_id=1)
+    stc = _cuckoo(spark, root)
+    with pytest.raises(ValueError, match="filter_kind"):
+        stc.blobs()
+    # explicit migration path: rebuild under the new kind, then schedule
+    stc.rebuild_filter()
+    from crawler_spark.operators.cuckoo import cuckoo_prefilter
+
+    tagged = cuckoo_prefilter(_urls(spark, 0, 300), stc.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())
+    # ...and switching BACK now refuses on the cleared bloom table
+    stb2 = SeenState(spark, root, n_parts=4, expected_keys=5_000)
+    with pytest.raises(ValueError, match="rebuild_filter"):
+        stb2.blobs()
+    stb2.rebuild_filter()
+    tagged2 = bloom_prefilter(_urls(spark, 0, 300), stb2.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged2.collect())
+
+
+def test_cuckoo_first_commit_overflow_recovers(spark, root):
+    """Review r5 pass 2: a first commit larger than the fresh filter's
+    capacity must rebuild-wider-and-retry inside commit_batch, not wedge
+    with an unrecoverable over-capacity error ('undersizing is safe')."""
+    st = _cuckoo(spark, root, expected_keys=100)
+    man, info = st.commit_batch(_urls(spark, 0, 5000), batch_id=1)
+    assert st.seen().count() == 5000
+    assert info["rebuilt"]
+    from crawler_spark.operators.cuckoo import cuckoo_prefilter
+
+    tagged = cuckoo_prefilter(_urls(spark, 0, 5000), st.blobs(), n_parts=4)
+    assert all(r.maybe_seen for r in tagged.collect())
+    # idempotent retry of the same batch id stays a no-op
+    _, info2 = st.commit_batch(_urls(spark, 0, 5000), batch_id=1)
+    assert info2.get("redelivered")
+
+
+def test_last_logical_legacy_loop_batch_fallback(spark, root):
+    """Review r5 pass 2: a store written by the pre-logical-id loop
+    carries only loop_batch — falling back to the store batch_id (which
+    counts internal compact commits) would classify the first
+    post-resume windows as redelivered and silently drop their URLs."""
+    st = SeenState(spark, root, n_parts=4, expected_keys=5_000)
+    # simulate the old format: data commits without the logical metric
+    st.store.commit(1, full_tables={}, delta_tables={
+        "url_seen": _urls(spark, 0, 100)}, metrics={"loop_batch": 0})
+    st.store.commit(2, full_tables={}, delta_tables={
+        "url_seen": _urls(spark, 100, 200)}, metrics={"loop_batch": 1})
+    st.store.compact("url_seen", n_files=1)  # store counter runs ahead
+    assert st.store.head().batch_id == 3
+    assert st.last_logical() == 2  # loop_batch 1 + 1, NOT the store's 3
+    # the first fresh window after resume is accepted, not dropped
+    _, info = st.commit_batch(_urls(spark, 200, 300), batch_id=3)
+    assert not info.get("redelivered")
+    assert st.seen().count() == 300

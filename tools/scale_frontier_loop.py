@@ -28,7 +28,8 @@ BENCH/BASELINE.md "10^9-URL micro-batched frontier drain"):
 
 Usage:
     python tools/scale_frontier_loop.py [batch_rows] [n_batches] \
-        [--out BENCH/scale_1e9_loop.json] [--resume] [--bucketed [B]]
+        [--out BENCH/scale_1e9_loop.json] [--resume] [--bucketed[=B]] \
+        [--stagger[=K]] [--cuckoo]
 
 --bucketed stores url_seen in the hash-bucketed hive layout (B bucket
 dirs, default 256) and resolves the exact maybe-seen check bucket-wise
@@ -95,20 +96,24 @@ def main() -> None:
         if a == "--out" and i + 1 < len(sys.argv):
             out_path = sys.argv[i + 1]
             consumed = i + 1
-        elif a == "--bucketed":
-            # the optional value is a bucket COUNT (small); a large digit
-            # token after the flag is a positional batch_rows, not a value
+        elif a in ("--bucketed", "--stagger") or a.startswith(
+            ("--bucketed=", "--stagger=")
+        ):
+            # explicit value only as --flag=N: a space-separated digit is
+            # ambiguous with the positional batch_rows and was silently
+            # consumed (e.g. `--bucketed 6400 10` ate 6400 as the bucket
+            # count and drained 10 rows). A trailing digit that LOOKS like
+            # an attempted space-form value aborts loudly instead of
+            # silently becoming batch_rows.
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-            take = nxt.isdigit() and int(nxt) <= 1 << 16
-            bucketed = int(nxt) if take else 256
-            if take:
-                consumed = i + 1
-        elif a == "--stagger":
-            nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-            take = nxt.isdigit() and int(nxt) <= 1 << 12
-            stagger = int(nxt) if take else 8
-            if take:
-                consumed = i + 1
+            if "=" not in a and nxt.isdigit() and int(nxt) <= 1 << 16:
+                sys.exit(f"ambiguous `{a} {nxt}`: write {a}={nxt} (or put "
+                         "positional batch_rows/n_batches before flags)")
+            val = int(a.split("=", 1)[1]) if "=" in a else None
+            if a.startswith("--bucketed"):
+                bucketed = val if val is not None else 256
+            else:
+                stagger = val if val is not None else 8
         elif not a.startswith("--"):
             args.append(a)
     batch_rows = int(float(args[0])) if args else 100_000_000
